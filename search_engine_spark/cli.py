@@ -1,0 +1,86 @@
+"""CLI entry points — the engine's user-facing surface.
+
+Mirrors the reference's manual harness (`services/engine/cmd/cli/main.go`
+via `justfile:47-48`): build an index from a corpus table, then run a
+query and print ``path: score`` per hit.
+
+Usage:
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
+    python -m search_engine_spark.cli query  <index_dir> "<query>" [k]
+    python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _demo(corpus_path: str, query: str, k: int) -> None:
+    from search_engine_spark.operators.postings import (
+        build_postings,
+        build_terms,
+        corpus_stats,
+    )
+    from search_engine_spark.operators.scoring import bm25_topk
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.corpus import (
+        docs_table,
+        load_corpus,
+        with_identity,
+    )
+
+    spark = get_spark("se-cli")
+    corpus = with_identity(load_corpus(spark, corpus_path))
+    n_docs = corpus.count()
+    postings = build_postings(corpus).persist()
+    terms = build_terms(postings, n_docs)
+    stats = corpus_stats(postings, n_docs)
+    print(f"corpus: {n_docs} docs, avgdl={stats['avgdl']:.2f}")
+    rows = bm25_topk(postings, terms, docs_table(corpus), query, stats["avgdl"], k=k).collect()
+    if not rows:
+        print("(no hits)")
+    for r in rows:
+        print(f"{r['path']}: {r['score']:.6f}  (matched {r['matched']}, doc {r['doc_id']})")
+
+
+def _build(corpus_path: str, index_dir: str) -> None:
+    from search_engine_spark.plans.build import build_index
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("se-build")
+    summary = build_index(spark, corpus_path, index_dir)
+    print(summary)
+
+
+def _query(index_dir: str, query: str, k: int) -> None:
+    from search_engine_spark.plans.query import QueryEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("se-query")
+    eng = QueryEngine(spark, index_dir)
+    rows = eng.search(query, k=k).collect()
+    if not rows:
+        print("(no hits)")
+    for r in rows:
+        print(f"{r['path']}: {r['global_score']:.6f}  (bm25 {r['score']:.4f}, matched {r['matched']})")
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 3:
+        print(__doc__)
+        return 2
+    cmd = argv[1]
+    if cmd == "demo":
+        _demo(argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 10)
+    elif cmd == "build":
+        _build(argv[2], argv[3])
+    elif cmd == "query":
+        _query(argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 10)
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -1,0 +1,70 @@
+"""Engine-wide constants and configuration.
+
+Frozen behavioral constants come from SURVEY.md §8 (which cites the
+reference implementation):
+
+- tokenizer trim set / length cap: reference
+  `services/indexer/src/core/text_sink.rs:43-66` and the VARCHAR(25)
+  dictionary cap `migration/schema.sql:21`.
+- BM25 k1/b: SURVEY.md §8.2 (Lucene-positive IDF variant).
+- PageRank d/tol/iters: reference `services/ranking/src/page_rank.py:36-38`.
+- top-k page size 20: reference
+  `services/engine/internal/config/store/store.config.go:11`.
+- blend weight 0.5: reference
+  `services/engine/internal/service/ranking/ranking.go:30`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- tokenizer (frozen spec §8.1) ---
+# leading/trailing trim set: whitespace + . , : / ; " '
+TOKEN_TRIM_CHARS = ".,:;/'\" \t\n\r\x0b\x0c"
+MAX_TERM_LEN = 25
+
+# --- BM25 (frozen spec §8.2) ---
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# --- PageRank (frozen spec §8.3) ---
+PAGERANK_DAMPING = 0.85
+PAGERANK_TOL = 1e-5
+PAGERANK_MAX_ITERS = 100
+
+# --- final ranking (frozen spec §8.4) ---
+CANDIDATE_K = 20  # reference PAGE_SIZE
+BLEND_WEIGHT_TFIDF = 0.5  # reference ranking.go:30 hardcoded 0.5
+
+# --- index layout ---
+BLOCK_SIZE = 128  # postings per compressed block
+DEFAULT_TERM_BUCKETS = 64  # directory partitions of the index table
+DEFAULT_SALT_BITS = 4  # doc_id-range salt: 2^bits sub-partitions per term
+
+
+@dataclass
+class EngineConfig:
+    """Tunable knobs for a build/query run.
+
+    ``salt_bits`` implements the salted repartition-by-term: the salt is
+    the top ``salt_bits`` bits of the (uniform-hash) doc_id, so each
+    (term, salt) group covers a contiguous doc_id range. Hot terms are
+    thereby split across 2^salt_bits reducers while keeping blocks
+    globally doc_id-sorted by (salt, doc_id) — which block-max WAND
+    relies on. Scale note: at 10^12 docs raise salt_bits (e.g. 8-10) and
+    term_buckets (e.g. 4096); both are pure layout knobs.
+    """
+
+    block_size: int = BLOCK_SIZE
+    term_buckets: int = DEFAULT_TERM_BUCKETS
+    salt_bits: int = DEFAULT_SALT_BITS
+    k1: float = BM25_K1
+    b: float = BM25_B
+    candidate_k: int = CANDIDATE_K
+    blend_weight: float = BLEND_WEIGHT_TFIDF
+    build_waves: int = 4  # stage-1 checkpoint granularity (jobs per build)
+    build_partitions: int = 16  # per-partition lineage granularity
+    pagerank_damping: float = PAGERANK_DAMPING
+    pagerank_tol: float = PAGERANK_TOL
+    pagerank_max_iters: int = PAGERANK_MAX_ITERS
+    extra: dict = field(default_factory=dict)

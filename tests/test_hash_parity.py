@@ -1,0 +1,37 @@
+"""Pure-Python XXH64 must be bit-identical to Spark's xxhash64 —
+the doc_id contract between the oracle/generator and the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.xxhash import doc_id_of, spark_xxhash64_str
+
+
+def test_single_and_multi_column_parity(spark):
+    rows = [
+        ("org0/repo0", "src/pkg0/mod0.py", "a" * 40),
+        ("o", "", "deadbeef"),
+        ("unicode-ünïcødé", "päth/ƒile.py", "c0ffee"),
+        ("x" * 100, "y" * 3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string")
+    got = df.select(
+        F.xxhash64("repo").alias("h1"),
+        F.xxhash64("repo", "path", "commit").alias("h3"),
+    ).collect()
+    for (repo, path, commit), r in zip(rows, got):
+        assert spark_xxhash64_str(repo) == r["h1"]
+        assert doc_id_of(repo, path, commit) == r["h3"]
+
+
+def test_fixture_doc_ids_match_spark(spark, fixture_dir, fixture_expected):
+    df = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    got = {
+        r["path"]: r["doc_id"]
+        for r in df.select(
+            "path", F.xxhash64("repo", "path", "commit").alias("doc_id")
+        ).collect()
+    }
+    for d in fixture_expected["docs"]:
+        assert got[d["path"]] == d["doc_id"]

@@ -1,0 +1,70 @@
+"""Tokenizer spec tests (frozen §8.1) + scalar/vectorized equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.tokenize import (
+    _postings_from_batch,
+    query_terms,
+    tokenize,
+    tokenize_tf,
+)
+
+
+def test_frozen_rules():
+    text = 'Binary.Search, tree 123 x1y2 foo.bar (parens) "Quoted" naïve ' \
+           + "a" * 30 + " ';edge:' trailing... :::"
+    toks = tokenize(text)
+    # kept: trim-wrapped, lowercased, unicode-alphabetic
+    assert "quoted" in toks
+    assert "naïve" in toks
+    assert "edge" in toks
+    assert "trailing" in toks
+    assert "tree" in toks
+    # dropped: internal punctuation / digits / symbols / too long / empty
+    for bad in ("binary.search", "123", "x1y2", "foo.bar", "(parens)", "a" * 30):
+        assert bad not in toks
+    # 'Binary.Search,' trims the trailing comma but keeps the inner dot → dropped
+    assert all("." not in t for t in toks)
+
+
+def test_tf_raw_counts():
+    assert tokenize_tf("tree tree Tree 'tree'") == {"tree": 4}
+
+
+def test_query_terms_distinct_sorted():
+    assert query_terms("tree TREE node, 123") == ["node", "tree"]
+
+
+def test_vectorized_matches_scalar_on_samples():
+    texts = [
+        "",
+        "   ",
+        'Binary.Search, tree 123 "Quoted" naïve ' + "a" * 30,
+        "tree tree node\nhash:index; merge/sort",
+        "übermäßig x1y2 ';edge:'",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "content": texts})
+    out = _postings_from_batch(pdf, "content")
+    got = {
+        int(d): {} for d in pdf["doc_id"]
+    }
+    for _, r in out.iterrows():
+        got[int(r["doc_id"])][r["term"]] = int(r["tf"])
+    for i, text in enumerate(texts):
+        assert got[i] == tokenize_tf(text), f"mismatch on doc {i}"
+    # dl equals sum of tfs per doc
+    for did, grp in out.groupby("doc_id"):
+        assert (grp["dl"] == grp["tf"].sum()).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_vectorized_matches_scalar_property(text):
+    pdf = pd.DataFrame({"doc_id": [7], "content": [text]})
+    out = _postings_from_batch(pdf, "content")
+    got = {r["term"]: int(r["tf"]) for _, r in out.iterrows()}
+    assert got == tokenize_tf(text)
