@@ -86,13 +86,15 @@ def delta_decode(first: int, gaps: np.ndarray) -> np.ndarray:
 
 
 def encode_doc_gaps(sorted_doc_ids: np.ndarray) -> tuple[int, bytes]:
-    """Delta+VByte a sorted doc_id run → (first_doc_biased, gap_bytes).
+    """Delta+VByte a sorted doc_id run → (first_doc, gap_bytes).
 
-    The 64-bit first value is stored out-of-band (a BIGINT column) so
-    every VByte value is a gap < 2^63.
+    ``first_doc`` is the original SIGNED first doc_id, stored out-of-band
+    (a BIGINT column — it doubles as the block's min for pruning); every
+    VByte value is a gap < 2^64 in the bias-shifted unsigned space.
     """
-    first, gaps = delta_encode(sorted_doc_ids)
-    return first, vbyte_encode(gaps)
+    a = np.asarray(sorted_doc_ids, dtype=np.int64)
+    _, gaps = delta_encode(a)
+    return int(a[0]), vbyte_encode(gaps)
 
 
 def decode_doc_gaps(first: int, gap_bytes: bytes, n: int) -> np.ndarray:
@@ -102,4 +104,5 @@ def decode_doc_gaps(first: int, gap_bytes: bytes, n: int) -> np.ndarray:
         raise ValueError(f"corrupt block: expected {n - 1} gaps, got {gaps.size}")
     if n == 0:
         return np.array([], dtype=np.int64)
-    return delta_decode(first, gaps)
+    biased_first = (first + (1 << 63)) % (1 << 64)
+    return delta_decode(biased_first, gaps)

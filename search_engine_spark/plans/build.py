@@ -1,0 +1,247 @@
+"""The index build plan: checkpoint-resumable, per-partition lineage.
+
+Pipeline (SURVEY §3.3 Spark shape):
+
+  stage 1 "postings"  — per build-partition, resumable:
+      corpus scan → doc_id/sha identity → vectorized tokenize
+      → postings parquet partitioned by part_id
+      → docs table (no content) partitioned by part_id
+      → lineage row per partition (rows_in, rows_out, sha_xor)
+  stage 2 "index"     — global, idempotent overwrite:
+      postings → terms (df, idf) → stats (N, avgdl)
+      → salted block encode → index blocks partitioned by term bucket
+  stage 3 "prior"     — global, idempotent overwrite:
+      refs self-join → edges → PageRank → prior table
+
+Resumability: stage 1 runs in "waves" (chunks of pending partitions);
+after each wave the lineage rows land, so a kill loses at most one wave
+of work and a re-run anti-joins completed partitions away (north_rule).
+Stages 2-3 are full overwrites: re-running them after a kill is safe.
+
+Why partition on ``part_id = pmod(doc_id, P)``: deterministic from row
+identity alone, so a resumed run computes the same partitioning no
+matter how the input files are split — lineage stays meaningful across
+input re-layout. P is the lineage granularity; at 10^12 files you'd
+raise it to O(10^4-10^5) so a lost wave is bounded, waves to O(10^2).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.checkpoint import CheckpointLog
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.metrics import MetricsLog
+from search_engine_spark.operators.compress import encode_blocks, write_index_blocks
+from search_engine_spark.operators.linkgraph import build_edges
+from search_engine_spark.operators.pagerank import pagerank
+from search_engine_spark.operators.postings import build_terms
+from search_engine_spark.functions.tokenize import extract_postings
+from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+
+def _sha_prefix_col():
+    # first 15 hex chars of sha256 → bigint; XOR-aggregated per partition
+    return F.conv(F.substring("content_sha", 1, 15), 16, 10).cast("long")
+
+
+def _chunks(seq: list, n_chunks: int) -> list[list]:
+    if not seq:
+        return []
+    size = max(1, -(-len(seq) // n_chunks))
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the full index under ``index_dir``.
+
+    ``fail_after_waves`` is a test hook simulating a mid-build kill.
+    Returns a summary dict (also what the CLI prints).
+    """
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    build_id = uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
+    metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
+
+    # dynamic overwrite: re-running a wave replaces only its partitions
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    corpus = with_identity(load_corpus(spark, corpus_path)).withColumn(
+        "part_id", F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int")
+    )
+
+    all_parts = list(range(cfg.build_partitions))
+    done = ckpt.completed_partitions("postings") if resume else set()
+    pending = [p for p in all_parts if p not in done]
+    attempt = ckpt.next_attempt("postings")
+    waves = _chunks(pending, cfg.build_waves)
+
+    postings_path = f"{index_dir}/postings"
+    docs_path = f"{index_dir}/docs"
+
+    rows_processed = 0
+    for wi, wave in enumerate(waves):
+        if fail_after_waves is not None and wi >= fail_after_waves:
+            raise RuntimeError(f"injected failure after wave {wi} (test hook)")
+        started = time.time()
+        subset = corpus.where(F.col("part_id").isin(wave))
+
+        postings = extract_postings(
+            subset.select("doc_id", "part_id", "content"), "content"
+        )
+        # mapInPandas consumed (doc_id, content); re-derive part_id from
+        # doc_id (deterministic) for the partitioned write.
+        postings = postings.withColumn(
+            "part_id", F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int")
+        )
+        postings.write.mode("overwrite").partitionBy("part_id").parquet(postings_path)
+
+        subset.drop("content").write.mode("overwrite").partitionBy("part_id").parquet(
+            docs_path
+        )
+
+        # lineage: read back what landed (verifies the write, avoids
+        # re-tokenizing), plus input-side counts + sha digest.
+        in_stats = {
+            r["part_id"]: (r["rows_in"], r["sha_xor"])
+            for r in subset.groupBy("part_id")
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
+            )
+            .collect()
+        }
+        out_stats = {
+            r["part_id"]: r["rows_out"]
+            for r in spark.read.parquet(postings_path)
+            .where(F.col("part_id").isin(wave))
+            .groupBy("part_id")
+            .agg(F.count("*").alias("rows_out"))
+            .collect()
+        }
+        finished = time.time()
+        ckpt.append(
+            [
+                {
+                    "stage": "postings",
+                    "partition_id": p,
+                    "status": "done",
+                    "rows_in": in_stats.get(p, (0, None))[0],
+                    "rows_out": out_stats.get(p, 0),
+                    "sha_xor": in_stats.get(p, (0, None))[1],
+                    "attempt": attempt,
+                    "started_at": started,
+                    "finished_at": finished,
+                }
+                for p in wave
+            ]
+        )
+        rows_processed += sum(in_stats.get(p, (0, None))[0] for p in wave)
+        metrics.emit(
+            "postings",
+            {
+                f"wave_{wi}_secs": finished - started,
+                f"wave_{wi}_docs": sum(in_stats.get(p, (0, None))[0] for p in wave),
+            },
+        )
+
+    # ---- stage 2: terms + stats + compressed blocks (idempotent) ----
+    t2 = time.time()
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    postings_all = spark.read.parquet(postings_path)
+
+    total_dl = postings_all.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = total_dl / n_docs if n_docs else 0.0
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "block_size": cfg.block_size,
+        "term_buckets": cfg.term_buckets,
+        "salt_bits": cfg.salt_bits,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "build_id": build_id,
+    }
+
+    terms = build_terms(postings_all.select("term"), n_docs)
+    # range-partitioned + sorted by term → parquet min/max row-group
+    # stats make the per-query idf lookup a pruned point read
+    terms.repartitionByRange(8, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/terms")
+
+    blocks = encode_blocks(postings_all, avgdl, cfg)
+    write_index_blocks(blocks, f"{index_dir}/blocks")
+
+    _write_json(spark, f"{index_dir}/stats.json", stats)
+    ckpt.append(
+        [{"stage": "index", "partition_id": -1, "status": "done",
+          "rows_in": None, "rows_out": None, "sha_xor": None,
+          "attempt": attempt, "started_at": t2, "finished_at": time.time()}]
+    )
+    metrics.emit("index", {"secs": time.time() - t2, "n_docs": n_docs, "avgdl": avgdl})
+
+    # ---- stage 3: link graph + PageRank prior (idempotent) ----
+    t3 = time.time()
+    edges = build_edges(corpus)
+    edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
+    prior = pagerank(
+        spark.read.parquet(f"{index_dir}/edges"),
+        cfg.pagerank_damping, cfg.pagerank_tol, cfg.pagerank_max_iters,
+    )
+    prior.write.mode("overwrite").parquet(f"{index_dir}/prior")
+    ckpt.append(
+        [{"stage": "prior", "partition_id": -1, "status": "done",
+          "rows_in": None, "rows_out": None, "sha_xor": None,
+          "attempt": attempt, "started_at": t3, "finished_at": time.time()}]
+    )
+    metrics.emit("prior", {"secs": time.time() - t3})
+
+    wall = time.time() - t0
+    metrics.emit("build", {"secs": wall, "docs": n_docs,
+                           "docs_per_sec": (rows_processed / wall) if wall else 0.0})
+    return {
+        "build_id": build_id,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "partitions_built": len(pending),
+        "partitions_skipped": len(done),
+        "wall_secs": wall,
+    }
+
+
+def _write_json(spark: SparkSession, path: str, payload: dict) -> None:
+    """Write a small JSON blob through the Hadoop FS API (works for any
+    scheme the cluster sees, not just local paths)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    out.close()
+
+
+def read_stats(spark: SparkSession, index_dir: str) -> dict:
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats.json")  # noqa: SLF001
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    stream = fs.open(hpath)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))

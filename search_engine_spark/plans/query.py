@@ -1,0 +1,147 @@
+"""Query plan: tokenize → pruned index scan → score → (blend) → top-k.
+
+Spark shape (SURVEY §3.1): the query string is tokenized driver-side
+(same frozen tokenizer §8.1, distinct terms); term buckets are computed
+driver-side with the Python XXH64 twin of Spark's xxhash64, so the scan
+filter ``bucket IN (...) AND term IN (...)`` prunes index *directories*
+first and parquet row groups second — the DataFrame analogue of the
+reference's B-tree probe (`migration/schema.sql:62-66`).
+
+Two modes:
+- ``bm25``   (primary, north_star): pure BM25 disjunctive top-k.
+  ``wand=True`` routes through the block-max WAND operator (per-salt
+  exact top-k + k-row global merge); ``wand=False`` decodes matching
+  blocks and scores exhaustively (vectorized) — same results, property-
+  tested against each other.
+- ``search`` (reference-compat §8.4): candidate page by (matched DESC,
+  prior DESC, doc_id ASC) truncated to 20, min-max normalize BM25
+  within the page, blend 0.5/0.5 with the PageRank prior, final
+  deterministic order. Candidate selection ignores BM25 order, so
+  score-pruning doesn't apply — this path is always exhaustive, like
+  the reference's SQL (`store.go:59-90`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.tokenize import query_terms
+from search_engine_spark.functions.xxhash import spark_xxhash64_str
+from search_engine_spark.operators.compress import decode_blocks
+from search_engine_spark.operators.scoring import partial_scores, rank_order
+from search_engine_spark.operators.wand import wand_topk
+from search_engine_spark.plans.build import read_stats
+
+
+class QueryEngine:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: EngineConfig | None = None, cache_docs: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cfg = cfg or EngineConfig()
+        self.stats = read_stats(spark, index_dir)
+        self.blocks = spark.read.parquet(f"{index_dir}/blocks")
+        self.terms = spark.read.parquet(f"{index_dir}/terms")
+        self.docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "path")
+        self.prior = spark.read.parquet(f"{index_dir}/prior").withColumnRenamed(
+            "score", "prior"
+        )
+        if cache_docs:
+            # small dimension tables a query service keeps hot
+            # (SURVEY §4: cache terms + prior at service start)
+            self.docs = self.docs.cache()
+            self.prior = self.prior.cache()
+
+    # ---- helpers ----
+    def _buckets(self, terms: list[str]) -> list[int]:
+        nb = int(self.stats["term_buckets"])
+        return sorted({spark_xxhash64_str(t) % nb for t in terms})
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
+        rows = self.terms.where(F.col("term").isin(terms)).collect()
+        return {r["term"]: r["idf"] for r in rows}
+
+    def _query_blocks(self, terms: list[str]) -> DataFrame:
+        return self.blocks.where(
+            F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double, matched int")
+
+    def _scores_exhaustive(self, terms: list[str], idf_map: dict[str, float]) -> DataFrame:
+        decoded = decode_blocks(self._query_blocks(terms))
+        idf_df = self.spark.createDataFrame(
+            [(t, i) for t, i in idf_map.items()], "term string, idf double"
+        )
+        matched = decoded.join(F.broadcast(idf_df), "term")
+        scored = partial_scores(matched, self.stats["avgdl"],
+                                self.stats["k1"], self.stats["b"])
+        return scored.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+
+    # ---- primary: pure BM25 top-k ----
+    def bm25(self, query: str, k: int = 10, wand: bool = True) -> DataFrame:
+        terms = query_terms(query)
+        idf_map = self._idf_map(terms)
+        if not idf_map:
+            scored = self._empty_scored()
+        elif wand:
+            scored = wand_topk(
+                self._query_blocks(list(idf_map)), idf_map,
+                self.stats["avgdl"], k, self.stats["k1"], self.stats["b"],
+            )
+        else:
+            scored = self._scores_exhaustive(list(idf_map), idf_map)
+        with_path = scored.join(self.docs, "doc_id", "left")
+        return (
+            with_path.orderBy(*rank_order(with_path))
+            .select("doc_id", "score", "matched", "path")
+            .limit(k)
+        )
+
+    # ---- reference-compat: blended final ranking (§8.4) ----
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        terms = query_terms(query)
+        idf_map = self._idf_map(terms)
+        if not idf_map:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, global_score double, score double, matched int, "
+                "path string, prior double",
+            )
+        scored = self._scores_exhaustive(list(idf_map), idf_map)
+        cand = scored.join(self.prior, "doc_id", "left").na.fill({"prior": 0.0})
+        page = (
+            cand.orderBy(F.desc("matched"), F.desc("prior"), F.asc("doc_id"))
+            .limit(self.cfg.candidate_k)
+            .cache()
+        )
+        mm = page.agg(F.min("score"), F.max("score")).collect()[0]
+        smin, smax = mm[0], mm[1]
+        rng = (smax - smin) if (smax is not None and smin is not None) else None
+        norm = (
+            (F.col("score") - F.lit(smin)) / F.lit(rng)
+            if rng
+            else F.lit(0.0)
+        )
+        w = self.cfg.blend_weight
+        out = (
+            page.withColumn("norm", norm)
+            .withColumn(
+                "global_score", F.lit(w) * F.col("norm") + F.lit(1.0 - w) * F.col("prior")
+            )
+            .join(self.docs, "doc_id", "left")
+            .orderBy(
+                F.desc("global_score"), F.desc("matched"), F.desc("path"), F.asc("doc_id")
+            )
+            .select("doc_id", "global_score", "score", "matched", "path", "prior")
+            .limit(k)
+        )
+        return out

@@ -1,0 +1,111 @@
+"""Milestone 2+: the persisted compressed index must answer queries
+rank-identically to the oracle — through both the exhaustive decode
+path and block-max WAND — and the §8.4 blended ranking must match the
+oracle's blend. Also covers the build→query round trip via
+``build_index`` / ``QueryEngine``."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_spark.plans.build import build_index, read_stats
+from search_engine_spark.plans.query import QueryEngine
+from tests.oracle import blended_topk as oracle_blended
+from tests.oracle import bm25_topk as oracle_topk
+from tests.oracle import build_oracle_index, pagerank as oracle_pagerank
+
+REL_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, fixture_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("index") / "ix"
+    summary = build_index(spark, str(fixture_dir / "corpus.parquet"), str(out))
+    assert summary["n_docs"] == 200
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return QueryEngine(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle_ix(fixture_dir):
+    tbl = pq.read_table(fixture_dir / "corpus.parquet").to_pylist()
+    expected = json.loads((fixture_dir / "expected.json").read_text())
+    by_path = {d["path"]: d["doc_id"] for d in expected["docs"]}
+    docs = [
+        {"doc_id": by_path[r["path"]], "path": r["path"], "content": r["content"]}
+        for r in tbl
+    ]
+    ix = build_oracle_index(docs)
+    ix.prior = oracle_pagerank([tuple(e) for e in expected["edges"]])
+    return ix
+
+
+def test_stats_roundtrip(spark, index_dir, oracle_ix):
+    stats = read_stats(spark, index_dir)
+    assert stats["n_docs"] == oracle_ix.n_docs
+    assert stats["avgdl"] == pytest.approx(oracle_ix.avgdl, rel=1e-12)
+
+
+def test_exhaustive_compressed_rank_identity(engine, oracle_ix, fixture_queries):
+    for q in fixture_queries:
+        expected = oracle_topk(oracle_ix, q, k=10)
+        got = engine.bm25(q, k=10, wand=False).collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        for r, e in zip(got, expected):
+            assert r["score"] == pytest.approx(e["score"], rel=REL_TOL), (q, r["doc_id"])
+            assert r["matched"] == e["matched"]
+
+
+def test_wand_rank_identity(engine, oracle_ix, fixture_queries):
+    for q in fixture_queries:
+        expected = oracle_topk(oracle_ix, q, k=10)
+        got = engine.bm25(q, k=10, wand=True).collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        for r, e in zip(got, expected):
+            assert r["score"] == pytest.approx(e["score"], rel=REL_TOL), (q, r["doc_id"])
+
+
+def test_blended_rank_identity(engine, oracle_ix, fixture_queries):
+    for q in fixture_queries:
+        expected = oracle_blended(oracle_ix, q, k=10)
+        got = engine.search(q, k=10).collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        for r, e in zip(got, expected):
+            assert r["global_score"] == pytest.approx(e["global_score"], rel=1e-6), (
+                q, r["doc_id"],
+            )
+
+
+def test_pagerank_matches_oracle(spark, index_dir, fixture_expected):
+    prior = {
+        r["doc_id"]: r["score"]
+        for r in spark.read.parquet(f"{index_dir}/prior").collect()
+    }
+    expected = oracle_pagerank([tuple(e) for e in fixture_expected["edges"]])
+    assert set(prior) == set(expected)
+    l1 = sum(abs(prior[d] - expected[d]) for d in expected)
+    assert l1 < 1e-6
+    assert sum(prior.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_edges_match_expected(spark, index_dir, fixture_expected):
+    got = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(f"{index_dir}/edges").collect()
+    }
+    assert got == {tuple(e) for e in fixture_expected["edges"]}
+
+
+def test_sha256_integrity(spark, index_dir, fixture_expected):
+    """Per-row content sha256 equality vs the source (input_hint)."""
+    got = {r["doc_id"]: r["content_sha"]
+           for r in spark.read.parquet(f"{index_dir}/docs").collect()}
+    for d in fixture_expected["docs"]:
+        assert got[d["doc_id"]] == d["sha256"]

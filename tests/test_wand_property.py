@@ -1,0 +1,98 @@
+"""Property: block-max WAND top-k == exhaustive top-k (same docs, same
+scores) on randomized corpora — including degenerate tie-heavy ones."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.operators.wand import wand_topk_group
+from search_engine_spark.functions.vbyte import encode_doc_gaps, vbyte_encode
+
+
+def _blocks_from_postings(postings: dict[str, list[tuple[int, int, int]]],
+                          block_size: int) -> pd.DataFrame:
+    rows = []
+    for term, plist in postings.items():
+        plist = sorted(plist)
+        for bi, s in enumerate(range(0, len(plist), block_size)):
+            chunk = plist[s : s + block_size]
+            doc = np.array([p[0] for p in chunk], dtype=np.int64)
+            tf = np.array([p[1] for p in chunk], dtype=np.uint64)
+            dl = np.array([p[2] for p in chunk], dtype=np.uint64)
+            partial = (tf.astype(float) * (BM25_K1 + 1)) / (
+                tf.astype(float)
+                + BM25_K1 * (1 - BM25_B + BM25_B * dl.astype(float) / AVGDL)
+            )
+            first, gaps = encode_doc_gaps(doc)
+            rows.append(
+                {
+                    "term": term, "block_id": bi, "n": len(chunk),
+                    "first_doc": int(doc[0]), "last_doc": int(doc[-1]),
+                    "doc_gaps": gaps, "tfs": vbyte_encode(tf),
+                    "dls": vbyte_encode(dl), "max_partial": float(partial.max()),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+AVGDL = 50.0
+
+
+def _exhaustive(postings, idf_map, k):
+    scores: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    for term in sorted(idf_map):
+        for d, tf, dl in postings.get(term, []):
+            p = idf_map[term] * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / AVGDL)
+            )
+            scores[d] = scores.get(d, 0.0) + p
+            matched[d] = matched.get(d, 0) + 1
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return rows[:k], scores, matched
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_equals_exhaustive(seed):
+    rng = random.Random(seed)
+    n_docs = rng.randint(5, 400)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c", "d"][: rng.randint(1, 4)]
+    postings = {}
+    for t in terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        # tie-heavy: constant tf/dl with probability 1/3
+        const = rng.random() < 0.33
+        postings[t] = [
+            (d, 3 if const else rng.randint(1, 9), 50 if const else rng.randint(10, 90))
+            for d in docs
+        ]
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([1, 3, 10])
+
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16, 128]))
+    got = wand_topk_group(blocks, idf_map, AVGDL, k)
+    expected_topk, all_scores, all_matched = _exhaustive(postings, idf_map, k)
+
+    got_map = {int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()}
+    # every returned score must be the exact exhaustive score
+    for d, s in got_map.items():
+        assert s == pytest.approx(all_scores[d], rel=1e-12)
+    # the k-th best score must be attained, and every doc scoring >= kth
+    # with a doc in got must be representable: check that the top-k set
+    # by (score desc, doc asc) is contained in got's candidates
+    if expected_topk:
+        kth = expected_topk[-1][1]
+        must_have = {d for d, s in all_scores.items() if s > kth}
+        assert must_have <= set(got_map)
+        # and ties at kth are all present (tie-safety guarantee)
+        ties = {d for d, s in all_scores.items() if s == kth}
+        assert ties <= set(got_map)
+    # matched counts correct
+    for _, r in got.iterrows():
+        assert int(r["matched"]) == all_matched[int(r["doc_id"])]
