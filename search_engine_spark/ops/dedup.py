@@ -1,0 +1,294 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families over ``documents(doc_id, text, ...)``:
+
+- **exact**      — md5(text) hash-groupBy; one shuffle on the digest,
+  uniform keys (cryptographic hash) so no skew handling needed.
+- **MinHash+LSH**— distinct terms → 16 universal-hash minima →
+  4 bands × 4 rows → band-bucket self-join → candidate pairs with
+  estimated Jaccard. The band join is the scale path: at 100 TB only
+  near-duplicate docs collide, so the self-join output is ~linear in
+  true-duplicate count, never O(n²).
+- **SimHash**    — 16-bit tf-weighted bit-majority signature; Hamming
+  buckets give another near-dup signal. Integer-exact.
+- **n-gram Jaccard** — ordered 3-token shingles, exact pairwise Jaccard
+  over candidate pairs. Kept exact here (small SF); at scale it runs
+  AFTER the LSH prefilter as the verify stage of the usual
+  LSH→verify pipeline.
+
+Everything is JVM-side column algebra (no UDFs): md5/conv for portable
+hashing, higher-order array functions for shingles. DuckDB oracle twins
+in ``ORACLE_SQL`` are integer-exact except Jaccard ratios (rounded 4dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.sqltwin import (
+    duck_minhash_perm,
+    duck_term_hash31,
+    duck_tokens,
+    minhash_perm,
+    term_hash31,
+    tokens_col,
+)
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+SIMHASH_BITS = 16
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by content digest; canonical doc = min doc_id per group."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def _distinct_term_hashes(docs: DataFrame) -> DataFrame:
+    toks = F.array_distinct(tokens_col("text"))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .withColumn("h", term_hash31(F.col("term")))
+        .select("doc_id", "h")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Wide 16-column MinHash signature per doc (sig_0..sig_15).
+
+    One explode + one groupBy(doc_id) shuffle; the 16 permutations are
+    column expressions over the same 31-bit term hash, so the explode
+    is materialized once, not 16×.
+    """
+    th = _distinct_term_hashes(docs)
+    aggs = [
+        F.min(minhash_perm(F.col("h"), j)).alias(f"sig_{j}") for j in range(N_PERMS)
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs: docs sharing ≥1 band bucket, with
+    estimated Jaccard = matching-signature fraction."""
+    sigs = minhash_signatures(docs)
+    band_cols = [
+        F.concat_ws(
+            "-",
+            F.lit(b),
+            *[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", *[F.col(f"sig_{j}") for j in range(N_PERMS)], *band_cols)
+    keys = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias("bkey"),
+    )
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), on="bkey")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(N_PERMS)],
+    )
+    sb = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(N_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(N_PERMS)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("sig_matches"),
+            F.round(matches / F.lit(float(N_PERMS)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit tf-weighted SimHash per doc (integer-exact)."""
+    toks = tokens_col("text")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", term_hash31(F.col("term")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.col("tf") * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"w_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    w = tf.groupBy("doc_id").agg(*bit_aggs)
+    sim = sum(
+        F.when(F.col(f"w_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return w.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1))
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(SHINGLE_N)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", shingles.alias("sh"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact 3-token-shingle Jaccard over shingle-sharing pairs."""
+    sets = _shingle_sets(docs)
+    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sets.select("doc_id", F.explode("sh").alias("sh"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "inter", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_T = duck_tokens("text")
+_TH = duck_term_hash31("term")
+
+_DISTINCT_TERMS = f"""
+th AS (
+  SELECT doc_id, {_TH} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents)
+)"""
+
+_SIGS = (
+    "sigs AS (\n  SELECT doc_id, "
+    + ", ".join(
+        f"min({duck_minhash_perm('h', j)}) AS sig_{j}" for j in range(N_PERMS)
+    )
+    + "\n  FROM th GROUP BY doc_id\n)"
+)
+
+_BAND_KEYS = "\nUNION ALL\n".join(
+    "SELECT doc_id, concat_ws('-', '"
+    + str(b)
+    + "', "
+    + ", ".join(f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ") AS bkey FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END)" for j in range(N_PERMS)
+)
+
+_SHINGLES = f"""
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {SHINGLE_N} THEN
+           list_distinct(list_transform(
+             generate_series(1, len(toks) - {SHINGLE_N - 1}),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, {_T} AS toks FROM documents)
+)"""
+
+ORACLE_SQL = {
+    "dedup_exact": """
+SELECT md5(text) AS text_md5,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+""",
+    "dedup_minhash_signatures": f"""
+WITH {_DISTINCT_TERMS}, {_SIGS}
+SELECT * FROM sigs
+""",
+    "dedup_lsh_pairs": f"""
+WITH {_DISTINCT_TERMS}, {_SIGS},
+keys AS ({_BAND_KEYS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       {_SIG_MATCHES} AS sig_matches,
+       round(({_SIG_MATCHES}) / {float(N_PERMS)}, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+""",
+    "dedup_simhash": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf, {_TH} AS h
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY doc_id, term
+), w AS (
+  SELECT doc_id,
+         {', '.join(f"sum(tf * (((h >> {b}) & 1) * 2 - 1)) AS w_{b}" for b in range(SIMHASH_BITS))}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({' + '.join(f"(CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM w
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= {JACCARD_THRESHOLD}
+""",
+}

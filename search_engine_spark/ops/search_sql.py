@@ -1,0 +1,218 @@
+"""SQL-checkable flavors of the search-engine core over ``documents``.
+
+The production index path (plans/build.py) uses the vectorized pandas
+tokenizer, xxhash64 ids and compressed posting blocks — not expressible
+in ANSI SQL. These ops re-express the *semantics* (frozen spec
+SURVEY §8) as pure DataFrame algebra over the driver's ``documents``
+table so every stage has a DuckDB oracle twin:
+
+  postings → term stats (df, BM25 idf + reference-compat log10 idf)
+  → disjunctive BM25 scoring → deterministic top-k
+  → reference candidate-page ordering (T1)
+  → posting-block layout numbering (the window-function view of what
+    the compressed index's encode_blocks does inside applyInPandas).
+
+Plan shape notes (what survives 100× scale-up): the explode+groupBy is
+the one wide shuffle (same as the engine's build stage 1+2 fused);
+query terms and corpus stats are broadcast; top-k is
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.ops.sqltwin import duck_term_hash31, duck_tokens, term_hash31, tokens_col
+
+QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
+QUERY_MIXED = ["filter", "stream", "zzzunknownzzz"]  # includes an OOV term
+N_BUCKETS = 8
+BLOCK_SIZE = 128
+TOPK = 10
+CANDIDATE_K = 20
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    toks = tokens_col("text")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def term_stats(docs: DataFrame) -> DataFrame:
+    """(term, df, idf_bm25, idf_ref): BM25 Lucene-positive idf plus the
+    reference's quirky log10(integer-division) idf (SURVEY §2.4 A3),
+    guarded where the reference would error on log(0)."""
+    post = postings(docs)
+    n = docs.select(F.count("*").alias("n"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    j = df_tbl.crossJoin(F.broadcast(n))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    ref_div = F.floor(F.col("n") / (F.col("df") + 1))
+    idf_ref = F.when(ref_div >= 1, F.round(F.log10(ref_div.cast("double")), 4)).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "term", "df", F.round(idf, 4).alias("idf_bm25"), idf_ref.alias("idf_ref")
+    )
+
+
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    post = postings(docs)
+    n = docs.select(F.count("*").alias("n"))
+    tot = post.agg(F.sum("tf").cast("double").alias("total_tf"))
+    return n.crossJoin(tot).select(
+        "n", (F.col("total_tf") / F.col("n")).alias("avgdl")
+    )
+
+
+def bm25_scores(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
+    """All matched docs with BM25 score (disjunctive, J1 semantics)."""
+    post = postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    stats = _corpus_stats(docs)
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+    )
+
+
+def bm25_topk(spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK) -> DataFrame:
+    scored = bm25_scores(spark, docs, terms)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+def candidate_page(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Reference T1 pre-rank: (matched DESC, doc_id ASC) LIMIT 20
+    (`store.go:85-90`; prior tie level exercised in the engine path)."""
+    scored = bm25_scores(spark, docs, terms)
+    return (
+        scored.orderBy(F.desc("matched"), F.asc("doc_id"))
+        .limit(CANDIDATE_K)
+        .select("doc_id", "matched")
+    )
+
+
+def index_block_layout(docs: DataFrame) -> DataFrame:
+    """The compressed index's block numbering as a window query:
+    postings bucketed by term hash, row-numbered by doc_id within term,
+    grouped into BLOCK_SIZE blocks with per-block doc range + max tf —
+    the relational skeleton of operators/compress.py's encode step."""
+    post = postings(docs).withColumn(
+        "bucket", (term_hash31(F.col("term")) % N_BUCKETS).cast("int")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    blk = post.withColumn(
+        "block_id",
+        F.floor((F.row_number().over(w) - 1) / BLOCK_SIZE).cast("int"),
+    )
+    return blk.groupBy("bucket", "term", "block_id").agg(
+        F.count("*").cast("int").alias("n_postings"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_T = duck_tokens("text")
+
+_POST = f"""
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY doc_id, term
+)"""
+
+
+def _q_values(terms: list[str]) -> str:
+    return ", ".join(f"('{t}')" for t in sorted(set(terms)))
+
+
+def _scores_cte(terms: list[str]) -> str:
+    return f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(term) AS (VALUES {_q_values(terms)}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)"""
+
+
+ORACLE_SQL = {
+    "search_postings": f"WITH {_POST} SELECT doc_id, term, tf FROM post",
+    "search_term_stats": f"""
+WITH {_POST},
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, df,
+       round(ln((n.n - df + 0.5) / (df + 0.5) + 1.0), 4) AS idf_bm25,
+       CASE WHEN (n.n // (df + 1)) >= 1
+            THEN round(log10(CAST(n.n // (df + 1) AS DOUBLE)), 4)
+            ELSE 0.0 END AS idf_ref
+FROM dfq CROSS JOIN n
+""",
+    "search_bm25_scores": _scores_cte(QUERY_MAIN) + "\nSELECT doc_id, score, matched FROM scored",
+    "search_bm25_topk": _scores_cte(QUERY_MAIN)
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_topk_oov": _scores_cte(QUERY_MIXED)
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_candidate_page": _scores_cte(QUERY_MAIN)
+    + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC LIMIT {CANDIDATE_K}",
+    "search_block_layout": f"""
+WITH {_POST},
+blk AS (
+  SELECT CAST({duck_term_hash31('term')} % {N_BUCKETS} AS INTEGER) AS bucket,
+         term, doc_id, tf,
+         CAST(floor((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+                    / {BLOCK_SIZE}) AS INTEGER) AS block_id
+  FROM post
+)
+SELECT bucket, term, block_id,
+       CAST(count(*) AS INTEGER) AS n_postings,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       max(tf) AS max_tf
+FROM blk GROUP BY bucket, term, block_id
+""",
+}

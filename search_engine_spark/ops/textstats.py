@@ -1,0 +1,224 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure JVM-side column expressions over the ``documents`` table
+(doc_id, text, lang, source, n_chars) — no Python UDFs, so the hot path
+stays inside whole-stage codegen and scales linearly with input splits
+(no shuffle at all: every op here is a narrow map).
+
+Ops: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language-ID (stopword-list heuristic),
+document fingerprinting (rolling polynomial hash).
+
+Each Spark op has a DuckDB oracle twin in ``ORACLE_SQL`` (same math,
+4-dp rounding on all floats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.sqltwin import (
+    MERSENNE31,
+    duck_term_hash31,
+    duck_tokens,
+    term_hash31,
+    tokens_col,
+)
+
+BPE_RE = r"\w+|[^\w\s]"  # BPE-ish pre-tokenizer: word pieces + punct singles
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "en", "que", "un", "es"],
+    "fr": ["le", "la", "de", "et", "en", "que", "un", "est"],
+    "de": ["der", "die", "das", "und", "in", "zu", "ist", "ein"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order: de,en,es,fr
+
+
+def _stop_ratio(toks: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: frozen-tokenizer terms, whitespace tokens,
+    BPE-ish regex tokens, distinct terms, mean term length."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_terms"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_terms"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t)).cast("double")
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_term_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality in micro-points [0, 1e6]: blend of length band,
+    low punctuation, and English-stopword presence — the usual
+    pretraining-filter shape (cf. C4/Gopher rules). All arithmetic is
+    INTEGER fixed-point (×10^6, truncating division) so the score is
+    bit-identical across engines — float rounding of ratio blends is
+    exactly the kind of tie (0.86875 → 4dp) that diverges between
+    round-half modes."""
+    toks = tokens_col("text")
+    sized = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_terms"),
+        F.length("text").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+        .alias("n_punct"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))).alias("n_stop"),
+    )
+    e6 = 1_000_000
+    punct_e6 = F.when(
+        F.col("n_chars") > 0,
+        F.expr(f"({e6}::bigint * n_punct) div n_chars"),
+    ).otherwise(F.lit(0).cast("long"))
+    stop_e6 = F.when(
+        F.col("n_terms") > 0,
+        F.expr(f"({e6}::bigint * n_stop) div n_terms"),
+    ).otherwise(F.lit(0).cast("long"))
+    len_e6 = (
+        F.when(F.col("n_terms").between(20, 1000), F.lit(400_000))
+        .when(F.col("n_terms") > 0, F.lit(200_000))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    quality_e6 = (
+        len_e6
+        + (F.lit(300_000).cast("long") - F.expr("(300000::bigint * n_punct) div n_chars"))
+        + F.least(F.lit(300_000).cast("long"),
+                  F.when(F.col("n_terms") > 0,
+                         F.expr("(1500000::bigint * n_stop) div n_terms"))
+                  .otherwise(F.lit(0).cast("long")))
+    )
+    return sized.select(
+        "doc_id",
+        "n_terms",
+        punct_e6.alias("punct_ratio_e6"),
+        stop_e6.alias("stopword_ratio_e6"),
+        quality_e6.alias("quality_e6"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-list language-ID: per-language hit ratio, argmax with
+    alphabetical tie-break; abstains to 'und' when all ratios are 0."""
+    toks = tokens_col("text")
+    out = docs.select("doc_id", "lang", toks.alias("toks"))
+    for lg in LANGS:
+        out = out.withColumn(f"r_{lg}", F.round(_stop_ratio(F.col("toks"), STOPWORDS[lg]), 4))
+    best = F.greatest(*[F.col(f"r_{lg}") for lg in LANGS])
+    pred = F.lit("und")
+    for lg in reversed(LANGS):  # earlier alphabetical wins ties
+        pred = F.when((best > 0) & (F.col(f"r_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"r_{lg}") for lg in LANGS],
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: rolling polynomial hash
+    h = (31*h + term_hash31(t)) mod 2^31-1 over the token stream.
+    Integer-exact on both engines; detects exact token-stream dups
+    (whitespace/punct-insensitive, unlike raw-text md5)."""
+    toks = tokens_col("text")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + term_hash31(t)) % F.lit(MERSENNE31),
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_T = duck_tokens("text")
+_STOP = {lg: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lg, ws in STOPWORDS.items()}
+
+
+def _duck_stop_ratio(toks: str, lst: str) -> str:
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS DOUBLE)"
+        f" / len({toks}) ELSE 0.0 END)"
+    )
+
+
+ORACLE_SQL = {
+    "text_token_stats": f"""
+WITH d AS (SELECT doc_id, text, {_T} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_terms,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_distinct_terms,
+       round(CASE WHEN len(toks) > 0 THEN
+         CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END, 4) AS mean_term_len
+FROM d
+""",
+    "text_quality_score": f"""
+WITH d AS (
+  SELECT doc_id, {_T} AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, len(toks) AS n_terms, n_chars, n_punct,
+         len(list_filter(toks, t -> list_contains({_STOP['en']}, t))) AS n_stop
+  FROM d
+)
+SELECT doc_id, n_terms,
+       CASE WHEN n_chars > 0 THEN (1000000::BIGINT * n_punct) // n_chars ELSE 0 END AS punct_ratio_e6,
+       CASE WHEN n_terms > 0 THEN (1000000::BIGINT * n_stop) // n_terms ELSE 0 END AS stopword_ratio_e6,
+       (CASE WHEN n_terms BETWEEN 20 AND 1000 THEN 400000
+             WHEN n_terms > 0 THEN 200000 ELSE 0 END)::BIGINT
+       + (300000 - (300000::BIGINT * n_punct) // n_chars)
+       + least(300000::BIGINT,
+               CASE WHEN n_terms > 0 THEN (1500000::BIGINT * n_stop) // n_terms ELSE 0 END)
+       AS quality_e6
+FROM r
+""",
+    "text_lang_id": f"""
+WITH d AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         {', '.join(f"round({_duck_stop_ratio('toks', _STOP[lg])}, 4) AS r_{lg}" for lg in LANGS)}
+  FROM d
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN greatest({', '.join('r_' + lg for lg in LANGS)}) = 0 THEN 'und'
+            {' '.join(f"WHEN r_{lg} = greatest({', '.join('r_' + l2 for l2 in LANGS)}) THEN '{lg}'" for lg in LANGS)}
+            ELSE 'und' END AS pred_lang,
+       {', '.join('r_' + lg for lg in LANGS)}
+FROM r
+""",
+    "text_fingerprint": f"""
+WITH d AS (SELECT doc_id, text, {_T} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(toks, t -> {duck_term_hash31('t')})),
+                   (acc, h) -> (acc * 31 + h) % {MERSENNE31}) AS fingerprint,
+       md5(text) AS text_md5
+FROM d
+""",
+}
