@@ -1,0 +1,136 @@
+"""Round benchmark: index build throughput + BM25 query latency +
+pipeline-op timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "docs_per_sec": ..., "cores": ...}
+
+The corpus for the index build is derived deterministically from the
+driver's ``documents`` table (no synthesized data): repo=source,
+path=doc/<doc_id>, commit=md5(text), lang=lang, content=text.
+
+Scaling evidence (north_rule, sandbox protocol): run this twice —
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compute efficiency = (T_build@8 / T_build@32) / 4. Recorded per
+round in BASELINE.md §"Measured".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "spark join table window",
+    "data stream filter",
+    "hash merge sort",
+    "query group order",
+    "customer line value",
+    "scan batch row column",
+    "big small fast slow",
+    "vector agg part",
+    "the a key",
+    "zzzunknownzzz oov miss",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.ops import dedup, relational, similarity, textstats
+    from search_engine_spark.plans.build import build_index
+    from search_engine_spark.plans.query import QueryEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="se_bench_"))
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    try:
+        # ---- derive the corpus table from documents (deterministic) ----
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus_path = str(work / "corpus.parquet")
+        (
+            docs.select(
+                F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5("text").alias("commit"),
+                F.col("lang"),
+                F.col("text").alias("content"),
+            ).write.mode("overwrite").parquet(corpus_path)
+        )
+        n_docs = docs.count()
+
+        # ---- headline 1: full index build (postings → blocks → prior) ----
+        cfg = EngineConfig(build_waves=1, build_partitions=max(cores, 16))
+        index_dir = str(work / "index")
+        t0 = time.perf_counter()
+        build_index(spark, corpus_path, index_dir, cfg=cfg)
+        timings["index_build"] = time.perf_counter() - t0
+        docs_per_sec = n_docs / timings["index_build"]
+
+        # ---- headline 2: BM25 top-10 latency over the query set ----
+        eng = QueryEngine(spark, index_dir, cfg=cfg)
+        eng.docs.count()  # warm the cached dims once, like a query service
+        lat = []
+        for i, q in enumerate(BENCH_QUERIES):
+            t0 = time.perf_counter()
+            eng.bm25(q, k=10).collect()
+            dt = time.perf_counter() - t0
+            lat.append(dt)
+            timings[f"q{i + 1}"] = round(dt, 4)
+        timings["bm25_p50"] = statistics.median(lat)
+
+        # ---- pipeline ops at sf scale ----
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        for name, df_fn in [
+            ("dedup_lsh_pairs", lambda: dedup.lsh_candidate_pairs(docs)),
+            ("dedup_simhash", lambda: dedup.simhash(docs)),
+            ("text_fingerprint", lambda: textstats.fingerprint(docs)),
+            ("sim_cosine_topk", lambda: similarity.cosine_topk(emb)),
+            ("rel_pricing_summary", lambda: relational.pricing_summary(li)),
+        ]:
+            t0 = time.perf_counter()
+            df_fn().count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = time.perf_counter() - t_all
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build+bm25+pipeline_ops",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 4) for k, v in timings.items()},
+                    "sf": sf_dir,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(docs_per_sec, 2),
+                    "bm25_p50_sec": round(timings["bm25_p50"], 4),
+                    "cores": cores,
+                }
+            )
+        )
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

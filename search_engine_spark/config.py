@@ -64,6 +64,16 @@ class EngineConfig:
     blend_weight: float = BLEND_WEIGHT_TFIDF
     build_waves: int = 4  # stage-1 checkpoint granularity (jobs per build)
     build_partitions: int = 16  # per-partition lineage granularity
+    # tokenizer: "pandas" (mandated vectorized Arrow/pandas UDF path) or
+    # "jvm" (identical rules as whole-stage-codegen expressions; no
+    # Python workers — see functions/tokenize.py::extract_postings_jvm)
+    tokenizer: str = "pandas"
+    # cap on concurrent Python-worker tasks for grouped pandas stages
+    # (block encode). On hosts where kernel memcg accounting throttles
+    # many concurrent page-faulting workers (this sandbox), a small cap
+    # is faster than one worker per core; on healthy clusters set to
+    # executor cores. None → leave stage parallelism to Spark.
+    python_parallelism: int | None = 8
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS

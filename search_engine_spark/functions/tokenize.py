@@ -19,14 +19,31 @@ onto each posting row means BM25 never needs a doc-length join.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Iterator
+from itertools import chain
 
+import numpy as np
 import pandas as pd
 
 from search_engine_spark.config import MAX_TERM_LEN, TOKEN_TRIM_CHARS
 
 POSTINGS_SCHEMA = "doc_id long, term string, tf int, dl int"
+
+# One compiled regex implementing the whole frozen token rule on the raw
+# (lowercased) text — ~5× faster than per-token strip/isalpha Series ops
+# because the scan runs in C per document instead of per token. A match
+# must span an entire whitespace-delimited token (the \S lookarounds):
+# optional trim chars, then 1..MAX alphabetic chars ([^\W\d_] ≡ \w minus
+# digits/underscore), then optional trim chars. Tokens with interior
+# punctuation/digits can't complete the span and are dropped — exactly
+# the strip-then-isalpha semantics (property-tested against
+# ``tokenize`` below).
+_TRIM_CLASS = "[" + re.escape(TOKEN_TRIM_CHARS.strip()) + "]*"
+TOKEN_RE = re.compile(
+    rf"(?<!\S){_TRIM_CLASS}([^\W\d_]{{1,{MAX_TERM_LEN}}}){_TRIM_CLASS}(?!\S)"
+)
 
 
 def tokenize(text: str) -> list[str]:
@@ -61,31 +78,43 @@ def query_terms(query: str) -> list[str]:
     return sorted(set(tokenize(query)))
 
 
+def _empty_postings() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "term": pd.Series([], dtype="object"),
+         "tf": pd.Series([], dtype="int32"),
+         "dl": pd.Series([], dtype="int32")}
+    )
+
+
 def _postings_from_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     """Vectorized pandas kernel: (doc_id, <text_col>) batch → postings."""
     if len(pdf) == 0:
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "term": pd.Series([], dtype="object"),
-             "tf": pd.Series([], dtype="int32"),
-             "dl": pd.Series([], dtype="int32")}
-        )
-    docs = pdf["doc_id"].reset_index(drop=True)
-    toks = pdf[text_col].fillna("").str.lower().str.split()
-    ex = toks.reset_index(drop=True).explode().dropna()
-    ex = ex.str.strip(TOKEN_TRIM_CHARS)
-    keep = (ex.str.len() > 0) & (ex.str.len() <= MAX_TERM_LEN) & ex.str.isalpha()
-    ex = ex[keep]
-    if len(ex) == 0:
-        return _postings_from_batch(pdf.iloc[0:0], text_col)
-    flat = pd.DataFrame({"row": ex.index.to_numpy(), "term": ex.to_numpy()})
+        return _empty_postings()
+    docs = pdf["doc_id"].to_numpy()
+    lists = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+    lens = lists.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return _empty_postings()
+    flat = pd.DataFrame(
+        {
+            "row": np.repeat(np.arange(len(pdf)), lens),
+            "term": np.fromiter(
+                chain.from_iterable(lists), dtype=object, count=int(lens.sum())
+            ),
+        }
+    )
+    # regex \w admits a few non-alpha numerics the frozen spec drops
+    # (e.g. '¹', category No): cheap exact post-filter on matched tokens
+    flat = flat[flat["term"].str.isalpha().to_numpy()]
+    if len(flat) == 0:
+        return _empty_postings()
     tf = flat.groupby(["row", "term"], sort=False).size().rename("tf").reset_index()
     dl = tf.groupby("row", sort=False)["tf"].sum().rename("dl")
     tf = tf.join(dl, on="row")
-    tf["doc_id"] = docs.to_numpy()[tf["row"].to_numpy()]
     return pd.DataFrame(
         {
-            "doc_id": tf["doc_id"].astype("int64"),
+            "doc_id": docs[tf["row"].to_numpy()].astype("int64"),
             "term": tf["term"],
             "tf": tf["tf"].astype("int32"),
             "dl": tf["dl"].astype("int32"),
@@ -100,6 +129,9 @@ def make_postings_mapper(text_col: str = "content"):
     indexing, SURVEY §2.1 S13)."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.runtime import disable_thp
+
+        disable_thp()
         for pdf in batches:
             yield _postings_from_batch(pdf, text_col)
 
@@ -114,4 +146,52 @@ def extract_postings(df, text_col: str = "content"):
     """
     return df.select("doc_id", text_col).mapInPandas(
         make_postings_mapper(text_col), schema=POSTINGS_SCHEMA
+    )
+
+
+def jvm_tokens_col(text_col: str):
+    """The same frozen tokenizer as a pure JVM array expression
+    (split/btrim/rlike inside whole-stage codegen). Semantically
+    identical to :func:`tokenize` — enforced by
+    tests/test_tokenize.py::test_jvm_matches_scalar. Java's ``\\p{L}``
+    and Python's ``str.isalpha`` agree on letters; the known divergence
+    class (combining marks / exotic numerics) is excluded by both.
+    """
+    from pyspark.sql import functions as F
+
+    raw = F.split(F.lower(F.col(text_col)), r"\s+")
+    trimmed = F.transform(raw, lambda t: F.btrim(t, F.lit(TOKEN_TRIM_CHARS.strip())))
+    return F.filter(
+        trimmed,
+        lambda t: (F.length(t) > 0)
+        & (F.length(t) <= MAX_TERM_LEN)
+        & t.rlike(r"^\p{L}+$"),
+    )
+
+
+def extract_postings_jvm(df, text_col: str = "content"):
+    """JVM-only twin of :func:`extract_postings` — same output schema.
+
+    Why it exists: the Arrow/pandas path is the mandated architecture
+    and the default, but a fleet of allocation-heavy Python workers is
+    hostage to host memory-management behavior (this sandbox's kernel
+    burns ~90% sys time in memcg page accounting beyond ~8 workers —
+    measured in tools/profile_tokenize.py). The JVM path runs the
+    identical token rules inside whole-stage codegen: no Python
+    processes at all, preallocated heap, scales with cores.
+
+    ``dl`` (post-filter token count) is computed from the token array
+    BEFORE the explode, so no extra shuffle or join is needed — the
+    groupBy carries it as a functionally-dependent key.
+    """
+    from pyspark.sql import functions as F
+
+    toks = jvm_tokens_col(text_col)
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.size("toks").cast("int").alias("dl"),
+                F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
     )

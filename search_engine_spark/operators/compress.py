@@ -115,7 +115,19 @@ def encode_blocks(postings: DataFrame, avgdl: float,
         "salt", salt_col(F.col("doc_id"), cfg.salt_bits)
     ).withColumn("bucket", bucket_col(F.col("term"), cfg.term_buckets))
 
+    # pre-partition on exactly the grouping keys: applyInPandas needs a
+    # ClusteredDistribution on them, so this single exchange doubles as
+    # (a) the salted repartition-by-term and (b) an explicit cap on how
+    # many Python workers run concurrently (cfg.python_parallelism).
+    if cfg.python_parallelism:
+        with_keys = with_keys.repartition(
+            cfg.python_parallelism, "bucket", "term", "salt"
+        )
+
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from search_engine_spark.functions.runtime import disable_thp
+
+        disable_thp()
         return _encode_group(pdf, avgdl, bs, k1, b)
 
     return with_keys.groupBy("bucket", "term", "salt").applyInPandas(
@@ -159,6 +171,9 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     """
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.runtime import disable_thp
+
+        disable_thp()
         for pdf in batches:
             yield _decode_batch(pdf)
 

@@ -41,7 +41,10 @@ from search_engine_spark.operators.compress import encode_blocks, write_index_bl
 from search_engine_spark.operators.linkgraph import build_edges
 from search_engine_spark.operators.pagerank import pagerank
 from search_engine_spark.operators.postings import build_terms
-from search_engine_spark.functions.tokenize import extract_postings
+from search_engine_spark.functions.tokenize import (
+    extract_postings,
+    extract_postings_jvm,
+)
 from search_engine_spark.sources.corpus import load_corpus, with_identity
 
 
@@ -55,6 +58,27 @@ def _chunks(seq: list, n_chunks: int) -> list[list]:
         return []
     size = max(1, -(-len(seq) // n_chunks))
     return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def _tune_scan_splits(spark: SparkSession, corpus_path: str) -> None:
+    """Size parquet scan splits to the Python-tokenizer stage, not to a
+    JVM scan. The default 128 MB split packs a whole small corpus into a
+    handful of tasks, capping tokenize parallelism below the core count
+    (measured: local[32] no faster than local[8]). A compute-bound
+    Arrow/pandas stage wants ≥ ~4 concurrent splits per core; at huge
+    scale the clamp returns to the 128 MB default, where scans are
+    I/O-bound again and split count is ample anyway.
+    """
+    try:
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(corpus_path)  # noqa: SLF001
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+        size = fs.getContentSummary(hpath).getLength()
+    except Exception:  # noqa: BLE001 - any FS oddity → keep defaults
+        return
+    cores = spark.sparkContext.defaultParallelism
+    split = min(128 << 20, max(2 << 20, size // (cores * 4)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
 
 
 def build_index(
@@ -71,6 +95,7 @@ def build_index(
     Returns a summary dict (also what the CLI prints).
     """
     cfg = cfg or EngineConfig()
+    _tune_scan_splits(spark, corpus_path)
     t0 = time.time()
     build_id = uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
@@ -99,7 +124,10 @@ def build_index(
         started = time.time()
         subset = corpus.where(F.col("part_id").isin(wave))
 
-        postings = extract_postings(
+        extractor = (
+            extract_postings_jvm if cfg.tokenizer == "jvm" else extract_postings
+        )
+        postings = extractor(
             subset.select("doc_id", "part_id", "content"), "content"
         )
         # mapInPandas consumed (doc_id, content); re-derive part_id from
@@ -107,17 +135,27 @@ def build_index(
         postings = postings.withColumn(
             "part_id", F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int")
         )
-        postings.write.mode("overwrite").partitionBy("part_id").parquet(postings_path)
+        # repartition on part_id before the partitioned write: without it
+        # every input split writes a file into every part_id directory
+        # (splits × partitions small files — a real 1000-executor killer);
+        # with it each directory gets ~1 compact file.
+        postings.repartition(len(wave), "part_id").write.mode("overwrite").partitionBy(
+            "part_id"
+        ).parquet(postings_path)
 
-        subset.drop("content").write.mode("overwrite").partitionBy("part_id").parquet(
-            docs_path
-        )
+        subset.drop("content").repartition(len(wave), "part_id").write.mode(
+            "overwrite"
+        ).partitionBy("part_id").parquet(docs_path)
 
-        # lineage: read back what landed (verifies the write, avoids
-        # re-tokenizing), plus input-side counts + sha digest.
+        # lineage: read back what landed (verifies the writes, avoids
+        # re-tokenizing or re-hashing). The docs table carries
+        # content_sha, so input counts + sha digests come from the
+        # compact parquet just written — no second scan of raw content.
         in_stats = {
             r["part_id"]: (r["rows_in"], r["sha_xor"])
-            for r in subset.groupBy("part_id")
+            for r in spark.read.parquet(docs_path)
+            .where(F.col("part_id").isin(wave))
+            .groupBy("part_id")
             .agg(
                 F.count("*").alias("rows_in"),
                 F.bit_xor(_sha_prefix_col()).alias("sha_xor"),

@@ -106,6 +106,19 @@ class QueryEngine:
             .limit(k)
         )
 
+    def total_hits(self, query: str) -> int:
+        """Total distinct matching docs — the reference's
+        ``GetTotalPages`` (`services/engine/internal/store/store.go:
+        172-186`, SURVEY §2.4 A5). Decodes only matching blocks; for
+        display-only counts at huge scale swap countDistinct for
+        approx_count_distinct (same plan shape)."""
+        terms = query_terms(query)
+        idf_map = self._idf_map(terms)
+        if not idf_map:
+            return 0
+        decoded = decode_blocks(self._query_blocks(list(idf_map)))
+        return decoded.select(F.countDistinct("doc_id")).collect()[0][0]
+
     # ---- reference-compat: blended final ranking (§8.4) ----
     def search(self, query: str, k: int = 10) -> DataFrame:
         terms = query_terms(query)

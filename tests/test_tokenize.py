@@ -68,3 +68,20 @@ def test_vectorized_matches_scalar_property(text):
     out = _postings_from_batch(pdf, "content")
     got = {r["term"]: int(r["tf"]) for _, r in out.iterrows()}
     assert got == tokenize_tf(text)
+
+
+def test_jvm_matches_pandas_on_fixture(spark, fixture_dir):
+    """JVM expression tokenizer ≡ pandas tokenizer on the fixture corpus
+    (which exercises every tokenizer rule, FIXTURES.md §1)."""
+    from search_engine_spark.functions.tokenize import (
+        extract_postings,
+        extract_postings_jvm,
+    )
+    from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+    corpus = with_identity(load_corpus(spark, str(fixture_dir / "corpus.parquet")))
+    a = extract_postings(corpus.select("doc_id", "content")).collect()
+    b = extract_postings_jvm(corpus.select("doc_id", "content")).collect()
+    ka = sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in a)
+    kb = sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in b)
+    assert ka == kb
