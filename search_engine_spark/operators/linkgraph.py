@@ -30,6 +30,21 @@ _IMPORT_RE = r"import (\S+)"
 _INCLUDE_RE = r'#include "([^"]+)"'
 
 
+def canonicalize_ref(col):
+    """Path canonicalization — the code-corpus analogue of the
+    reference's URL normalization (`services/spider/internal/utils/
+    normalization.go:46-71`, SURVEY §2.2 P4): collapse ``//``, strip
+    ``./`` segments, resolve ``seg/../`` (bounded: 3 passes covers any
+    realistic import depth; deeper chains resolve over later passes of
+    the same build), strip leading ``./`` and trailing ``/``. Pure JVM
+    regexp_replace chain — no UDF."""
+    c = F.regexp_replace(col, r"/{2,}", "/")
+    c = F.regexp_replace(c, r"(^|/)\./", r"$1")
+    for _ in range(3):
+        c = F.regexp_replace(c, r"(^|/)(?!\.\.)[^/]+/\.\./", r"$1")
+    return F.regexp_replace(c, r"/$", "")
+
+
 def extract_refs(corpus_with_id: DataFrame) -> DataFrame:
     """(doc_id, content) → (src_doc_id, ref_path), distinct.
 
@@ -44,7 +59,10 @@ def extract_refs(corpus_with_id: DataFrame) -> DataFrame:
         ).alias("refs"),
     )
     return (
-        refs.select("src_doc_id", F.explode("refs").alias("ref_path"))
+        refs.select("src_doc_id", F.explode("refs").alias("raw_ref"))
+        .select(
+            "src_doc_id", canonicalize_ref(F.col("raw_ref")).alias("ref_path")
+        )
         .dropDuplicates(["src_doc_id", "ref_path"])
     )
 

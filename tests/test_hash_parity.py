@@ -35,3 +35,23 @@ def test_fixture_doc_ids_match_spark(spark, fixture_dir, fixture_expected):
     }
     for d in fixture_expected["docs"]:
         assert got[d["path"]] == d["doc_id"]
+
+
+def test_canonicalize_ref(spark):
+    """Path canonicalization (SURVEY §2.2 P4 analogue)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.linkgraph import canonicalize_ref
+
+    cases = {
+        "src/pkg/mod.py": "src/pkg/mod.py",
+        "./src/pkg/mod.py": "src/pkg/mod.py",
+        "src//pkg///mod.py": "src/pkg/mod.py",
+        "src/pkg/../other/mod.py": "src/other/mod.py",
+        "a/b/../../c/mod.py": "c/mod.py",
+        "src/./pkg/./mod.py": "src/pkg/mod.py",
+        "src/pkg/": "src/pkg",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "p string")
+    got = {r["p"]: r["c"] for r in df.select("p", canonicalize_ref(F.col("p")).alias("c")).collect()}
+    assert got == cases
