@@ -34,15 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return search_sql.bm25_topk(spark, docs, search_sql.QUERY_MAIN)
 
 
-def _pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine PageRank (frozen spec §8.3) over a deterministic graph
-    derived from lineitem keys. Iterative fixpoint — not expressible in
-    ANSI SQL, so rows-only check; the math itself is oracle-verified
-    against the NumPy reference port in tests/test_rank_identity.py."""
-    from search_engine_spark.operators.pagerank import pagerank
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
+def _graph_edges(li: DataFrame) -> DataFrame:
+    """Deterministic 512-node graph derived from lineitem keys (shared by
+    the PageRank gate queries and their DuckDB twins)."""
+    return (
         li.select(
             (F.col("l_orderkey") % 512).alias("src"),
             (F.col("l_partkey") % 512).alias("dst"),
@@ -50,7 +45,32 @@ def _pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    prior = pagerank(edges)
+
+
+_GRAPH_EDGES_SQL = """
+SELECT DISTINCT l_orderkey % 512 AS src, l_partkey % 512 AS dst
+FROM lineitem WHERE l_orderkey % 512 <> l_partkey % 512
+"""
+
+
+def _pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank in ×10^12 integer fixed-point — the
+    SQL-twinned flavor (VERDICT r01 item 1b): 5 chained mat-vec steps,
+    truncating integer division throughout, so the DuckDB CTE chain
+    reproduces it exactly."""
+    from search_engine_spark.operators.pagerank import pagerank_fixed_e12
+
+    return pagerank_fixed_e12(_graph_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def _pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine PageRank (frozen spec §8.3) over a deterministic graph
+    derived from lineitem keys. Iterative fixpoint — not expressible in
+    ANSI SQL, so rows-only check; the math itself is oracle-verified
+    against the NumPy reference port in tests/test_rank_identity.py."""
+    from search_engine_spark.operators.pagerank import pagerank
+
+    prior = pagerank(_graph_edges(_t(spark, sf_dir, "lineitem")))
     return prior.select("doc_id", F.round(F.col("score"), 8).alias("score"))
 
 
@@ -68,8 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_oov": lambda s, d: search_sql.bm25_topk(
             s, _t(s, d, "documents"), search_sql.QUERY_MIXED
         ),
+        "search_bm25_topk_typo": lambda s, d: search_sql.bm25_topk_typo(
+            s, _t(s, d, "documents"), search_sql.QUERY_TYPO
+        ),
         "search_candidate_page": lambda s, d: search_sql.candidate_page(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
+        "search_candidate_page_2": lambda s, d: search_sql.candidate_page(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN, page=1
         ),
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
@@ -113,7 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": lambda s, d: multimodal.extract_features(
             multimodal.with_blob(_t(s, d, "documents"))
         ),
-        # --- iterative (non-SQL-expressible → rows-only check) ---
+        # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
+        "graph_pagerank_5iter": _pagerank_5iter,
         "graph_pagerank_prior": _pagerank_prior,
     }
     return q
@@ -127,5 +154,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
+
+    out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out

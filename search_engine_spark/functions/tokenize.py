@@ -156,10 +156,15 @@ def jvm_tokens_col(text_col: str):
     tests/test_tokenize.py::test_jvm_matches_scalar. Java's ``\\p{L}``
     and Python's ``str.isalpha`` agree on letters; the known divergence
     class (combining marks / exotic numerics) is excluded by both.
+    The split uses the explicit ``WS_CLASS`` whitespace set (Python's
+    str.isspace) because Java's ``\\s`` is ASCII-only — e.g. U+00A0
+    must separate tokens on every path.
     """
     from pyspark.sql import functions as F
 
-    raw = F.split(F.lower(F.col(text_col)), r"\s+")
+    from search_engine_spark.ops.sqltwin import WS_SPLIT_RE
+
+    raw = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     trimmed = F.transform(raw, lambda t: F.btrim(t, F.lit(TOKEN_TRIM_CHARS.strip())))
     return F.filter(
         trimmed,

@@ -30,18 +30,26 @@ _IMPORT_RE = r"import (\S+)"
 _INCLUDE_RE = r'#include "([^"]+)"'
 
 
+_CANON_PASSES = 8  # fixpoint bound: handles ./ and seg/../ chains ≤ this deep
+
+
 def canonicalize_ref(col):
     """Path canonicalization — the code-corpus analogue of the
     reference's URL normalization (`services/spider/internal/utils/
     normalization.go:46-71`, SURVEY §2.2 P4): collapse ``//``, strip
-    ``./`` segments, resolve ``seg/../`` (bounded: 3 passes covers any
-    realistic import depth; deeper chains resolve over later passes of
-    the same build), strip leading ``./`` and trailing ``/``. Pure JVM
+    ``./`` segments, resolve ``seg/../``, strip leading ``./`` and
+    trailing ``/``. Global regexp_replace only rewrites non-overlapping
+    matches, so both collapses loop to a fixpoint bound
+    (``_CANON_PASSES`` ≥ max realistic import depth). Root-escaping
+    refs (``../a`` with nothing left to pop) pass through unchanged —
+    they can't resolve inside the corpus and drop out at the resolve
+    join, same as the reference's unresolvable URLs. Pure JVM
     regexp_replace chain — no UDF."""
     c = F.regexp_replace(col, r"/{2,}", "/")
-    c = F.regexp_replace(c, r"(^|/)\./", r"$1")
-    for _ in range(3):
+    for _ in range(_CANON_PASSES):
+        c = F.regexp_replace(c, r"(^|/)\./", r"$1")
         c = F.regexp_replace(c, r"(^|/)(?!\.\.)[^/]+/\.\./", r"$1")
+    c = F.regexp_replace(c, r"^\./", "")
     return F.regexp_replace(c, r"/$", "")
 
 

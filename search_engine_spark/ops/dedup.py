@@ -41,6 +41,11 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 SIMHASH_BITS = 16
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
+# Skew guard: band buckets larger than this are excluded from pairing.
+# Identical docs never reach LSH (exact-dedup canonicalization runs
+# first), so an oversized residual bucket is a hash pile-up, not signal;
+# per-bucket pair cost is bounded by CAP²/2 instead of m²/2.
+LSH_BUCKET_CAP = 64
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -78,9 +83,39 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return th.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def exact_representatives(docs: DataFrame) -> DataFrame:
+    """One representative doc per exact-duplicate group (min doc_id per
+    md5 digest). The scale pipeline runs LSH over these, never raw docs:
+    a cluster of m byte-identical docs collapses to 1 row *before* the
+    band join, so identical-content skew can't create a mega-bucket."""
+    reps = (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(reps, "doc_id", "left_semi")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    canonicalize: bool = True,
+) -> DataFrame:
     """MinHash-LSH near-dup pairs: docs sharing ≥1 band bucket, with
-    estimated Jaccard = matching-signature fraction."""
+    estimated Jaccard = matching-signature fraction.
+
+    Scale guards (on by default, both oracle-expressible):
+
+    - ``canonicalize``: pair over exact-dedup representatives only —
+      byte-identical duplicates are already resolved by ``exact_dedup``
+      and would otherwise blow the band join up quadratically.
+    - ``bucket_cap``: drop band buckets with more than ``bucket_cap``
+      members from pairing (deterministic: per-``bkey`` count). Bounds
+      worst-case pair output at buckets·cap²/2 instead of m²/2.
+    """
+    if canonicalize:
+        docs = exact_representatives(docs)
     sigs = minhash_signatures(docs)
     band_cols = [
         F.concat_ws(
@@ -95,6 +130,14 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias("bkey"),
     )
+    if bucket_cap is not None:
+        ok = (
+            keys.groupBy("bkey")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") <= bucket_cap)
+            .select("bkey")
+        )
+        keys = keys.join(ok, "bkey", "left_semi")
     pairs = (
         keys.alias("a")
         .join(keys.alias("b"), on="bkey")
@@ -166,9 +209,43 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", shingles.alias("sh"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact 3-token-shingle Jaccard over shingle-sharing pairs."""
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exact 3-token-shingle Jaccard — the verify stage of the
+    LSH→verify pipeline.
+
+    Default path (``prefilter=True``): take candidate pairs from
+    :func:`lsh_candidate_pairs` and compute exact Jaccard *only for
+    those pairs* via ``array_intersect`` on the per-doc shingle sets —
+    two equi-joins on doc_id, output linear in candidate count. No raw
+    shingle self-join anywhere, so a stop-shingle shared by 1% of the
+    corpus can't go quadratic.
+
+    ``prefilter=False`` keeps the standalone all-pairs-by-shared-shingle
+    plan for small inputs / ad-hoc exactness checks.
+    """
     sets = _shingle_sets(docs)
+    if prefilter:
+        pairs = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = F.round(inter / union, 4)
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(union > 0)
+            .select(
+                "doc_a", "doc_b",
+                inter.cast("long").alias("inter"),
+                jac.alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sets.select("doc_id", F.explode("sh").alias("sh"))
     inter = (
@@ -198,11 +275,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 _T = duck_tokens("text")
 _TH = duck_term_hash31("term")
 
-_DISTINCT_TERMS = f"""
+
+def _distinct_terms_sql(src: str) -> str:
+    return f"""
 th AS (
   SELECT doc_id, {_TH} AS h
-  FROM (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents)
+  FROM (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM {src})
 )"""
+
+
+_DISTINCT_TERMS = _distinct_terms_sql("documents")
+
+# exact-dedup canonicalization: one representative per md5 group
+_REPS = """
+reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS m FROM documents) GROUP BY m
+),
+docs_r AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id))"""
 
 _SIGS = (
     "sigs AS (\n  SELECT doc_id, "
@@ -221,11 +311,23 @@ _BAND_KEYS = "\nUNION ALL\n".join(
     for b in range(N_BANDS)
 )
 
+# band keys with oversized buckets dropped (the Spark bucket_cap guard)
+_CAPPED_PAIRS = f"""
+keys AS ({_BAND_KEYS}),
+okk AS (SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= {LSH_BUCKET_CAP}),
+keys2 AS (SELECT k.doc_id, k.bkey FROM keys k JOIN okk USING (bkey)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys2 a JOIN keys2 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
 _SIG_MATCHES = " + ".join(
     f"(CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END)" for j in range(N_PERMS)
 )
 
-_SHINGLES = f"""
+
+def _shingles_sql(src: str) -> str:
+    return f"""
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= {SHINGLE_N} THEN
@@ -233,8 +335,11 @@ sh AS (
              generate_series(1, len(toks) - {SHINGLE_N - 1}),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          ELSE [] END AS sh
-  FROM (SELECT doc_id, {_T} AS toks FROM documents)
+  FROM (SELECT doc_id, {_T} AS toks FROM {src})
 )"""
+
+
+_SHINGLES = _shingles_sql("documents")
 
 ORACLE_SQL = {
     "dedup_exact": """
@@ -248,12 +353,8 @@ WITH {_DISTINCT_TERMS}, {_SIGS}
 SELECT * FROM sigs
 """,
     "dedup_lsh_pairs": f"""
-WITH {_DISTINCT_TERMS}, {_SIGS},
-keys AS ({_BAND_KEYS}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
+WITH {_REPS}, {_distinct_terms_sql("docs_r")}, {_SIGS},
+{_CAPPED_PAIRS}
 SELECT p.doc_a, p.doc_b,
        {_SIG_MATCHES} AS sig_matches,
        round(({_SIG_MATCHES}) / {float(N_PERMS)}, 4) AS est_jaccard
@@ -275,20 +376,23 @@ SELECT doc_id,
        CAST({' + '.join(f"(CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
 FROM w
 """,
+    # verify stage of the LSH→verify pipeline: exact Jaccard computed
+    # ONLY over the (canonicalized, bucket-capped) LSH candidate pairs.
     "dedup_ngram_jaccard": f"""
-WITH {_SHINGLES},
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+WITH {_REPS}, {_distinct_terms_sql("docs_r")}, {_SIGS},
+{_CAPPED_PAIRS}, {_shingles_sql("docs_r")},
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+  WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
 )
-SELECT doc_a, doc_b, inter,
-       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
-FROM inter
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+FROM j
+WHERE round(CAST(inter AS DOUBLE) / un, 4) >= {JACCARD_THRESHOLD}
 """,
 }

@@ -111,12 +111,17 @@ FROM documents
 """,
     # NOTE: assumes ASCII text (chars == bytes); holds for the driver's
     # documents table and is asserted in tests/test_ops_parity.py.
+    # CAST to BIGINT: DuckDB's integer expression here is HUGEINT (int128),
+    # which the hash comparer reads as float64 — Spark emits BIGINT.
+    # CASE guard: empty payload → 0 on both engines (Spark kernel returns 0).
     "mm_extract_features": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       (list_sum(list_transform(regexp_extract_all(text, '(?s).'),
-                                c -> unicode(c))) * 10000)
-         // octet_length(encode(text)) AS byte_mean_e4,
+       CAST(CASE WHEN octet_length(encode(text)) > 0 THEN
+         (list_sum(list_transform(regexp_extract_all(text, '(?s).'),
+                                  c -> unicode(c))) * 10000)
+           // octet_length(encode(text))
+       ELSE 0 END AS BIGINT) AS byte_mean_e4,
        lower(hex(encode(substring(text, 1, 8)))) AS byte_head
 FROM documents
 """,

@@ -108,7 +108,7 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
         F.sum("new_sess").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        ).cast("long"),
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -175,8 +175,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB windowed sum is HUGEINT (int128); cast to match Spark BIGINT
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,

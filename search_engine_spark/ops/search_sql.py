@@ -28,10 +28,12 @@ from search_engine_spark.ops.sqltwin import duck_term_hash31, duck_tokens, term_
 
 QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
 QUERY_MIXED = ["filter", "stream", "zzzunknownzzz"]  # includes an OOV term
+QUERY_TYPO = ["spark", "joinx", "windov"]  # two misspellings, ED-1 from vocab
 N_BUCKETS = 8
 BLOCK_SIZE = 128
 TOPK = 10
 CANDIDATE_K = 20
+MAX_SUGGESTIONS = 3  # reference keeps ≤3 speller suggestions per word
 
 
 def postings(docs: DataFrame) -> DataFrame:
@@ -70,12 +72,59 @@ def _corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_scores(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
-    """All matched docs with BM25 score (disjunctive, J1 semantics)."""
+def expand_terms(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str],
+    max_sugg: int = MAX_SUGGESTIONS,
+) -> DataFrame:
+    """Dictionary-free spell correction (single ``term`` column).
+
+    Public analogue of the reference's aspell pass
+    (`services/engine/internal/service/spellchecker/spell-checker.go:27-57`):
+    a word found in the *index vocabulary* passes through; an OOV word
+    is replaced by its edit-distance-1 vocabulary neighbors, keeping the
+    ≤``max_sugg`` strongest — ranked by document frequency (the public
+    stand-in for aspell's suggestion score), term-asc tie-break. Output
+    is the deduped union, like the reference's suggestion set.
+
+    Plan: one vocab aggregation (reused from scoring), then a
+    broadcast-query × vocab filter on ``levenshtein == 1``. The engine
+    path (plans/query.py) uses a SymSpell-style deletion index instead
+    of a scan; this flavor stays expression-only so DuckDB
+    (``levenshtein``, same Wagner-Fischer semantics) can twin it.
+    """
+    vocab = (
+        postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(raw_terms))], "qterm string"
+    )
+    kept = q.join(
+        vocab, q.qterm == vocab.term, "left_semi"
+    ).select(F.col("qterm").alias("term"))
+    oov = q.join(vocab, q.qterm == vocab.term, "left_anti")
+    cand = oov.crossJoin(vocab).where(F.levenshtein("qterm", "term") == 1)
+    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    sugg = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_sugg)
+        .select("term")
+    )
+    return kept.union(sugg).distinct()
+
+
+def bm25_scores(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | DataFrame
+) -> DataFrame:
+    """All matched docs with BM25 score (disjunctive, J1 semantics).
+    ``terms`` is a list or a single-column (term) DataFrame (e.g. the
+    output of :func:`expand_terms`)."""
     post = postings(docs)
     dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    if isinstance(terms, DataFrame):
+        q = terms
+    else:
+        q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
     stats = _corpus_stats(docs)
     m = (
         post.join(F.broadcast(q), "term")
@@ -97,7 +146,10 @@ def bm25_scores(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataF
     )
 
 
-def bm25_topk(spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | DataFrame,
+    k: int = TOPK,
+) -> DataFrame:
     scored = bm25_scores(spark, docs, terms)
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -106,13 +158,33 @@ def bm25_topk(spark: SparkSession, docs: DataFrame, terms: list[str], k: int = T
     )
 
 
-def candidate_page(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
-    """Reference T1 pre-rank: (matched DESC, doc_id ASC) LIMIT 20
-    (`store.go:85-90`; prior tie level exercised in the engine path)."""
+def bm25_topk_typo(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """BM25 top-k with query-side spell correction (VERDICT r01 item 4):
+    misspelled terms retrieve via their ED-1 vocabulary expansion."""
+    return bm25_topk(spark, docs, expand_terms(spark, docs, terms), k)
+
+
+def candidate_page(
+    spark: SparkSession, docs: DataFrame, terms: list[str], page: int = 0,
+    size: int = CANDIDATE_K,
+) -> DataFrame:
+    """Reference T1 pre-rank + pagination: (matched DESC, doc_id ASC)
+    LIMIT size OFFSET page·size (`store.go:85-98`, PAGE_SIZE=20).
+
+    Scale shape: ``limit((page+1)·size)`` keeps the plan a
+    TakeOrderedAndProject (never a global sort); the offset filter is a
+    row_number over that tiny bounded set."""
     scored = bm25_scores(spark, docs, terms)
+    order = [F.desc("matched"), F.asc("doc_id")]
+    top = scored.orderBy(*order).limit((page + 1) * size)
+    if page == 0:
+        return top.select("doc_id", "matched")
+    w = Window.orderBy(*order)
     return (
-        scored.orderBy(F.desc("matched"), F.asc("doc_id"))
-        .limit(CANDIDATE_K)
+        top.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > page * size)
         .select("doc_id", "matched")
     )
 
@@ -154,7 +226,27 @@ def _q_values(terms: list[str]) -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(terms)))
 
 
-def _scores_cte(terms: list[str]) -> str:
+def _spell_q_cte(terms: list[str], max_sugg: int = MAX_SUGGESTIONS) -> str:
+    """DuckDB twin of :func:`expand_terms`: vocab pass-through + top-3
+    ED-1 suggestions by (df DESC, term ASC)."""
+    return f"""qraw(term) AS (VALUES {_q_values(terms)}),
+kept AS (SELECT q.term FROM qraw q JOIN dfq v USING (term)),
+oov AS (SELECT term FROM qraw EXCEPT SELECT term FROM kept),
+sugg AS (
+  SELECT term FROM (
+    SELECT o.term AS oterm, v.term,
+           row_number() OVER (PARTITION BY o.term
+                              ORDER BY v.df DESC, v.term ASC) AS rk
+    FROM oov o JOIN dfq v ON levenshtein(o.term, v.term) = 1
+  ) WHERE rk <= {max_sugg}
+),
+q AS (SELECT DISTINCT term FROM (SELECT term FROM kept UNION ALL SELECT term FROM sugg))"""
+
+
+def _scores_cte(terms: list[str], spell: bool = False) -> str:
+    q_cte = (
+        _spell_q_cte(terms) if spell else f"q(term) AS (VALUES {_q_values(terms)})"
+    )
     return f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -163,7 +255,7 @@ stats AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
 ),
-q(term) AS (VALUES {_q_values(terms)}),
+{q_cte},
 scored AS (
   SELECT p.doc_id,
          round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
@@ -197,8 +289,13 @@ FROM dfq CROSS JOIN n
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_oov": _scores_cte(QUERY_MIXED)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_candidate_page": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC LIMIT {CANDIDATE_K}",
+    "search_candidate_page_2": _scores_cte(QUERY_MAIN)
+    + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC"
+    + f" LIMIT {CANDIDATE_K} OFFSET {CANDIDATE_K}",
     "search_block_layout": f"""
 WITH {_POST},
 blk AS (

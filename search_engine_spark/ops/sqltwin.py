@@ -30,12 +30,23 @@ MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
 TRIM_SET = ".,:;/'\""  # frozen trim set §8.1 (whitespace gone after split)
 MAX_TERM_LEN = 25
 
+# The tokenizer's split set is Python's ``str.isspace()`` whitespace
+# (the reference path splits with str.split()). Java's and RE2's ``\s``
+# are ASCII-only, so both engine-side regexes use this explicit class —
+# hex escapes are valid in java.util.regex AND RE2, and DuckDB standard
+# string literals pass backslashes through untouched.
+WS_CLASS = (
+    r"[\t\n\x0B\f\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+WS_SPLIT_RE = WS_CLASS + "+"
+
 # ---------------------------------------------------------------- Spark side
 
 
 def tokens_col(text_col: str = "text") -> Column:
     """Ordered token array, frozen tokenizer §8.1, pure JVM expressions."""
-    raw = F.split(F.lower(F.col(text_col)), r"\s+")
+    raw = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     trimmed = F.transform(raw, lambda t: F.btrim(t, F.lit(TRIM_SET)))
     return F.filter(
         trimmed,
@@ -70,7 +81,7 @@ def minhash_perm(h31: Column, j: int) -> Column:
 
 DUCK_TOKENS = (
     "list_filter("
-    "list_transform(string_split_regex(lower({col}), '\\s+'),"
+    "list_transform(string_split_regex(lower({col}), '" + WS_SPLIT_RE.replace("{", "{{").replace("}", "}}") + "'),"
     " t -> trim(t, '.,:;/''\"')),"
     " t -> len(t) > 0 AND len(t) <= 25"
     " AND regexp_full_match(t, '\\p{{L}}+'))"

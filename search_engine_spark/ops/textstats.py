@@ -97,7 +97,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).cast("long")
     quality_e6 = (
         len_e6
-        + (F.lit(300_000).cast("long") - F.expr("(300000::bigint * n_punct) div n_chars"))
+        + (F.lit(300_000).cast("long")
+           - F.when(F.col("n_chars") > 0,
+                    F.expr("(300000::bigint * n_punct) div n_chars"))
+           .otherwise(F.lit(0).cast("long")))
         + F.least(F.lit(300_000).cast("long"),
                   F.when(F.col("n_terms") > 0,
                          F.expr("(1500000::bigint * n_stop) div n_terms"))
@@ -192,7 +195,7 @@ SELECT doc_id, n_terms,
        CASE WHEN n_terms > 0 THEN (1000000::BIGINT * n_stop) // n_terms ELSE 0 END AS stopword_ratio_e6,
        (CASE WHEN n_terms BETWEEN 20 AND 1000 THEN 400000
              WHEN n_terms > 0 THEN 200000 ELSE 0 END)::BIGINT
-       + (300000 - (300000::BIGINT * n_punct) // n_chars)
+       + (300000 - CASE WHEN n_chars > 0 THEN (300000::BIGINT * n_punct) // n_chars ELSE 0 END)
        + least(300000::BIGINT,
                CASE WHEN n_terms > 0 THEN (1500000::BIGINT * n_stop) // n_terms ELSE 0 END)
        AS quality_e6

@@ -147,21 +147,41 @@ def build_index(
             "overwrite"
         ).partitionBy("part_id").parquet(docs_path)
 
-        # lineage: read back what landed (verifies the writes, avoids
-        # re-tokenizing or re-hashing). The docs table carries
-        # content_sha, so input counts + sha digests come from the
-        # compact parquet just written — no second scan of raw content.
+        # lineage: input-side stats from the SOURCE subset (counts + sha
+        # digest of what we were asked to index), landed-side stats from
+        # the docs parquet just written. The two must agree per
+        # partition before the checkpoint marks it done — a partial or
+        # faulty write is caught here instead of silently recorded.
+        _stats_agg = [
+            F.count("*").alias("rows_in"),
+            F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
+        ]
         in_stats = {
+            r["part_id"]: (r["rows_in"], r["sha_xor"])
+            for r in subset.select("part_id", "content_sha")
+            .groupBy("part_id")
+            .agg(*_stats_agg)
+            .collect()
+        }
+        landed_stats = {
             r["part_id"]: (r["rows_in"], r["sha_xor"])
             for r in spark.read.parquet(docs_path)
             .where(F.col("part_id").isin(wave))
             .groupBy("part_id")
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
-            )
+            .agg(*_stats_agg)
             .collect()
         }
+        bad = {
+            p for p in wave
+            if in_stats.get(p, (0, None)) != landed_stats.get(p, (0, None))
+        }
+        if bad:
+            raise RuntimeError(
+                f"lineage audit failed for partitions {sorted(bad)}: "
+                f"landed docs don't match the input subset "
+                f"(input={ {p: in_stats.get(p) for p in sorted(bad)} }, "
+                f"landed={ {p: landed_stats.get(p) for p in sorted(bad)} })"
+            )
         out_stats = {
             r["part_id"]: r["rows_out"]
             for r in spark.read.parquet(postings_path)

@@ -23,7 +23,7 @@ Two modes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
@@ -53,6 +53,7 @@ class QueryEngine:
             # (SURVEY §4: cache terms + prior at service start)
             self.docs = self.docs.cache()
             self.prior = self.prior.cache()
+        self._del_ix: DataFrame | None = None
 
     # ---- helpers ----
     def _buckets(self, terms: list[str]) -> list[int]:
@@ -86,25 +87,99 @@ class QueryEngine:
             F.count("*").cast("int").alias("matched"),
         )
 
+    # ---- spell correction (reference spell-checker.go:27-57 analogue) ----
+    def _deletion_index(self) -> DataFrame:
+        """SymSpell-style vocabulary deletion index, built lazily and
+        cached: (variant, term, df) where variant ∈ {term} ∪ its 1-char
+        deletions. Two strings are within edit distance 1 iff their
+        variant sets intersect, so OOV lookup is a broadcast join on
+        ``variant`` + a cheap levenshtein verify — never a vocab scan
+        per query (the scan would be O(|V|) per OOV word at 10^12-file
+        vocab sizes)."""
+        if self._del_ix is None:
+            variants = F.expr(
+                "array_union(array(term), transform(sequence(1, length(term)),"
+                " i -> concat(substring(term, 1, i-1),"
+                " substring(term, i+1, length(term)))))"
+            )
+            self._del_ix = self.terms.select(
+                "term", "df", F.explode(variants).alias("variant")
+            ).cache()
+        return self._del_ix
+
+    def expand_query_terms(self, terms: list[str], max_sugg: int = 3) -> list[str]:
+        """Vocabulary pass-through for known terms; for OOV terms, the
+        ≤``max_sugg`` strongest edit-distance-1 vocabulary neighbors
+        (df DESC, term ASC) — the public analogue of the reference's
+        aspell suggestions (≤3 per word, deduped)."""
+        if not terms:
+            return []
+        present = {
+            r["term"]
+            for r in self.terms.where(F.col("term").isin(terms))
+            .select("term").collect()
+        }
+        oov = [t for t in terms if t not in present]
+        if not oov:
+            return sorted(present)
+        qv = [
+            (t, v)
+            for t in oov
+            for v in {t, *(t[:i] + t[i + 1:] for i in range(len(t)))}
+        ]
+        qdf = self.spark.createDataFrame(qv, "qterm string, variant string")
+        cand = (
+            self._deletion_index()
+            .join(F.broadcast(qdf), "variant")
+            .where(F.levenshtein("qterm", "term") == 1)
+            .select("qterm", "term", "df")
+            .distinct()
+        )
+        w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+        sugg = {
+            r["term"]
+            for r in cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= max_sugg)
+            .select("term").collect()
+        }
+        return sorted(present | sugg)
+
+    @staticmethod
+    def _offset_page(df: DataFrame, order: list, page: int, size: int) -> DataFrame:
+        """LIMIT size OFFSET page·size with a scale-safe plan: top
+        (page+1)·size via TakeOrderedAndProject, then a row_number
+        filter over that bounded set (store.go:85-98 semantics)."""
+        top = df.orderBy(*order).limit((page + 1) * size)
+        if page == 0:
+            return top
+        w = Window.orderBy(*order)
+        return (
+            top.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > page * size)
+            .drop("__rn")
+        )
+
     # ---- primary: pure BM25 top-k ----
-    def bm25(self, query: str, k: int = 10, wand: bool = True) -> DataFrame:
+    def bm25(self, query: str, k: int = 10, wand: bool = True,
+             spell: bool = False, page: int = 0) -> DataFrame:
         terms = query_terms(query)
+        if spell:
+            terms = self.expand_query_terms(terms)
         idf_map = self._idf_map(terms)
         if not idf_map:
             scored = self._empty_scored()
         elif wand:
             scored = wand_topk(
                 self._query_blocks(list(idf_map)), idf_map,
-                self.stats["avgdl"], k, self.stats["k1"], self.stats["b"],
+                self.stats["avgdl"], (page + 1) * k,
+                self.stats["k1"], self.stats["b"],
             )
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
         with_path = scored.join(self.docs, "doc_id", "left")
-        return (
-            with_path.orderBy(*rank_order(with_path))
-            .select("doc_id", "score", "matched", "path")
-            .limit(k)
-        )
+        return self._offset_page(
+            with_path, rank_order(with_path), page, k
+        ).select("doc_id", "score", "matched", "path")
 
     def total_hits(self, query: str) -> int:
         """Total distinct matching docs — the reference's
@@ -120,8 +195,11 @@ class QueryEngine:
         return decoded.select(F.countDistinct("doc_id")).collect()[0][0]
 
     # ---- reference-compat: blended final ranking (§8.4) ----
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10, spell: bool = False,
+               page_num: int = 0) -> DataFrame:
         terms = query_terms(query)
+        if spell:
+            terms = self.expand_query_terms(terms)
         idf_map = self._idf_map(terms)
         if not idf_map:
             return self.spark.createDataFrame(
@@ -131,11 +209,14 @@ class QueryEngine:
             )
         scored = self._scores_exhaustive(list(idf_map), idf_map)
         cand = scored.join(self.prior, "doc_id", "left").na.fill({"prior": 0.0})
-        page = (
-            cand.orderBy(F.desc("matched"), F.desc("prior"), F.asc("doc_id"))
-            .limit(self.cfg.candidate_k)
-            .cache()
-        )
+        # pagination happens at the candidate window, like the
+        # reference's LIMIT $2 OFFSET $3 in the ranked CTE (store.go:88-98)
+        page = self._offset_page(
+            cand,
+            [F.desc("matched"), F.desc("prior"), F.asc("doc_id")],
+            page_num,
+            self.cfg.candidate_k,
+        ).cache()
         mm = page.agg(F.min("score"), F.max("score")).collect()[0]
         smin, smax = mm[0], mm[1]
         rng = (smax - smin) if (smax is not None and smin is not None) else None

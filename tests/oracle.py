@@ -110,8 +110,12 @@ class _desc_str(str):
 def pagerank(edges: list[tuple[int, int]],
              damping: float = PAGERANK_DAMPING,
              tol: float = PAGERANK_TOL,
-             max_iters: int = PAGERANK_MAX_ITERS) -> dict[int, float]:
-    """Power iteration per frozen spec §8.3. Node universe = edge endpoints."""
+             max_iters: int = PAGERANK_MAX_ITERS,
+             personalization: dict[int, float] | None = None) -> dict[int, float]:
+    """Power iteration per frozen spec §8.3 (reference
+    services/ranking/src/page_rank.py:33-86 incl. the personalization
+    branch at :57-63: p normalized to sum 1, dangling mass and teleport
+    both distributed along p). Node universe = edge endpoints."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     n = len(nodes)
     if n == 0:
@@ -122,11 +126,16 @@ def pagerank(edges: list[tuple[int, int]],
     outdeg = np.zeros(n, dtype=np.float64)
     np.add.at(outdeg, src, 1.0)
     dangling = outdeg == 0
+    if personalization is None:
+        p = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        p = np.array([personalization.get(node, 0.0) for node in nodes])
+        p = p / p.sum()
     w = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(max_iters):
         contrib = np.zeros(n, dtype=np.float64)
         np.add.at(contrib, dst, w[src] / outdeg[src])
-        v = damping * contrib + damping * w[dangling].sum() / n + (1.0 - damping) / n
+        v = damping * contrib + (damping * w[dangling].sum() + (1.0 - damping)) * p
         if np.abs(w - v).sum() < tol:
             w = v
             break
@@ -136,7 +145,8 @@ def pagerank(edges: list[tuple[int, int]],
 
 def blended_topk(ix: OracleIndex, query: str, k: int = 10,
                  candidate_k: int = CANDIDATE_K,
-                 blend: float = BLEND_WEIGHT_TFIDF) -> list[dict]:
+                 blend: float = BLEND_WEIGHT_TFIDF,
+                 page_num: int = 0) -> list[dict]:
     """Full reference query pipeline (frozen §8.4).
 
     1. disjunctive candidates, pre-ranked by (matched desc, prior desc,
@@ -162,7 +172,7 @@ def blended_topk(ix: OracleIndex, query: str, k: int = 10,
              "path": ix.path.get(d, ""), "prior": ix.prior.get(d, 0.0)}
         )
     rows.sort(key=lambda r: (-r["matched"], -r["prior"], r["doc_id"]))
-    page = rows[:candidate_k]
+    page = rows[page_num * candidate_k:(page_num + 1) * candidate_k]
     if page:
         smin = min(r["score"] for r in page)
         smax = max(r["score"] for r in page)

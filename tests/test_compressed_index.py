@@ -83,6 +83,69 @@ def test_blended_rank_identity(engine, oracle_ix, fixture_queries):
             )
 
 
+def test_bm25_pagination(engine, oracle_ix, fixture_queries):
+    """page=1 returns exactly oracle ranks 11-20, on both score paths
+    (store.go:85-98 pagination semantics applied to the BM25 ranking)."""
+    q = fixture_queries[0]
+    expected = oracle_topk(oracle_ix, q, k=20)[10:20]
+    for wand in (True, False):
+        got = engine.bm25(q, k=10, page=1, wand=wand).collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], wand
+        for r, e in zip(got, expected):
+            assert r["score"] == pytest.approx(e["score"], rel=REL_TOL)
+
+
+def test_blended_pagination(engine, oracle_ix, fixture_queries):
+    """Candidate-window pagination: page_num=1 re-ranks the SECOND
+    candidate window, exactly like the reference's LIMIT/OFFSET CTE."""
+    for q in fixture_queries[:4]:
+        expected = oracle_blended(oracle_ix, q, k=10, page_num=1)
+        got = engine.search(q, k=10, page_num=1).collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        for r, e in zip(got, expected):
+            assert r["global_score"] == pytest.approx(e["global_score"], rel=1e-6)
+
+
+def test_spell_correction_expands_and_retrieves(engine, oracle_ix, fixture_queries):
+    """An ED-1 misspelling of a vocabulary term still retrieves: the
+    expansion contains the correction, and the spell-corrected BM25
+    ranking equals the oracle ranking over the expanded term set."""
+    # pick a long, reasonably-frequent vocab term and break it
+    term = max(oracle_ix.df, key=lambda t: (len(t) >= 5, oracle_ix.df[t], t))
+    typo = term + "x"
+    assert typo not in oracle_ix.df
+    expanded = engine.expand_query_terms([typo])
+    assert term in expanded
+    assert len(expanded) <= 3
+    got = engine.bm25(typo, k=10, spell=True).collect()
+    expected = oracle_topk(oracle_ix, " ".join(expanded), k=10)
+    assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected]
+    for r, e in zip(got, expected):
+        assert r["score"] == pytest.approx(e["score"], rel=REL_TOL)
+    # in-vocab terms pass through untouched
+    assert engine.expand_query_terms([term]) == [term]
+
+
+def test_pagerank_personalized_matches_oracle(spark, fixture_expected):
+    """Personalization vector (reference page_rank.py:57-63): teleport
+    and dangling mass follow the normalized per-node weights."""
+    from search_engine_spark.operators.pagerank import pagerank as spark_pagerank
+
+    edges = [tuple(e) for e in fixture_expected["edges"]]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    pers = {node: float(node % 5 + 1) for node in nodes}
+    expected = oracle_pagerank(edges, personalization=pers)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    pdf = spark.createDataFrame(list(pers.items()), "id long, weight double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark_pagerank(edf, personalization=pdf).collect()
+    }
+    assert set(got) == set(expected)
+    assert sum(abs(got[d] - expected[d]) for d in expected) < 1e-6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_pagerank_matches_oracle(spark, index_dir, fixture_expected):
     prior = {
         r["doc_id"]: r["score"]

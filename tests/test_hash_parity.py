@@ -51,6 +51,13 @@ def test_canonicalize_ref(spark):
         "a/b/../../c/mod.py": "c/mod.py",
         "src/./pkg/./mod.py": "src/pkg/mod.py",
         "src/pkg/": "src/pkg",
+        # ADVICE r01: './'-chains a global replace leaves behind
+        "././b": "b",
+        "./././././mod.py": "mod.py",
+        # 4-deep ../ chain
+        "a/b/c/d/../../../../e/mod.py": "e/mod.py",
+        # root-escape: passes through unchanged (documented; drops at join)
+        "../a/mod.py": "../a/mod.py",
     }
     df = spark.createDataFrame([(k,) for k in cases], "p string")
     got = {r["p"]: r["c"] for r in df.select("p", canonicalize_ref(F.col("p")).alias("c")).collect()}

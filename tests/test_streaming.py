@@ -71,20 +71,47 @@ def test_stream_rollup_matches_batch(spark, events_dir):
 
 
 def test_available_now_incremental(spark, events_dir, tmp_path):
-    """File-sink run drains the backlog; rerun with same checkpoint is a
-    no-op; a new input file is processed incrementally."""
+    """File-sink run drains the backlog (and emits rows); rerun with the
+    same checkpoint is a no-op; a NEW input file is then processed
+    incrementally — row count grows only by newly-closed windows, with
+    no duplicate (window_start, event_type) emissions."""
     from pyspark.sql import functions as F
 
     from search_engine_spark.streaming.windowed import run_available_now
 
+    # private copy: this test appends a file to the input dir
+    events_in = tmp_path / "events_in"
+    src = spark.read.parquet(str(events_dir))
+    src.write.parquet(str(events_in))
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+
     ckpt = tmp_path / "ckpt"
     out = tmp_path / "out"
-    stream = hourly_rollup_stream(read_events_stream(spark, str(events_dir)))
+    stream = hourly_rollup_stream(read_events_stream(spark, str(events_in)))
     run_available_now(stream, str(ckpt), str(out))
     n1 = spark.read.parquet(str(out)).count()
+    assert n1 > 0  # the 2h watermark must have closed most windows
 
     # rerun, no new input: exactly-once means no new rows
-    stream2 = hourly_rollup_stream(read_events_stream(spark, str(events_dir)))
+    stream2 = hourly_rollup_stream(read_events_stream(spark, str(events_in)))
     run_available_now(stream2, str(ckpt), str(out))
     n2 = spark.read.parquet(str(out)).count()
     assert n2 == n1
+
+    # drop a new file far past the watermark: closes the straggler
+    # windows AND creates new ones; the run must emit only those
+    late = src.limit(50).withColumn(
+        "ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 240 HOURS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    late.write.mode("append").parquet(str(events_in))
+    stream3 = hourly_rollup_stream(read_events_stream(spark, str(events_in)))
+    run_available_now(stream3, str(ckpt), str(out))
+    sink = spark.read.parquet(str(out))
+    n3 = sink.count()
+    assert n3 > n2
+    # exactly-once: no (window_start, event_type) emitted twice
+    assert sink.select("window_start", "event_type").distinct().count() == n3
+    # the growth is exactly the windows that had not been emitted before
+    new_rows = sink.where(F.col("window_start") > max_ts).count()
+    old_straggler_rows = n3 - n2 - new_rows
+    assert new_rows >= 0 and old_straggler_rows >= 0

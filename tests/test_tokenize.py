@@ -85,3 +85,28 @@ def test_jvm_matches_pandas_on_fixture(spark, fixture_dir):
     ka = sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in a)
     kb = sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in b)
     assert ka == kb
+
+
+def test_jvm_matches_scalar_on_unicode_whitespace(spark):
+    """Java's \\s is ASCII-only; the JVM split must still treat every
+    Python-isspace separator (NBSP, ideographic space, FS, NEL, thin
+    space …) as a token boundary, identically on all three paths."""
+    from search_engine_spark.functions.tokenize import (
+        extract_postings,
+        extract_postings_jvm,
+    )
+
+    texts = [
+        "foo\u00a0bar",                     # NBSP (the ADVICE repro case)
+        "a\u3000b\u2009c",                  # ideographic space + thin space
+        "x\x1cy\x1fz",                      # information separators
+        "nel\x85next\u2028line",            # NEL + line separator
+        "ogham\u1680space\u205fmath",       # ogham mark + math space
+    ]
+    expected = {(i, t) for i, txt in enumerate(texts) for t in set(tokenize(txt))}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    for extractor in (extract_postings, extract_postings_jvm):
+        got = {(r["doc_id"], r["term"]) for r in extractor(df).collect()}
+        assert got == expected, extractor.__name__
