@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_candidate_page_2": lambda s, d: search_sql.candidate_page(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN, page=1
         ),
+        "search_refcompat_topk": lambda s, d: search_sql.refcompat_topk(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
         ),
@@ -138,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_metadata": lambda s, d: multimodal.blob_metadata(_t(s, d, "documents")),
         "mm_extract_features": lambda s, d: multimodal.extract_features(
             multimodal.with_blob(_t(s, d, "documents"))
+        ),
+        "mm_wav_features": lambda s, d: multimodal.extract_media_features(
+            multimodal.with_media_blob(_t(s, d, "documents"))
         ),
         # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
         "graph_pagerank_5iter": _pagerank_5iter,

@@ -10,11 +10,12 @@ The corpus for the index build is derived deterministically from the
 driver's ``documents`` table (no synthesized data): repo=source,
 path=doc/<doc_id>, commit=md5(text), lang=lang, content=text.
 
-Scaling evidence (north_rule, sandbox protocol): run this twice —
-  SPARK_GRAFT_CPUS=8 python bench.py
-  SPARK_GRAFT_CPUS=32 python bench.py
-and compute efficiency = (T_build@8 / T_build@32) / 4. Recorded per
-round in BASELINE.md §"Measured".
+Scaling evidence (north_rule, sandbox protocol): unless
+SPARK_GRAFT_BENCH_SCALING=0, the run embeds a two-parallelism section —
+the same replicated-corpus build at local[4] and local[16] (fresh JVM
+each, via tools/bench_scaling.py) plus the host spin-loop ceiling — so
+BENCH_r{N}.json itself carries the walls at both levels and the
+efficiency, not only BASELINE.md.
 """
 
 from __future__ import annotations
@@ -86,16 +87,22 @@ def main() -> int:
         docs_per_sec = n_docs / timings["index_build"]
 
         # ---- headline 2: BM25 top-10 latency over the query set ----
+        # both score paths: block-max WAND (primary) and the vectorized
+        # exhaustive twin (VERDICT r01 item 7 done-check: WAND ≤ exhaustive)
         eng = QueryEngine(spark, index_dir, cfg=cfg)
         eng.docs.count()  # warm the cached dims once, like a query service
-        lat = []
+        lat, lat_ex = [], []
         for i, q in enumerate(BENCH_QUERIES):
             t0 = time.perf_counter()
-            eng.bm25(q, k=10).collect()
+            eng.bm25(q, k=10, wand=True).collect()
             dt = time.perf_counter() - t0
             lat.append(dt)
             timings[f"q{i + 1}"] = round(dt, 4)
+            t0 = time.perf_counter()
+            eng.bm25(q, k=10, wand=False).collect()
+            lat_ex.append(time.perf_counter() - t0)
         timings["bm25_p50"] = statistics.median(lat)
+        timings["bm25_p50_exhaustive"] = statistics.median(lat_ex)
 
         # ---- pipeline ops at sf scale ----
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -111,25 +118,53 @@ def main() -> int:
             df_fn().count()
             timings[name] = round(time.perf_counter() - t0, 4)
 
+        # ---- scaling evidence (north_rule): same job at N and 4N ----
+        scaling = None
+        if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+            scaling = _scaling_evidence()
+
         total = time.perf_counter() - t_all
-        print(
-            json.dumps(
-                {
-                    "metric": "index_build+bm25+pipeline_ops",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": {k: round(v, 4) for k, v in timings.items()},
-                    "sf": sf_dir,
-                    "n_docs": n_docs,
-                    "docs_per_sec": round(docs_per_sec, 2),
-                    "bm25_p50_sec": round(timings["bm25_p50"], 4),
-                    "cores": cores,
-                }
-            )
-        )
+        out = {
+            "metric": "index_build+bm25+pipeline_ops",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": sf_dir,
+            "n_docs": n_docs,
+            "docs_per_sec": round(docs_per_sec, 2),
+            "bm25_p50_sec": round(timings["bm25_p50"], 4),
+            "cores": cores,
+        }
+        if scaling is not None:
+            out["scaling"] = scaling
+        print(json.dumps(out))
         return 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _scaling_evidence() -> dict:
+    """Run tools/bench_scaling.py (fresh-JVM local[4] vs local[16] on a
+    replicated corpus + host spin-loop ceiling) and embed its JSON.
+    Bounded: small replica count, 1 repeat, hard timeout."""
+    import subprocess
+
+    env = os.environ.copy()
+    env.setdefault("SCALING_REPLICAS", "10")
+    env.setdefault("SCALING_REPEATS", "1")
+    script = str(Path(__file__).resolve().parent / "tools" / "bench_scaling.py")
+    try:
+        res = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        if res.returncode != 0:
+            return {"error": f"rc={res.returncode}", "tail": res.stderr[-400:]}
+        return json.loads(res.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:400]}
 
 
 if __name__ == "__main__":

@@ -15,8 +15,13 @@ and everything downstream is unchanged.
 
 from __future__ import annotations
 
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -24,6 +29,11 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, byte_mean_e4 long, byte_head string"
+)
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, sample_rate int, "
+    "n_channels int, n_frames long, rms_e4 long"
 )
 
 
@@ -54,14 +64,130 @@ def blob_metadata(docs: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """STUB for the real decoder (image resize / audio resample / video
-    frame-sample). Raises for real media types; produces a deterministic
-    fake feature row for text/plain so the distributed plumbing is
-    testable end-to-end without PIL/ffmpeg."""
+    """STUB for the image/video decoders (resize / frame-sample).
+    audio/wav has a REAL decoder (:func:`_decode_wav`, stdlib ``wave``);
+    the remaining media types require PIL/ffmpeg, absent here."""
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg — not available in this "
-        "container; text/plain is handled by the deterministic fake path"
+        "image/video decode requires PIL/ffmpeg — not available in this "
+        "container; text/plain and audio/wav are handled by real paths"
     )
+
+
+def make_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV synth (test fixtures — no
+    external data)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode (stdlib): RIFF/WAVE container parse + PCM frame
+    read → sample-domain features (rate, channels, frames, fixed-point
+    RMS amplitude). The distributed contract is identical to what a
+    PIL/ffmpeg decoder would have: bytes in, typed features out."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, ch, sw, n = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        )
+        frames = w.readframes(n)
+    if sw == 2:
+        a = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    elif sw == 1:
+        a = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    rms = math.sqrt(float((a * a).mean())) if a.size else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n,
+        "rms_e4": int(rms * 10_000),
+    }
+
+
+def with_media_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic audio/wav payload per doc (no external
+    data): constant-amplitude 16-bit mono PCM with closed-form params —
+    amp = doc_id%30+1, frames = 100+doc_id%50, rate 8 kHz. Closed form
+    means the DuckDB oracle can predict EXACTLY what the real decoder
+    must extract (n_bytes = 44-byte RIFF header + 2·frames, rms = amp),
+    making the decode path end-to-end gate-checkable."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_wav([int(i % 30 + 1)] * int(100 + i % 50)) for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["audio/wav"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def extract_media_features(blobs: DataFrame) -> DataFrame:
+    """Typed per-modality feature extraction over the binary column
+    (``mapInPandas``, same pruned (doc_id, payload, media_type) Arrow
+    contract as :func:`extract_features`).
+
+    audio/wav rows are REALLY decoded (:func:`_decode_wav`); text/plain
+    rows carry byte-domain placeholders (no sample domain); image/video
+    rows raise the documented PIL/ffmpeg stub."""
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "media_type": [], "n_bytes": [],
+                "sample_rate": [], "n_channels": [], "n_frames": [],
+                "rms_e4": [],
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt == "audio/wav":
+                    feat = _decode_wav(bytes(payload))
+                elif mt == "text/plain":
+                    feat = {"sample_rate": 0, "n_channels": 0,
+                            "n_frames": 0, "rms_e4": 0}
+                else:
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(feat["sample_rate"])
+                out["n_channels"].append(feat["n_channels"])
+                out["n_frames"].append(feat["n_frames"])
+                out["rms_e4"].append(feat["rms_e4"])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_bytes": "int32", "sample_rate": "int32",
+                 "n_channels": "int32", "n_frames": "int64", "rms_e4": "int64"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=MEDIA_FEATURE_SCHEMA)
 
 
 def extract_features(blobs: DataFrame) -> DataFrame:
@@ -79,9 +205,9 @@ def extract_features(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            real_media = pdf[pdf["media_type"] != "text/plain"]
-            if len(real_media):
-                _decode_stub(real_media["payload"].iloc[0])  # NotImplementedError
+            undecodable = pdf[~pdf["media_type"].isin(["text/plain", "audio/wav"])]
+            if len(undecodable):
+                _decode_stub(undecodable["payload"].iloc[0])  # NotImplementedError
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -123,6 +249,20 @@ SELECT doc_id,
            // octet_length(encode(text))
        ELSE 0 END AS BIGINT) AS byte_mean_e4,
        lower(hex(encode(substring(text, 1, 8)))) AS byte_head
+FROM documents
+""",
+    # The oracle predicts, in closed form, what the REAL wav decoder
+    # must extract from the synthesized payloads (with_media_blob):
+    # 44-byte RIFF/PCM header + 2 bytes/frame; rms of a constant-
+    # amplitude signal is the amplitude.
+    "mm_wav_features": """
+SELECT doc_id,
+       'audio/wav' AS media_type,
+       CAST(44 + 2 * (100 + doc_id % 50) AS INTEGER) AS n_bytes,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST((doc_id % 30 + 1) * 10000 AS BIGINT) AS rms_e4
 FROM documents
 """,
 }

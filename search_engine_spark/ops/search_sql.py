@@ -189,6 +189,76 @@ def candidate_page(
     )
 
 
+def refcompat_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """Reference-compat TF-IDF-cosine ranking (SURVEY §8.2 flag-gated
+    mode), end-to-end: the exact pipeline of
+    `services/engine/internal/service/ranking/tf-idf.go:10-86` +
+    `ranking.go:23-38` re-expressed as DataFrame algebra.
+
+    - idf = the reference's quirky ``log10(N // (df+1))`` (Postgres
+      1-arg LOG + integer division), 0 for OOV words (Go map default);
+    - doc vector over the distinct query words: ``tf·idf``; query
+      vector: ``1·idf`` (query words are distinct post-speller);
+    - cosine = dot/(|d|·|q|), guarded to 0 where a magnitude is 0 (the
+      reference would NaN — documented divergence);
+    - candidate window (matched DESC, doc_id ASC, LIMIT 20) → min-max
+      normalize within the window (dom==0 → all 0) → global =
+      0.5·norm + 0.5·prior (prior ≡ 0 in this SQL flavor — the engine
+      path in plans/query.py blends the real PageRank prior);
+    - final order: global DESC, matched DESC, doc_id ASC.
+    """
+    post = postings(docs)
+    n = docs.select(F.count("*").alias("n"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    ref_div = F.floor(F.col("n") / (F.col("df") + 1))
+    qidf = (
+        qdf.join(df_tbl, "term", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.when(
+                F.col("df").isNotNull() & (ref_div >= 1),
+                F.log10(ref_div.cast("double")),
+            ).otherwise(F.lit(0.0)).alias("idf"),
+        )
+    )
+    qmag = qidf.agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("qmag"))
+    per_doc = (
+        post.join(F.broadcast(qidf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf") * F.col("idf")).alias("dot"),
+            F.sqrt(F.sum(F.pow(F.col("tf") * F.col("idf"), 2))).alias("dmag"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .crossJoin(F.broadcast(qmag))
+    )
+    cosine = F.when(
+        (F.col("dmag") > 0) & (F.col("qmag") > 0),
+        F.col("dot") / (F.col("dmag") * F.col("qmag")),
+    ).otherwise(F.lit(0.0))
+    cand = (
+        per_doc.withColumn("cosine", cosine)
+        .orderBy(F.desc("matched"), F.asc("doc_id"))
+        .limit(CANDIDATE_K)
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cmin, cmax = F.min("cosine").over(w), F.max("cosine").over(w)
+    norm = F.when(cmax - cmin > 0, (F.col("cosine") - cmin) / (cmax - cmin)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cand.withColumn("global_score", F.round(0.5 * norm, 4))
+        .withColumn("cosine", F.round("cosine", 4))
+        .orderBy(F.desc("global_score"), F.desc("matched"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "cosine", "global_score", "matched")
+    )
+
+
 def index_block_layout(docs: DataFrame) -> DataFrame:
     """The compressed index's block numbering as a window query:
     postings bucketed by term hash, row-numbered by doc_id within term,
@@ -296,6 +366,43 @@ FROM dfq CROSS JOIN n
     "search_candidate_page_2": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC"
     + f" LIMIT {CANDIDATE_K} OFFSET {CANDIDATE_K}",
+    "search_refcompat_topk": f"""
+WITH {_POST},
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+qraw(term) AS (VALUES {_q_values(QUERY_MAIN)}),
+qidf AS (
+  SELECT q.term,
+         CASE WHEN v.df IS NOT NULL AND (n.n // (v.df + 1)) >= 1
+              THEN log10(CAST(n.n // (v.df + 1) AS DOUBLE)) ELSE 0.0 END AS idf
+  FROM qraw q LEFT JOIN dfq v USING (term) CROSS JOIN n
+),
+qmag AS (SELECT sqrt(sum(idf * idf)) AS qmag FROM qidf),
+per_doc AS (
+  SELECT p.doc_id,
+         sum(p.tf * i.idf * i.idf) AS dot,
+         sqrt(sum(pow(p.tf * i.idf, 2))) AS dmag,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p JOIN qidf i USING (term)
+  GROUP BY p.doc_id
+),
+cand AS (
+  SELECT d.doc_id, d.matched,
+         CASE WHEN d.dmag > 0 AND m.qmag > 0
+              THEN d.dot / (d.dmag * m.qmag) ELSE 0.0 END AS cosine
+  FROM per_doc d CROSS JOIN qmag m
+  ORDER BY d.matched DESC, d.doc_id ASC LIMIT {CANDIDATE_K}
+),
+mm AS (SELECT min(cosine) AS cmin, max(cosine) AS cmax FROM cand)
+SELECT doc_id, round(cosine, 4) AS cosine,
+       round(0.5 * CASE WHEN (cmax - cmin) > 0
+                        THEN (cosine - cmin) / (cmax - cmin)
+                        ELSE 0.0 END, 4) AS global_score,
+       matched
+FROM cand CROSS JOIN mm
+ORDER BY global_score DESC, matched DESC, doc_id ASC
+LIMIT {TOPK}
+""",
     "search_block_layout": f"""
 WITH {_POST},
 blk AS (

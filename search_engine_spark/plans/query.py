@@ -87,6 +87,49 @@ class QueryEngine:
             F.count("*").cast("int").alias("matched"),
         )
 
+    def _idf_ref_map(self, terms: list[str]) -> dict[str, float]:
+        """The reference's quirky idf (`services/ranking/src/idf.py:14-23`,
+        Postgres 1-arg LOG base 10 + bigint integer division); OOV terms
+        get 0.0 — the Go map-default the ranker relies on."""
+        import math
+
+        n = int(self.stats["n_docs"])
+        rows = self.terms.where(F.col("term").isin(terms)).select("term", "df").collect()
+        df_map = {r["term"]: r["df"] for r in rows}
+        out = {}
+        for t in terms:
+            ratio = n // (df_map[t] + 1) if t in df_map else 0
+            out[t] = math.log10(ratio) if ratio >= 1 else 0.0
+        return out
+
+    def _cosine_scores(self, terms: list[str], idf_ref: dict[str, float]) -> DataFrame:
+        """TF-IDF cosine over the distinct query-word dimensions
+        (`tf-idf.go:10-44`, `util.go:41-68`, `math-util.go:8-37`):
+        dot = Σ tf·idf², |d| = √Σ(tf·idf)², |q| = √Σ idf² (all query
+        words, OOV dims contribute 0). Guarded to 0 where a magnitude is
+        0 (the reference would NaN)."""
+        import math
+
+        qmag = math.sqrt(sum(i * i for i in idf_ref.values()))
+        decoded = decode_blocks(self._query_blocks(terms))
+        idf_df = self.spark.createDataFrame(
+            [(t, i) for t, i in idf_ref.items()], "term string, idf double"
+        )
+        per_doc = (
+            decoded.join(F.broadcast(idf_df), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("tf") * F.col("idf") * F.col("idf")).alias("dot"),
+                F.sqrt(F.sum(F.pow(F.col("tf") * F.col("idf"), 2))).alias("dmag"),
+                F.count("*").cast("int").alias("matched"),
+            )
+        )
+        score = F.when(
+            (F.col("dmag") > 0) & (F.lit(qmag) > 0),
+            F.col("dot") / (F.col("dmag") * F.lit(qmag)),
+        ).otherwise(F.lit(0.0))
+        return per_doc.select("doc_id", score.alias("score"), "matched")
+
     # ---- spell correction (reference spell-checker.go:27-57 analogue) ----
     def _deletion_index(self) -> DataFrame:
         """SymSpell-style vocabulary deletion index, built lazily and
@@ -196,7 +239,11 @@ class QueryEngine:
 
     # ---- reference-compat: blended final ranking (§8.4) ----
     def search(self, query: str, k: int = 10, spell: bool = False,
-               page_num: int = 0) -> DataFrame:
+               page_num: int = 0, mode: str = "bm25") -> DataFrame:
+        """``mode="bm25"`` (frozen-spec primary) or ``mode="cosine"``
+        (reference-compat TF-IDF-cosine per tf-idf.go:24-86 /
+        ranking.go:23-38, flag-gated as SURVEY §8.2 promises): only the
+        relevance score feeding the min-max + 0.5-blend changes."""
         terms = query_terms(query)
         if spell:
             terms = self.expand_query_terms(terms)
@@ -207,7 +254,10 @@ class QueryEngine:
                 "doc_id long, global_score double, score double, matched int, "
                 "path string, prior double",
             )
-        scored = self._scores_exhaustive(list(idf_map), idf_map)
+        if mode == "cosine":
+            scored = self._cosine_scores(list(idf_map), self._idf_ref_map(terms))
+        else:
+            scored = self._scores_exhaustive(list(idf_map), idf_map)
         cand = scored.join(self.prior, "doc_id", "left").na.fill({"prior": 0.0})
         # pagination happens at the candidate window, like the
         # reference's LIMIT $2 OFFSET $3 in the ranked CTE (store.go:88-98)

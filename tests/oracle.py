@@ -182,3 +182,50 @@ def blended_topk(ix: OracleIndex, query: str, k: int = 10,
             r["global_score"] = blend * r["norm"] + (1.0 - blend) * r["prior"]
     page.sort(key=lambda r: (-r["global_score"], -r["matched"], _desc_str(r["path"]), r["doc_id"]))
     return page[:k]
+
+
+def _ref_idf(n_docs: int, df: int | None) -> float:
+    """Reference idf: log10(N // (df+1)); 0 for OOV / ratio < 1
+    (services/ranking/src/idf.py:14-23 + Go map default)."""
+    import math
+
+    ratio = n_docs // (df + 1) if df is not None else 0
+    return math.log10(ratio) if ratio >= 1 else 0.0
+
+
+def refcompat_blended_topk(ix: OracleIndex, query: str, k: int = 10,
+                           candidate_k: int = CANDIDATE_K) -> list[dict]:
+    """Reference-compat TF-IDF-cosine pipeline (tf-idf.go:10-44,
+    util.go:41-68, math-util.go:8-37, ranking.go:23-38): cosine over
+    query-word dimensions with the quirky idf, min-max within the
+    candidate page, 0.5 blend with the prior."""
+    import math
+
+    terms = query_terms(query)
+    idf = {t: _ref_idf(ix.n_docs, ix.df.get(t)) for t in terms}
+    qmag = math.sqrt(sum(v * v for v in idf.values()))
+    cand: set[int] = set()
+    for t in terms:
+        cand.update(ix.postings.get(t, {}).keys())
+    rows = []
+    for d in cand:
+        tfs = {t: ix.postings.get(t, {}).get(d, 0) for t in terms}
+        matched = sum(1 for t in terms if tfs[t] > 0)
+        dot = sum(tfs[t] * idf[t] * idf[t] for t in terms)
+        dmag = math.sqrt(sum((tfs[t] * idf[t]) ** 2 for t in terms))
+        cos = dot / (dmag * qmag) if dmag > 0 and qmag > 0 else 0.0
+        rows.append(
+            {"doc_id": d, "score": cos, "matched": matched,
+             "path": ix.path.get(d, ""), "prior": ix.prior.get(d, 0.0)}
+        )
+    rows.sort(key=lambda r: (-r["matched"], -r["prior"], r["doc_id"]))
+    page = rows[:candidate_k]
+    if page:
+        smin = min(r["score"] for r in page)
+        smax = max(r["score"] for r in page)
+        rng = smax - smin
+        for r in page:
+            r["norm"] = (r["score"] - smin) / rng if rng > 0 else 0.0
+            r["global_score"] = 0.5 * r["norm"] + 0.5 * r["prior"]
+    page.sort(key=lambda r: (-r["global_score"], -r["matched"], _desc_str(r["path"]), r["doc_id"]))
+    return page[:k]

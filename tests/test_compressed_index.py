@@ -16,6 +16,7 @@ from search_engine_spark.plans.query import QueryEngine
 from tests.oracle import blended_topk as oracle_blended
 from tests.oracle import bm25_topk as oracle_topk
 from tests.oracle import build_oracle_index, pagerank as oracle_pagerank
+from tests.oracle import refcompat_blended_topk as oracle_refcompat
 
 REL_TOL = 1e-9
 
@@ -81,6 +82,21 @@ def test_blended_rank_identity(engine, oracle_ix, fixture_queries):
             assert r["global_score"] == pytest.approx(e["global_score"], rel=1e-6), (
                 q, r["doc_id"],
             )
+
+
+def test_refcompat_cosine_rank_identity(engine, oracle_ix, fixture_queries):
+    """mode='cosine' runs the reference TF-IDF-cosine pipeline
+    end-to-end (quirky idf → cosine → min-max → 0.5 blend with the
+    prior) and must be rank-identical to the NumPy port."""
+    for q in fixture_queries[:6]:
+        expected = oracle_refcompat(oracle_ix, q, k=10)
+        got = engine.search(q, k=10, mode="cosine").collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        for r, e in zip(got, expected):
+            assert r["global_score"] == pytest.approx(e["global_score"], rel=1e-6), (
+                q, r["doc_id"],
+            )
+            assert r["score"] == pytest.approx(e["score"], rel=1e-6)
 
 
 def test_bm25_pagination(engine, oracle_ix, fixture_queries):
