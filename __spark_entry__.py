@@ -53,6 +53,24 @@ FROM lineitem WHERE l_orderkey % 512 <> l_partkey % 512
 """
 
 
+def _corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 ingest filters over ``documents`` (source stands in for the
+    path, n_chars is the materialized length column): lang allowlist +
+    prefix + regex + length band, all pushdown-able scan predicates."""
+    from search_engine_spark.sources.corpus import filter_corpus
+
+    return filter_corpus(
+        _t(spark, sf_dir, "documents"),
+        langs=["en", "es"],
+        path_prefix="src1",
+        path_regex="^src1[0-9]?$",
+        min_len=60,
+        max_len=500,
+        path_col="source",
+        len_col="n_chars",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank in ×10^12 integer fixed-point — the
     SQL-twinned flavor (VERDICT r01 item 1b): 5 chained mat-vec steps,
@@ -103,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
         ),
+        # --- ingest filters (P5) ---
+        "corpus_filtered": _corpus_filtered,
         # --- text analysis ---
         "text_token_stats": lambda s, d: textstats.token_stats(_t(s, d, "documents")),
         "text_quality_score": lambda s, d: textstats.quality_score(_t(s, d, "documents")),
@@ -154,6 +174,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
+    out["corpus_filtered"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'es')
+  AND source LIKE 'src1%'
+  AND regexp_full_match(source, 'src1[0-9]?')
+  AND n_chars BETWEEN 60 AND 500
+"""
     out.update(search_sql.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)

@@ -150,13 +150,17 @@ def _scaling_evidence() -> dict:
     import subprocess
 
     env = os.environ.copy()
-    env.setdefault("SCALING_REPLICAS", "10")
+    # 40 replicas (~200k docs) is the compute-bound regime — at 10 the
+    # fixed small-data stage costs dominate and 16 cores loses to 4.
+    # One repeat here (bounded round snapshot); BASELINE.md records the
+    # interleaved repeats-2 measurement with its same-interval ceiling.
+    env.setdefault("SCALING_REPLICAS", "40")
     env.setdefault("SCALING_REPEATS", "1")
     script = str(Path(__file__).resolve().parent / "tools" / "bench_scaling.py")
     try:
         res = subprocess.run(
             [sys.executable, script],
-            capture_output=True, text=True, timeout=600, env=env,
+            capture_output=True, text=True, timeout=480, env=env,
         )
         if res.returncode != 0:
             return {"error": f"rc={res.returncode}", "tail": res.stderr[-400:]}

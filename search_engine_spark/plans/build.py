@@ -45,7 +45,7 @@ from search_engine_spark.functions.tokenize import (
     extract_postings,
     extract_postings_jvm,
 )
-from search_engine_spark.sources.corpus import load_corpus, with_identity
+from search_engine_spark.sources.corpus import docs_table, load_corpus, with_identity
 
 
 def _sha_prefix_col():
@@ -143,7 +143,12 @@ def build_index(
             "part_id"
         ).parquet(postings_path)
 
-        subset.drop("content").repartition(len(wave), "part_id").write.mode(
+        # per-doc metadata incl. title/description (P7/P8); part_id is
+        # re-derived (deterministic in doc_id) since docs_table prunes it
+        docs_table(subset).withColumn(
+            "part_id",
+            F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int"),
+        ).repartition(len(wave), "part_id").write.mode(
             "overwrite"
         ).partitionBy("part_id").parquet(docs_path)
 

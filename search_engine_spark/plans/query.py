@@ -44,7 +44,12 @@ class QueryEngine:
         self.stats = read_stats(spark, index_dir)
         self.blocks = spark.read.parquet(f"{index_dir}/blocks")
         self.terms = spark.read.parquet(f"{index_dir}/terms")
-        self.docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "path")
+        docs = spark.read.parquet(f"{index_dir}/docs")
+        # result-metadata surface (title/description, P7/P8); absent on
+        # indexes built before round 2 — degrade to path-only
+        meta_cols = [c for c in ("title", "description") if c in docs.columns]
+        self.docs = docs.select("doc_id", "path", *meta_cols)
+        self._meta_cols = meta_cols
         self.prior = spark.read.parquet(f"{index_dir}/prior").withColumnRenamed(
             "score", "prior"
         )
@@ -222,7 +227,7 @@ class QueryEngine:
         with_path = scored.join(self.docs, "doc_id", "left")
         return self._offset_page(
             with_path, rank_order(with_path), page, k
-        ).select("doc_id", "score", "matched", "path")
+        ).select("doc_id", "score", "matched", "path", *self._meta_cols)
 
     def total_hits(self, query: str) -> int:
         """Total distinct matching docs — the reference's
@@ -252,7 +257,8 @@ class QueryEngine:
             return self.spark.createDataFrame(
                 [],
                 "doc_id long, global_score double, score double, matched int, "
-                "path string, prior double",
+                "path string, prior double"
+                + "".join(f", {c} string" for c in self._meta_cols),
             )
         if mode == "cosine":
             scored = self._cosine_scores(list(idf_map), self._idf_ref_map(terms))
@@ -285,7 +291,8 @@ class QueryEngine:
             .orderBy(
                 F.desc("global_score"), F.desc("matched"), F.desc("path"), F.asc("doc_id")
             )
-            .select("doc_id", "global_score", "score", "matched", "path", "prior")
+            .select("doc_id", "global_score", "score", "matched", "path", "prior",
+                    *self._meta_cols)
             .limit(k)
         )
         return out

@@ -37,8 +37,57 @@ def with_identity(corpus: DataFrame) -> DataFrame:
     ).withColumn("content_sha", F.sha2("content", 256))
 
 
+def filter_corpus(
+    corpus: DataFrame,
+    langs: list[str] | None = None,
+    path_prefix: str | None = None,
+    path_regex: str | None = None,
+    min_len: int | None = None,
+    max_len: int | None = None,
+    path_col: str = "path",
+    len_col: str | None = None,
+) -> DataFrame:
+    """Ingest-time URL/lang filters (SURVEY §2.2 P5; the reference's
+    crawl-side URL normalization + language gate).
+
+    Every predicate is a plain comparison on a scan column, so Catalyst
+    pushes all of them into the parquet/Iceberg scan (PushedFilters —
+    lang/prefix prune partitions and row groups before any decode). The
+    length bound uses a materialized length column when one exists
+    (``len_col``) so the filter can prune without reading content.
+    """
+    out = corpus
+    if langs is not None:
+        out = out.where(F.col("lang").isin(list(langs)))
+    if path_prefix is not None:
+        out = out.where(F.col(path_col).startswith(path_prefix))
+    if path_regex is not None:
+        out = out.where(F.col(path_col).rlike(path_regex))
+    if min_len is not None or max_len is not None:
+        length = F.col(len_col) if len_col else F.length("content")
+        if min_len is not None:
+            out = out.where(length >= min_len)
+        if max_len is not None:
+            out = out.where(length <= max_len)
+    return out
+
+
+DESCRIPTION_LEN = 300  # reference: first 300 chars of page text (parser.go:41-48)
+
+
 def docs_table(corpus_with_id: DataFrame) -> DataFrame:
     """The persisted per-doc metadata table (no content — column pruned
     away as early as possible; the analogue of the reference wiping
-    ``pages.html`` post-index, SURVEY §2.1 S13)."""
-    return corpus_with_id.select("doc_id", "repo", "path", "commit", "lang", "content_sha")
+    ``pages.html`` post-index, SURVEY §2.1 S13).
+
+    Result-metadata surface (SURVEY §2.2 P7/P8, reference
+    `services/spider/internal/parser/helpers.go:11-37` + the 300-char
+    description fallback at `parser.go:41-48`): ``title`` is the
+    path basename (the code-corpus analogue of the page title),
+    ``description`` the first 300 chars of content — derived at build
+    time, JVM-side, so queries never touch raw content."""
+    return corpus_with_id.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha",
+        F.element_at(F.split("path", "/"), -1).alias("title"),
+        F.substring("content", 1, DESCRIPTION_LEN).alias("description"),
+    )

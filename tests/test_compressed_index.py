@@ -84,6 +84,25 @@ def test_blended_rank_identity(engine, oracle_ix, fixture_queries):
             )
 
 
+def test_result_metadata_surface(spark, engine, fixture_dir, fixture_queries):
+    """Results carry title (path basename) + description (first 300
+    content chars) — the reference's rendered metadata (helpers.go:11-37,
+    parser.go:41-48 fallback)."""
+    import pyarrow.parquet as pq
+
+    content_by_path = {
+        r["path"]: r["content"]
+        for r in pq.read_table(fixture_dir / "corpus.parquet").to_pylist()
+    }
+    rows = engine.bm25(fixture_queries[0], k=5).collect()
+    assert rows
+    for r in rows:
+        assert r["title"] == r["path"].rsplit("/", 1)[-1]
+        assert r["description"] == content_by_path[r["path"]][:300]
+    srows = engine.search(fixture_queries[0], k=5).collect()
+    assert srows and all(r["title"] and r["description"] for r in srows)
+
+
 def test_refcompat_cosine_rank_identity(engine, oracle_ix, fixture_queries):
     """mode='cosine' runs the reference TF-IDF-cosine pipeline
     end-to-end (quirky idf → cosine → min-max → 0.5 blend with the

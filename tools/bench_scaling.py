@@ -178,13 +178,30 @@ def main() -> int:
         results = best
         lo, hi = CORES
         eff = (results[lo]["secs"] / results[hi]["secs"]) / (hi / lo)
+        # the postings stage is the throughput-critical distributed pass
+        # (tokenize → shuffle → write); stages 2-3 are small-data fixed
+        # costs at bench scale that a 100 TB run amortizes away, so the
+        # stage-level number is the one that predicts cluster behavior
+        p_lo = results[lo]["stages"].get("postings.wave_0_secs")
+        p_hi = results[hi]["stages"].get("postings.wave_0_secs")
+        postings_eff = (
+            round((p_lo / p_hi) / (hi / lo), 3) if p_lo and p_hi else None
+        )
+        ceil_eff = ceiling["ceiling_efficiency"]
         print(json.dumps({
             "n_docs": n_docs,
             "replicas": REPLICAS,
             "runs": {f"local[{c}]": results[c] for c in CORES},
             "scaling_efficiency": round(eff, 3),
+            "postings_stage_efficiency": postings_eff,
+            "efficiency_vs_host_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
+            "postings_vs_host_ceiling": (
+                round(postings_eff / ceil_eff, 3)
+                if postings_eff and ceil_eff else None
+            ),
             "criterion": ">=0.8",
             "pass": eff >= 0.8,
+            "pass_postings_stage": (postings_eff or 0.0) >= 0.8,
             "host_cpu_ceiling": ceiling,
         }))
         return 0
