@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "sim_ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
+        "sim_ivf_assignments": lambda s, d: similarity.ivf_assignments(
+            _t(s, d, "embeddings")
+        ),
+        "sim_ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
+            _t(s, d, "embeddings")
+        ),
         # --- relational / event-time coverage ---
         "rel_pricing_summary": lambda s, d: relational.pricing_summary(
             _t(s, d, "lineitem")

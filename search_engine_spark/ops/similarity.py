@@ -14,9 +14,17 @@
   same bucket as the query; exact cosine re-rank inside the bucket.
   At 100 TB the bucket join replaces the full scan: cost ~ bucket
   size × queries, and the signature build is a single narrow pass.
-  (An IVF variant — k-means coarse quantizer — would need iterative
-  centroid training; LSH gives the same read-reduction without
-  training state, which is why it's the default here.)
+- ``ann_ivf_topk`` — the trained-quantizer scale path: IVF with a
+  k-means coarse quantizer. Training runs a FIXED number of Lloyd
+  iterations in ×10^4 fixed-point integer arithmetic (embeddings
+  quantized and offset positive so truncating and floor division
+  agree), init = the first K vectors — every step is deterministic
+  and chain-CTE-expressible, so the DuckDB oracle reproduces the
+  centroids bit-for-bit. Query probes its nearest centroid
+  (nprobe=1) and exact-cosine re-ranks inside that cluster. At scale
+  the cluster assignment is the partition key: each query reads
+  1/K of the corpus instead of all of it, and training is
+  3 passes × (1 broadcast join + 1 groupBy) — no mutable state.
 
 Embedding floats are cast to float64 BEFORE any arithmetic on both
 engines; scores rounded to 4dp; ordering uses (rounded score DESC,
@@ -31,6 +39,11 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 N_QUERIES = 5  # queries = vec_id < 5 (deterministic, from the input itself)
 TOPK = 10
+IVF_K = 8        # coarse-quantizer cluster count (≈√N at this SF)
+IVF_ITERS = 3    # fixed Lloyd iterations (engine-exact, oracle-twinned)
+IVF_SCALE = 10_000
+IVF_OFFSET = 100_000  # shifts e4-quantized coords positive: trunc div == floor div
+DIM = 64
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -129,6 +142,100 @@ def ann_lsh_topk(
     )
 
 
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, qe): ×10^4 fixed-point, offset positive (int64)."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (F.round(x.cast("double") * IVF_SCALE) + IVF_OFFSET).cast("long"),
+        ).alias("qe"),
+    )
+
+
+def _assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (squared-L2 in int64, cid tie-break).
+    cent is K rows — broadcast, so assignment is a narrow map pass."""
+    dist = F.aggregate(
+        F.zip_with("qe", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    j = qe.crossJoin(F.broadcast(cent)).select("vec_id", "qe", "cid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qe", "cid")
+    )
+
+
+def ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> DataFrame:
+    """Fixed-point k-means coarse quantizer → (cid, cvec array<long>).
+
+    Init: the first k vectors by vec_id. Update: element-wise integer
+    mean (sum div count — positive by construction, so Spark's
+    truncating div ≡ DuckDB's floor div). Empty clusters keep their
+    previous centroid. Every iteration is one broadcast join + one
+    groupBy — the same shape at 10^9 vectors."""
+    qe = _quantized(emb)
+    cent = qe.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qe").alias("cvec")
+    )
+    for _ in range(iters):
+        a = _assign(qe, cent)
+        upd = (
+            a.select("cid", F.posexplode("qe").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .withColumn("m", F.expr("s div n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("newvec")
+            )
+        )
+        cent = cent.join(upd, "cid", "left").select(
+            "cid", F.coalesce("newvec", "cvec").alias("cvec")
+        )
+    return cent
+
+
+def ivf_assignments(emb: DataFrame) -> DataFrame:
+    """Final cluster assignment (the IVF partition key at scale)."""
+    return _assign(_quantized(emb), ivf_centroids(emb)).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """IVF ANN: probe the query's cluster (nprobe=1), exact cosine
+    re-rank inside it — reads 1/K of the corpus per query at scale."""
+    base = emb.join(ivf_assignments(emb), "vec_id")
+    qs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("cid").alias("qcid"),
+    )
+    joined = base.join(F.broadcast(qs), F.col("cid") == F.col("qcid")).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    scored = joined.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _DUCK_DOT = (
@@ -160,6 +267,64 @@ _COS = (
     + _DUCK_NORM.format(a="q.q")
     + ")"
 )
+
+def _duck_ivf_ctes(iters: int = IVF_ITERS, k: int = IVF_K) -> str:
+    """Chained-CTE twin of the fixed-point k-means: qe → c0 →
+    (a_i → u_i → c_{i+1})×iters. All integer arithmetic; positive by
+    construction so // matches Spark's div."""
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qe[i] - c.cvec[i]) * (q.qe[i] - c.cvec[i])))"
+    ).format(d=DIM)
+    ctes = [
+        f"""qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT) + {IVF_OFFSET}) AS qe
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS cvec FROM qe WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT q.vec_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM qe q CROSS JOIN c{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS newvec FROM (
+    SELECT cid, pos, CAST(CAST(sum(val) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS m
+    FROM (SELECT cid, unnest(qe) AS val,
+                 unnest(generate_series(1, len(qe))) AS pos FROM a{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT c.cid, coalesce(u.newvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN u{i} u USING (cid)
+)"""
+        )
+    # final assignment against the trained centroids
+    ctes.append(
+        f"""afin AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM qe q CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    return ",\n".join(ctes)
+
 
 ORACLE_SQL = {
     "sim_cosine_topk": f"""
@@ -193,6 +358,30 @@ q AS (SELECT vec_id AS query_id, embedding AS q, bucket AS qbucket
 scored AS (
   SELECT q.query_id, c.vec_id, round({_COS}, 4) AS cosine
   FROM base c JOIN q ON c.bucket = q.qbucket
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+""",
+    "sim_ivf_assignments": f"""
+WITH {_duck_ivf_ctes()}
+SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM afin
+""",
+    "sim_ann_ivf_topk": f"""
+WITH {_duck_ivf_ctes()},
+base AS (
+  SELECT e.vec_id, e.embedding, a.cid
+  FROM embeddings e JOIN afin a ON e.vec_id = a.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS q, cid AS qcid
+      FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({_COS}, 4) AS cosine
+  FROM base c JOIN q ON c.cid = q.qcid
   WHERE c.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cosine,

@@ -115,3 +115,84 @@ def test_available_now_incremental(spark, events_dir, tmp_path):
     new_rows = sink.where(F.col("window_start") > max_ts).count()
     old_straggler_rows = n3 - n2 - new_rows
     assert new_rows >= 0 and old_straggler_rows >= 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization ≡ the batch twin
+    (ops/relational.sessionize): same sessions, same per-user numbering,
+    once the watermark (advanced by a far-future sentinel event) has
+    closed every real session. Exactly-once on rerun."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops.relational import sessionize
+    from search_engine_spark.streaming.sessionize import sessionize_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    span = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_hours = int((span["hi"] - span["lo"]).total_seconds() // 3600) + 2
+    wm = f"{span_hours} hours"  # nothing in the real data is ever 'late'
+
+    events_in = tmp_path / "events_in"
+    events.repartition(4).write.parquet(str(events_in))
+    # sentinel: one far-future event advances the watermark past every
+    # real session's close point (2×delay + gap margin)
+    sentinel = events.limit(1).select(
+        F.lit(99_999_999).alias("event_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {3 * span_hours} HOURS")).alias("ts"),
+        F.lit(999_999_999).alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.write.mode("append").parquet(str(events_in))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 2).parquet(str(events_in))
+    out = tmp_path / "sessions_out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        sessionize_stream(stream, watermark=wm)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["first_event"], r["last_event"])
+        for r in spark.read.parquet(str(out))
+        .where(F.col("user_id") != 999_999_999).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["first_event"], r["last_event"])
+        for r in sessionize(events).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+    # rerun with the same checkpoint and no new input: exactly-once
+    n1 = spark.read.parquet(str(out)).count()
+    stream2 = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 2).parquet(str(events_in))
+    q2 = (
+        sessionize_stream(stream2, watermark=wm)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == n1
