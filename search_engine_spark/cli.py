@@ -6,8 +6,15 @@ query and print ``path: score`` per hit.
 
 Usage:
     python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
-    python -m search_engine_spark.cli query  <index_dir> "<query>" [k]
+    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
+
+Query flags (reference-parity surface):
+    --spell         edit-distance-1 vocabulary spell correction (≤3
+                    suggestions/word, the aspell-path analogue)
+    --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
+    --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
+    --total         also print the total-hits count (GetTotalPages)
 """
 
 from __future__ import annotations
@@ -52,17 +59,28 @@ def _build(corpus_path: str, index_dir: str) -> None:
     print(summary)
 
 
-def _query(index_dir: str, query: str, k: int) -> None:
+def _query(index_dir: str, query: str, k: int, spell: bool = False,
+           page: int = 0, mode: str = "bm25", total: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
-    rows = eng.search(query, k=k).collect()
+    if spell:
+        from search_engine_spark.functions.tokenize import query_terms
+
+        expanded = eng.expand_query_terms(query_terms(query))
+        print(f"query terms after spell correction: {expanded}")
+        query = " ".join(expanded)
+    rows = eng.search(query, k=k, page_num=page, mode=mode).collect()
     if not rows:
         print("(no hits)")
     for r in rows:
-        print(f"{r['path']}: {r['global_score']:.6f}  (bm25 {r['score']:.4f}, matched {r['matched']})")
+        label = r.asDict().get("title") or r["path"]
+        print(f"{label}: {r['global_score']:.6f}  (bm25 {r['score']:.4f}, "
+              f"matched {r['matched']}, {r['path']})")
+    if total:
+        print(f"total hits: {eng.total_hits(query)}")
 
 
 def main(argv: list[str]) -> int:
@@ -70,12 +88,18 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
     cmd = argv[1]
+    flags = [a for a in argv if a.startswith("--")]
+    args = [a for a in argv if not a.startswith("--")]
     if cmd == "demo":
-        _demo(argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 10)
+        _demo(args[2], args[3], int(args[4]) if len(args) > 4 else 10)
     elif cmd == "build":
-        _build(argv[2], argv[3])
+        _build(args[2], args[3])
     elif cmd == "query":
-        _query(argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 10)
+        page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
+        mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
+        _query(args[2], args[3], int(args[4]) if len(args) > 4 else 10,
+               spell="--spell" in flags, page=page, mode=mode,
+               total="--total" in flags)
     else:
         print(__doc__)
         return 2

@@ -189,6 +189,18 @@ def candidate_page(
     )
 
 
+def total_hits(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Total distinct matching docs (reference GetTotalPages,
+    `store.go:172-186`, SURVEY §2.4 A5) — the SQL-checkable twin of
+    ``QueryEngine.total_hits``."""
+    post = postings(docs)
+    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    return (
+        post.join(F.broadcast(q), "term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_hits"))
+    )
+
+
 def refcompat_topk(
     spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK
 ) -> DataFrame:
@@ -366,6 +378,12 @@ FROM dfq CROSS JOIN n
     "search_candidate_page_2": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC"
     + f" LIMIT {CANDIDATE_K} OFFSET {CANDIDATE_K}",
+    "search_total_hits": f"""
+WITH {_POST},
+q(term) AS (VALUES {_q_values(QUERY_MAIN)})
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits
+FROM post JOIN q USING (term)
+""",
     "search_refcompat_topk": f"""
 WITH {_POST},
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
