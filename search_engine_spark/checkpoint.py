@@ -72,13 +72,19 @@ class CheckpointLog:
     def append(self, rows: list[dict]) -> None:
         if not rows:
             return
-        df = self.spark.createDataFrame(
+        from search_engine_spark.functions.inline import inline_table
+
+        # inline_table (pure-JVM VALUES) not createDataFrame: a Python-
+        # RDD-backed append costs a Python worker spawn per write (~4 s
+        # on this host) — lineage writes must stay JVM-only
+        df = inline_table(
+            self.spark,
             [
                 (
                     r["stage"], r["partition_id"], r["status"],
                     r.get("rows_in"), r.get("rows_out"), r.get("sha_xor"),
-                    r["attempt"], r.get("started_at", time.time()),
-                    r.get("finished_at", time.time()),
+                    r["attempt"], float(r.get("started_at", time.time())),
+                    float(r.get("finished_at", time.time())),
                 )
                 for r in rows
             ],

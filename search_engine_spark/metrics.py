@@ -25,11 +25,15 @@ class MetricsLog:
         self.build_id = build_id
 
     def emit(self, stage: str, values: dict[str, float]) -> None:
+        from search_engine_spark.functions.inline import inline_table
+
         now = time.time()
         rows = [(self.build_id, stage, k, float(v), now) for k, v in values.items()]
         if not rows:
             return
-        self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+        # pure-JVM literal write (see functions/inline.py): a Python-RDD
+        # append would spawn a Python worker per emit
+        inline_table(self.spark, rows, METRICS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.path)
 

@@ -27,7 +27,11 @@ from search_engine_spark.functions.tokenize import query_terms
 def query_terms_df(spark: SparkSession, query: str) -> DataFrame:
     """Tokenized + deduped query terms as a 1-column DataFrame."""
     terms = query_terms(query)
-    return spark.createDataFrame([(t,) for t in terms] or [], "term string")
+    if not terms:
+        return spark.createDataFrame([], "term string")
+    from search_engine_spark.functions.inline import inline_table
+
+    return inline_table(spark, [(t,) for t in terms], "term string")
 
 
 def partial_scores(

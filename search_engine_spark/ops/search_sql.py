@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.functions.inline import inline_table
 from search_engine_spark.ops.sqltwin import duck_term_hash31, duck_tokens, term_hash31, tokens_col
 
 QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
@@ -95,8 +96,8 @@ def expand_terms(
     vocab = (
         postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
     )
-    q = spark.createDataFrame(
-        [(t,) for t in sorted(set(raw_terms))], "qterm string"
+    q = inline_table(
+        spark, [(t,) for t in sorted(set(raw_terms))], "qterm string"
     )
     kept = q.join(
         vocab, q.qterm == vocab.term, "left_semi"
@@ -124,7 +125,7 @@ def bm25_scores(
     if isinstance(terms, DataFrame):
         q = terms
     else:
-        q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+        q = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
     stats = _corpus_stats(docs)
     m = (
         post.join(F.broadcast(q), "term")
@@ -194,7 +195,7 @@ def total_hits(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFr
     `store.go:172-186`, SURVEY §2.4 A5) — the SQL-checkable twin of
     ``QueryEngine.total_hits``."""
     post = postings(docs)
-    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    q = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
     return (
         post.join(F.broadcast(q), "term")
         .agg(F.countDistinct("doc_id").cast("long").alias("n_hits"))
@@ -224,7 +225,7 @@ def refcompat_topk(
     post = postings(docs)
     n = docs.select(F.count("*").alias("n"))
     df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    qdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    qdf = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
     ref_div = F.floor(F.col("n") / (F.col("df") + 1))
     qidf = (
         qdf.join(df_tbl, "term", "left")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.inline import inline_table
 from search_engine_spark.functions.tokenize import query_terms
 from search_engine_spark.functions.xxhash import spark_xxhash64_str
 from search_engine_spark.operators.compress import decode_blocks
@@ -81,8 +82,9 @@ class QueryEngine:
 
     def _scores_exhaustive(self, terms: list[str], idf_map: dict[str, float]) -> DataFrame:
         decoded = decode_blocks(self._query_blocks(terms))
-        idf_df = self.spark.createDataFrame(
-            [(t, i) for t, i in idf_map.items()], "term string, idf double"
+        idf_df = inline_table(
+            self.spark, [(t, float(i)) for t, i in idf_map.items()],
+            "term string, idf double",
         )
         matched = decoded.join(F.broadcast(idf_df), "term")
         scored = partial_scores(matched, self.stats["avgdl"],
@@ -117,8 +119,9 @@ class QueryEngine:
 
         qmag = math.sqrt(sum(i * i for i in idf_ref.values()))
         decoded = decode_blocks(self._query_blocks(terms))
-        idf_df = self.spark.createDataFrame(
-            [(t, i) for t, i in idf_ref.items()], "term string, idf double"
+        idf_df = inline_table(
+            self.spark, [(t, float(i)) for t, i in idf_ref.items()],
+            "term string, idf double",
         )
         per_doc = (
             decoded.join(F.broadcast(idf_df), "term")
@@ -175,7 +178,7 @@ class QueryEngine:
             for t in oov
             for v in {t, *(t[:i] + t[i + 1:] for i in range(len(t)))}
         ]
-        qdf = self.spark.createDataFrame(qv, "qterm string, variant string")
+        qdf = inline_table(self.spark, qv, "qterm string, variant string")
         cand = (
             self._deletion_index()
             .join(F.broadcast(qdf), "variant")
