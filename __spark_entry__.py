@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents")
         ),
+        "dedup_embedding_pairs": lambda s, d: similarity.embedding_dup_pairs(
+            _t(s, d, "embeddings")
+        ),
         # --- similarity search over embeddings ---
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "sim_lsh_signatures": lambda s, d: similarity.lsh_signatures(
@@ -151,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "sim_ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
+            _t(s, d, "embeddings")
+        ),
+        "sim_ann_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings")
         ),
         # --- relational / event-time coverage ---

@@ -142,6 +142,61 @@ def ann_lsh_topk(
     )
 
 
+def ann_recall(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Recall@k of the LSH-ANN path vs the exact brute-force baseline,
+    per query (integer-exact: hit count + exact-k denominator). The
+    quality ledger for the approximate path — at scale this runs on a
+    sampled query set as a monitoring job."""
+    exact = cosine_topk(emb, k, n_queries).select("query_id", "vec_id")
+    ann = ann_lsh_topk(emb, k, n_queries).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.col("n_exact").cast("long").alias("k_exact"),
+    )
+
+
+# Near-dup threshold is corpus-dependent; the driver's synthetic
+# embeddings are near-orthogonal (max in-bucket cosine ≈0.45), so the
+# gate exercises the operator at 0.3 — a real dedup run would use ~0.9.
+DUP_COSINE_THRESHOLD = 0.3
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = DUP_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding member of
+    the dedup family (exact/MinHash/SimHash/ngram live in ops/dedup.py).
+
+    Same LSH→verify shape as the text pipeline: candidates = pairs
+    sharing a sign-random-projection bucket (never an all-pairs join),
+    verify = exact cosine ≥ threshold. At 10^9+ vectors the bucket
+    count (2^planes) is raised so buckets stay small; the verify cost
+    is linear in candidate count."""
+    sigs = lsh_signatures(emb)
+    base = emb.join(sigs, "vec_id").select("vec_id", "embedding", "bucket")
+    a = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _quantized(emb: DataFrame) -> DataFrame:
     """(vec_id, qe): ×10^4 fixed-point, offset positive (int64)."""
     return emb.select(
@@ -367,6 +422,27 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOPK}
 """,
+    "sim_ann_recall": "", # filled below (composes the two top-k oracles)
+    "dedup_embedding_pairs": f"""
+WITH sigs AS (
+  SELECT vec_id, {_duck_signature('embedding')} AS bucket FROM embeddings
+),
+base AS (
+  SELECT e.vec_id, e.embedding, s.bucket
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, a.embedding AS ea,
+         b.vec_id AS vec_b, b.embedding AS eb
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round({_DUCK_DOT.format(a='ea', b='eb')}
+             / ({_DUCK_NORM.format(a='ea')} * {_DUCK_NORM.format(a='eb')}), 4) AS cosine
+FROM pairs
+WHERE round({_DUCK_DOT.format(a='ea', b='eb')}
+            / ({_DUCK_NORM.format(a='ea')} * {_DUCK_NORM.format(a='eb')}), 4) >= {DUP_COSINE_THRESHOLD}
+""",
     "sim_ivf_assignments": f"""
 WITH {_duck_ivf_ctes()}
 SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM afin
@@ -392,3 +468,18 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOPK}
 """,
 }
+
+ORACLE_SQL["sim_ann_recall"] = f"""
+WITH exact AS ({ORACLE_SQL['sim_cosine_topk']}),
+ann AS ({ORACLE_SQL['sim_ann_lsh_topk']}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT p.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_exact AS BIGINT) AS k_exact
+FROM per_q p LEFT JOIN hits h USING (query_id)
+"""
