@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, relational, search_sql, similarity, textstats
+from search_engine_spark.ops import dedup, multimodal, pipeline, relational, search_sql, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -124,8 +124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
         ),
-        # --- ingest filters (P5) ---
+        # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
+        "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(
+            _t(s, d, "documents")
+        ),
         # --- text analysis ---
         "text_token_stats": lambda s, d: textstats.token_stats(_t(s, d, "documents")),
         "text_quality_score": lambda s, d: textstats.quality_score(_t(s, d, "documents")),
@@ -203,6 +206,7 @@ WHERE lang IN ('en', 'es')
     out.update(similarity.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    out.update(pipeline.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
