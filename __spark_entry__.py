@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_candidate_page_2": lambda s, d: search_sql.candidate_page(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN, page=1
         ),
+        "search_bm25_topk_batch": lambda s, d: search_sql.bm25_topk_batch(
+            s, _t(s, d, "documents")
+        ),
         "search_total_hits": lambda s, d: search_sql.total_hits(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),

@@ -47,6 +47,36 @@ def build_terms(postings: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
+def build_terms_with_stats(
+    postings: DataFrame, n_docs: int
+) -> tuple[DataFrame, float]:
+    """postings → ((term, df, idf), total_dl) from ONE aggregation pass.
+
+    Fuses :func:`build_terms` and the Σtf scan of :func:`corpus_stats`:
+    the per-term aggregate carries ``sum(tf)`` alongside ``count(*)``,
+    so total_dl is a driver-side sum over the (vocab-sized) term table
+    instead of a second full pass over postings. At 100 TB that's one
+    fewer scan of the largest intermediate in the build; map-side
+    partial aggregation means the extra column adds one long per
+    (partition, term) to the existing exchange.
+    """
+    terms = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("term_tf"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .persist()
+    )
+    total_dl = terms.agg(F.sum("term_tf")).collect()[0][0] or 0
+    # caller: select away term_tf for the durable table, then unpersist
+    # this handle once written (projections on top still hit the cache)
+    return terms, float(total_dl)
+
+
 def reference_compat_idf(n_docs: int, df: int) -> float:
     """The reference's quirky IDF: Postgres 1-arg LOG is base-10 and
     bigint/bigint truncates (SURVEY §2.4 A3). Not used for ranking;

@@ -30,6 +30,14 @@ from search_engine_spark.ops.sqltwin import duck_term_hash31, duck_tokens, term_
 QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
 QUERY_MIXED = ["filter", "stream", "zzzunknownzzz"]  # includes an OOV term
 QUERY_TYPO = ["spark", "joinx", "windov"]  # two misspellings, ED-1 from vocab
+# batch-retrieval workload (offline eval / training-data retrieval):
+# many queries scored in ONE job — shared index scan, one shuffle total
+BATCH_QUERIES = {
+    "q_main": QUERY_MAIN,
+    "q_mixed": QUERY_MIXED,
+    "q_pair": ["filter", "join"],
+    "q_single": ["window"],
+}
 N_BUCKETS = 8
 BLOCK_SIZE = 128
 TOPK = 10
@@ -156,6 +164,56 @@ def bm25_topk(
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score", "matched")
+    )
+
+
+def bm25_topk_batch(
+    spark: SparkSession, docs: DataFrame,
+    queries: dict[str, list[str]] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """Top-k for a whole BATCH of queries in one job — the offline-
+    retrieval shape (LLM training-data selection, relevance eval) where
+    thousands of queries amortize one index pass.
+
+    Plan: the (query_id, term) table is broadcast against postings once,
+    so every query shares the same scan+shuffle; per-query top-k is a
+    window row_number (k rows per query survive the exchange). At
+    10^12 docs this replaces Q dispatches of the single-query plan with
+    exactly one — the scan side is identical, and the agg key grows to
+    (query_id, doc_id), which partial (map-side) aggregation absorbs.
+    """
+    queries = BATCH_QUERIES if queries is None else queries
+    post = postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qrows = [
+        (qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))
+    ]
+    q = inline_table(spark, qrows, "query_id string, term string")
+    stats = _corpus_stats(docs)
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "matched", "rk")
     )
 
 
@@ -374,6 +432,37 @@ FROM dfq CROSS JOIN n
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_topk_batch": f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term) AS (VALUES {", ".join(
+    f"('{qid}', '{t}')"
+    for qid, ts in sorted(BATCH_QUERIES.items()) for t in sorted(set(ts))
+)}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score, matched, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOPK}
+""",
     "search_candidate_page": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC LIMIT {CANDIDATE_K}",
     "search_candidate_page_2": _scores_cte(QUERY_MAIN)

@@ -40,7 +40,7 @@ from search_engine_spark.metrics import MetricsLog
 from search_engine_spark.operators.compress import encode_blocks, write_index_blocks
 from search_engine_spark.operators.linkgraph import build_edges
 from search_engine_spark.operators.pagerank import pagerank
-from search_engine_spark.operators.postings import build_terms
+from search_engine_spark.operators.postings import build_terms_with_stats
 from search_engine_spark.functions.tokenize import (
     extract_postings,
     extract_postings_jvm,
@@ -235,8 +235,11 @@ def build_index(
     n_docs = docs.count()
     postings_all = spark.read.parquet(postings_path)
 
-    total_dl = postings_all.agg(F.sum("tf")).collect()[0][0] or 0
+    # one fused pass: per-term (df, Σtf) → terms table AND total_dl
+    # (stage 2 scans postings exactly twice: this agg + the encode)
+    terms, total_dl = build_terms_with_stats(postings_all, n_docs)
     avgdl = total_dl / n_docs if n_docs else 0.0
+    t_stats = time.time()
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -248,15 +251,17 @@ def build_index(
         "build_id": build_id,
     }
 
-    terms = build_terms(postings_all.select("term"), n_docs)
     # range-partitioned + sorted by term → parquet min/max row-group
     # stats make the per-query idf lookup a pruned point read
-    terms.repartitionByRange(8, "term").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/terms")
+    terms.drop("term_tf").repartitionByRange(8, "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(f"{index_dir}/terms")
+    terms.unpersist()
+    t_terms = time.time()
 
     blocks = encode_blocks(postings_all, avgdl, cfg)
     write_index_blocks(blocks, f"{index_dir}/blocks")
+    t_encode = time.time()
 
     _write_json(spark, f"{index_dir}/stats.json", stats)
     ckpt.append(
@@ -264,12 +269,16 @@ def build_index(
           "rows_in": None, "rows_out": None, "sha_xor": None,
           "attempt": attempt, "started_at": t2, "finished_at": time.time()}]
     )
-    metrics.emit("index", {"secs": time.time() - t2, "n_docs": n_docs, "avgdl": avgdl})
+    metrics.emit("index", {"secs": time.time() - t2, "n_docs": n_docs,
+                           "avgdl": avgdl, "stats_secs": t_stats - t2,
+                           "terms_secs": t_terms - t_stats,
+                           "encode_secs": t_encode - t_terms})
 
     # ---- stage 3: link graph + PageRank prior (idempotent) ----
     t3 = time.time()
     edges = build_edges(corpus)
     edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
+    t_edges = time.time()
     prior = pagerank(
         spark.read.parquet(f"{index_dir}/edges"),
         cfg.pagerank_damping, cfg.pagerank_tol, cfg.pagerank_max_iters,
@@ -280,7 +289,9 @@ def build_index(
           "rows_in": None, "rows_out": None, "sha_xor": None,
           "attempt": attempt, "started_at": t3, "finished_at": time.time()}]
     )
-    metrics.emit("prior", {"secs": time.time() - t3})
+    metrics.emit("prior", {"secs": time.time() - t3,
+                           "edges_secs": t_edges - t3,
+                           "pagerank_secs": time.time() - t_edges})
 
     wall = time.time() - t0
     metrics.emit("build", {"secs": wall, "docs": n_docs,

@@ -232,6 +232,53 @@ class QueryEngine:
             with_path, rank_order(with_path), page, k
         ).select("doc_id", "score", "matched", "path", *self._meta_cols)
 
+    def bm25_batch(self, queries: dict[str, str], k: int = 10,
+                   spell: bool = False) -> DataFrame:
+        """Top-k for a BATCH of queries in one job → (query_id, doc_id,
+        score, matched, rk, path).
+
+        The offline-retrieval shape (training-data selection, relevance
+        eval): all queries' terms are unioned into ONE doubly-pruned
+        index scan + decode, the (query_id, term, idf) table is
+        broadcast, and per-query top-k is a window row_number — so Q
+        queries cost one job instead of Q dispatches, and the scan side
+        is the union of their block sets (shared terms decoded once).
+        """
+        qterms = {qid: query_terms(qtext) for qid, qtext in queries.items()}
+        if spell:
+            qterms = {q: self.expand_query_terms(ts) for q, ts in qterms.items()}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        idf_map = self._idf_map(all_terms)
+        pairs = [
+            (qid, t, float(idf_map[t]))
+            for qid, ts in sorted(qterms.items())
+            for t in sorted(set(ts))
+            if t in idf_map
+        ]
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, "
+                    "matched int, rk int, path string"
+            )
+        decoded = decode_blocks(self._query_blocks(sorted({t for _, t, _ in pairs})))
+        q = inline_table(
+            self.spark, pairs, "query_id string, term string, idf double"
+        )
+        scored = partial_scores(
+            decoded.join(F.broadcast(q), "term"),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+        ).groupBy("query_id", "doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        with_path = scored.join(self.docs.select("doc_id", "path"), "doc_id", "left")
+        w = Window.partitionBy("query_id").orderBy(*rank_order(with_path))
+        return (
+            with_path.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k)
+            .select("query_id", "doc_id", "score", "matched", "rk", "path")
+        )
+
     def total_hits(self, query: str) -> int:
         """Total distinct matching docs — the reference's
         ``GetTotalPages`` (`services/engine/internal/store/store.go:

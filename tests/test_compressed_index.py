@@ -207,3 +207,21 @@ def test_sha256_integrity(spark, index_dir, fixture_expected):
            for r in spark.read.parquet(f"{index_dir}/docs").collect()}
     for d in fixture_expected["docs"]:
         assert got[d["doc_id"]] == d["sha256"]
+
+
+def test_bm25_batch_matches_single(engine, fixture_queries):
+    """One batched job must return exactly what Q single-query calls
+    return: same doc ids in the same order, same scores (both paths are
+    the exhaustive decode + float64 sum, so equality is to 1e-9 rel)."""
+    queries = {f"q{i}": q for i, q in enumerate(fixture_queries[:5])}
+    batch = engine.bm25_batch(queries, k=10)
+    by_q: dict[str, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in queries.items():
+        rows = sorted(by_q.get(qid, []), key=lambda r: r["rk"])
+        single = engine.bm25(qtext, k=10, wand=False).collect()
+        assert [r["doc_id"] for r in rows] == [s["doc_id"] for s in single], qid
+        for r, s in zip(rows, single):
+            assert r["score"] == pytest.approx(s["score"], rel=1e-9)
+            assert r["matched"] == s["matched"]
