@@ -104,6 +104,15 @@ def main() -> int:
         timings["bm25_p50"] = statistics.median(lat)
         timings["bm25_p50_exhaustive"] = statistics.median(lat_ex)
 
+        # ---- headline 3: batched retrieval throughput (one job scores
+        # the whole query set — the offline/training-data shape) ----
+        batch = {f"b{i}": q for i, q in enumerate(BENCH_QUERIES)}
+        t0 = time.perf_counter()
+        eng.bm25_batch(batch, k=10).collect()
+        dt = time.perf_counter() - t0
+        timings["bm25_batch_10q"] = round(dt, 4)
+        timings["bm25_batch_qps"] = round(len(batch) / dt, 2)
+
         # ---- pipeline ops at sf scale ----
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
