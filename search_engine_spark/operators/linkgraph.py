@@ -75,21 +75,30 @@ def extract_refs(corpus_with_id: DataFrame) -> DataFrame:
     )
 
 
-def build_edges(corpus_with_id: DataFrame) -> DataFrame:
-    """corpus → edges (src, dst): the backlink-graph self-join.
+def resolve_edges(refs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(src_doc_id, ref_path) ⋈ (doc_id, path) → edges (src, dst).
 
     Unresolvable refs (paths not in the corpus) drop out via the inner
     join — same net behavior as the reference's URL table resolving
-    only crawled pages.
-    """
-    refs = extract_refs(corpus_with_id)
-    targets = corpus_with_id.select(
+    only crawled pages. Takes the already-extracted refs so the caller
+    decides where the content scan happens (build stage 1 side-writes
+    refs per wave; stage 3 is then content-free)."""
+    targets = docs.select(
         F.col("path").alias("ref_path"), F.col("doc_id").alias("dst")
     )
     return (
         refs.join(targets, "ref_path")
         .select(F.col("src_doc_id").alias("src"), "dst")
         .dropDuplicates(["src", "dst"])
+    )
+
+
+def build_edges(corpus_with_id: DataFrame) -> DataFrame:
+    """corpus → edges (src, dst): the backlink-graph self-join
+    (single-pass convenience wrapper over extract_refs + resolve_edges)."""
+    return resolve_edges(
+        extract_refs(corpus_with_id),
+        corpus_with_id.select("doc_id", "path"),
     )
 
 

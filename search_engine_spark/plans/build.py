@@ -38,7 +38,7 @@ from search_engine_spark.checkpoint import CheckpointLog
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.metrics import MetricsLog
 from search_engine_spark.operators.compress import encode_blocks, write_index_blocks
-from search_engine_spark.operators.linkgraph import build_edges
+from search_engine_spark.operators.linkgraph import extract_refs, resolve_edges
 from search_engine_spark.operators.pagerank import pagerank
 from search_engine_spark.operators.postings import build_terms_with_stats
 from search_engine_spark.functions.tokenize import (
@@ -116,6 +116,7 @@ def build_index(
 
     postings_path = f"{index_dir}/postings"
     docs_path = f"{index_dir}/docs"
+    refs_path = f"{index_dir}/refs"
 
     rows_processed = 0
     for wi, wave in enumerate(waves):
@@ -142,6 +143,18 @@ def build_index(
         postings.repartition(len(wave), "part_id").write.mode("overwrite").partitionBy(
             "part_id"
         ).parquet(postings_path)
+
+        # reference extraction rides the SAME wave (SURVEY §2.2 P6):
+        # refs land partitioned like postings, so stage 3 builds the
+        # link graph from this small table + the docs table and never
+        # re-scans content — at 100 TB the corpus is read by exactly
+        # the stage-1 waves, and a prior-only rebuild is content-free
+        extract_refs(subset.select("doc_id", "content")).withColumn(
+            "part_id",
+            F.pmod(F.col("src_doc_id"), F.lit(cfg.build_partitions)).cast("int"),
+        ).repartition(len(wave), "part_id").write.mode("overwrite").partitionBy(
+            "part_id"
+        ).parquet(refs_path)
 
         # per-doc metadata incl. title/description (P7/P8); part_id is
         # re-derived (deterministic in doc_id) since docs_table prunes it
@@ -276,7 +289,14 @@ def build_index(
 
     # ---- stage 3: link graph + PageRank prior (idempotent) ----
     t3 = time.time()
-    edges = build_edges(corpus)
+    try:
+        refs = spark.read.parquet(refs_path).select("src_doc_id", "ref_path")
+        edges = resolve_edges(refs, docs.select("doc_id", "path"))
+    except Exception:  # noqa: BLE001 - index predates the refs side-write
+        edges = resolve_edges(
+            extract_refs(corpus.select("doc_id", "content")),
+            docs.select("doc_id", "path"),
+        )
     edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
     t_edges = time.time()
     prior = pagerank(
