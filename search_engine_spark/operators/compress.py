@@ -19,11 +19,17 @@ Catalyst plans one hash exchange on exactly those keys; no separate
 Block rows
 ----------
 ``(bucket, term, salt, block_id, n, first_doc, last_doc, doc_gaps
-BINARY, tfs BINARY, dls BINARY, max_partial DOUBLE)`` — delta+VByte
+BINARY, tfs BINARY, dls BINARY, max_tf INT, min_dl INT)`` — delta+VByte
 frame-of-reference doc gaps, VByte tf and dl runs, and the per-block
-max of the BM25 term-partial ``tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))``
-(idf is a term-level factor kept in the terms table, so
-``UB(block) = idf · max_partial``). 128 postings/block default.
+``(max tf, min dl)`` pair. The BM25 term-partial
+``tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`` is monotone increasing in tf
+and decreasing in dl, so ``partial(max_tf, min_dl, avgdl)`` evaluated
+with the CURRENT corpus avgdl upper-bounds every posting in the block
+(``UB(block) = idf · partial(max_tf, min_dl)``; idf is a term-level
+factor kept in the terms table). Storing the pair instead of a baked
+max-partial keeps blocks valid when corpus stats drift — the property
+that makes segmented incremental ingest (extend_index) sound: old
+generations' blocks never go stale. 128 postings/block default.
 
 The index table is written ``partitionBy(bucket)`` (bucket =
 ``pmod(xxhash64(term), term_buckets)``) and sorted by (term, salt,
@@ -51,7 +57,7 @@ from search_engine_spark.functions.vbyte import (
 BLOCKS_SCHEMA = (
     "bucket int, term string, salt int, block_id int, n int, "
     "first_doc long, last_doc long, doc_gaps binary, tfs binary, "
-    "dls binary, max_partial double"
+    "dls binary, max_tf int, min_dl int"
 )
 
 SIGN_BIT = -(1 << 63)  # long with only the sign bit set
@@ -72,14 +78,12 @@ def bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _encode_group(pdf: pd.DataFrame, avgdl: float, block_size: int,
-                  k1: float, b: float) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """One (bucket, term, salt) group of postings → block rows."""
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)
     tf = pdf["tf"].to_numpy(dtype=np.int64)
     dl = pdf["dl"].to_numpy(dtype=np.int64)
-    partial = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     term = pdf["term"].iloc[0]
     bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
@@ -99,17 +103,31 @@ def _encode_group(pdf: pd.DataFrame, avgdl: float, block_size: int,
                 "doc_gaps": gap_bytes,
                 "tfs": vbyte_encode(tf[s:e].astype(np.uint64)),
                 "dls": vbyte_encode(dl[s:e].astype(np.uint64)),
-                "max_partial": float(partial[s:e].max()),
+                "max_tf": int(tf[s:e].max()),
+                "min_dl": int(dl[s:e].min()),
             }
         )
     return pd.DataFrame(out)
 
 
-def encode_blocks(postings: DataFrame, avgdl: float,
+def block_max_partial(max_tf, min_dl, avgdl: float,
+                      k1: float = BM25_K1, b: float = BM25_B):
+    """Per-block BM25 term-partial upper bound from the stored
+    (max_tf, min_dl) pair and the CURRENT avgdl (NumPy or scalars).
+    Valid because the partial is monotone ↑ in tf and ↓ in dl."""
+    return (max_tf * (k1 + 1.0)) / (
+        max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
+    )
+
+
+def encode_blocks(postings: DataFrame,
                   cfg: EngineConfig | None = None) -> DataFrame:
-    """postings (doc_id, term, tf, dl) → compressed block rows."""
+    """postings (doc_id, term, tf, dl) → compressed block rows.
+
+    Needs no corpus stats: block metadata is (max_tf, min_dl), bounded
+    at query time against whatever avgdl the corpus has by then."""
     cfg = cfg or EngineConfig()
-    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    bs = cfg.block_size
 
     with_keys = postings.withColumn(
         "salt", salt_col(F.col("doc_id"), cfg.salt_bits)
@@ -128,7 +146,7 @@ def encode_blocks(postings: DataFrame, avgdl: float,
         from search_engine_spark.functions.runtime import disable_thp
 
         disable_thp()
-        return _encode_group(pdf, avgdl, bs, k1, b)
+        return _encode_group(pdf, bs)
 
     return with_keys.groupBy("bucket", "term", "salt").applyInPandas(
         encode, schema=BLOCKS_SCHEMA

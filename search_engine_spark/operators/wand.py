@@ -14,7 +14,7 @@ the exact global top-k. No cross-partition coordination.
 Vectorized segment formulation (round 2: replaces the per-posting
 Python cursor loop — same pruning guarantees, NumPy-batch inner ops)
 ---------------------------------------------------------------------
-Block metadata alone (first_doc/last_doc/max_partial — no decode)
+Block metadata alone (first_doc/last_doc/max_tf/min_dl — no decode)
 partitions the doc_id axis into *segments* at block boundaries; within
 a segment the per-doc upper bound ``seg_ub = Σ_term idf·block_max`` of
 the covering blocks is constant. Processing segments in seg_ub-DESC
@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 
 from search_engine_spark.config import BM25_B, BM25_K1
 from search_engine_spark.functions.vbyte import decode_doc_gaps, vbyte_decode
+from search_engine_spark.operators.compress import block_max_partial
 
 _UB_SAFETY = 1.0 + 1e-9
 
@@ -67,7 +68,14 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     idfs = rows["term"].map(idf_map).to_numpy(dtype=np.float64)
     firsts = rows["first_doc"].to_numpy(dtype=np.int64)
     lasts = rows["last_doc"].to_numpy(dtype=np.int64)
-    ubs = idfs * rows["max_partial"].to_numpy(dtype=np.float64) * _UB_SAFETY
+    # UB from the stored (max_tf, min_dl) pair + the CURRENT avgdl —
+    # blocks stay valid across corpus growth (extend_index generations)
+    block_max = block_max_partial(
+        rows["max_tf"].to_numpy(dtype=np.float64),
+        rows["min_dl"].to_numpy(dtype=np.float64),
+        avgdl, k1, b,
+    )
+    ubs = idfs * block_max * _UB_SAFETY
 
     # segments: the doc axis cut at every block boundary. Within one
     # segment the covering-block set (hence the UB) is constant, and a

@@ -272,7 +272,7 @@ def build_index(
     terms.unpersist()
     t_terms = time.time()
 
-    blocks = encode_blocks(postings_all, avgdl, cfg)
+    blocks = encode_blocks(postings_all, cfg)
     write_index_blocks(blocks, f"{index_dir}/blocks")
     t_encode = time.time()
 

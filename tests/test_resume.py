@@ -19,7 +19,7 @@ def _index_fingerprint(spark, ix: str) -> dict:
         ("docs", ["doc_id", "repo", "path", "commit", "lang", "content_sha"]),
         ("terms", ["term", "df", "idf"]),
         ("blocks", ["bucket", "term", "salt", "block_id", "n", "first_doc",
-                    "last_doc", "doc_gaps", "tfs", "dls", "max_partial"]),
+                    "last_doc", "doc_gaps", "tfs", "dls", "max_tf", "min_dl"]),
         ("edges", ["src", "dst"]),
     ]:
         df = spark.read.parquet(f"{ix}/{name}")

@@ -24,17 +24,14 @@ def _blocks_from_postings(postings: dict[str, list[tuple[int, int, int]]],
             doc = np.array([p[0] for p in chunk], dtype=np.int64)
             tf = np.array([p[1] for p in chunk], dtype=np.uint64)
             dl = np.array([p[2] for p in chunk], dtype=np.uint64)
-            partial = (tf.astype(float) * (BM25_K1 + 1)) / (
-                tf.astype(float)
-                + BM25_K1 * (1 - BM25_B + BM25_B * dl.astype(float) / AVGDL)
-            )
             first, gaps = encode_doc_gaps(doc)
             rows.append(
                 {
                     "term": term, "block_id": bi, "n": len(chunk),
                     "first_doc": int(doc[0]), "last_doc": int(doc[-1]),
                     "doc_gaps": gaps, "tfs": vbyte_encode(tf),
-                    "dls": vbyte_encode(dl), "max_partial": float(partial.max()),
+                    "dls": vbyte_encode(dl),
+                    "max_tf": int(tf.max()), "min_dl": int(dl.min()),
                 }
             )
     return pd.DataFrame(rows)
