@@ -6,8 +6,13 @@ query and print ``path: score`` per hit.
 
 Usage:
     python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
+    python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
+
+``extend`` ingests a new corpus batch into an existing index as its
+own generation — only the delta is tokenized and block-encoded; docs
+already indexed are skipped (upsert), like the reference's claim loop.
 
 Query flags (reference-parity surface):
     --spell         edit-distance-1 vocabulary spell correction (≤3
@@ -59,6 +64,15 @@ def _build(corpus_path: str, index_dir: str) -> None:
     print(summary)
 
 
+def _extend(corpus_path: str, index_dir: str) -> None:
+    from search_engine_spark.plans.build import extend_index
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("se-extend")
+    summary = extend_index(spark, corpus_path, index_dir)
+    print(summary)
+
+
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
            page: int = 0, mode: str = "bm25", total: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
@@ -94,6 +108,8 @@ def main(argv: list[str]) -> int:
         _demo(args[2], args[3], int(args[4]) if len(args) > 4 else 10)
     elif cmd == "build":
         _build(args[2], args[3])
+    elif cmd == "extend":
+        _extend(args[2], args[3])
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")

@@ -201,12 +201,15 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def write_index_blocks(blocks: DataFrame, path: str) -> None:
-    """Persist the index: directory-partitioned by bucket, file-sorted by
-    (term, salt, block_id) for row-group min/max pruning on term."""
+    """Persist the index: directory-partitioned by (gen, bucket),
+    file-sorted by (term, salt, block_id) for row-group min/max pruning
+    on term. ``gen`` is the ingest generation (extend_index); with
+    dynamic partition overwrite, writing generation g replaces only
+    gen=g directories — older segments are untouched."""
     (
         blocks.repartition("bucket")
         .sortWithinPartitions("term", "salt", "block_id")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("gen", "bucket")
         .parquet(path)
     )

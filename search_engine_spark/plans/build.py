@@ -1,22 +1,36 @@
-"""The index build plan: checkpoint-resumable, per-partition lineage.
+"""The index build plan: checkpoint-resumable, per-partition lineage,
+segmented incremental ingest.
 
 Pipeline (SURVEY §3.3 Spark shape):
 
   stage 1 "postings"  — per build-partition, resumable:
       corpus scan → doc_id/sha identity → vectorized tokenize
-      → postings parquet partitioned by part_id
-      → docs table (no content) partitioned by part_id
+      → postings parquet partitioned by (gen, part_id)
+      → refs (link extraction, same wave — no later content re-scan)
+      → docs table (no content) partitioned by (gen, part_id)
       → lineage row per partition (rows_in, rows_out, sha_xor)
-  stage 2 "index"     — global, idempotent overwrite:
-      postings → terms (df, idf) → stats (N, avgdl)
-      → salted block encode → index blocks partitioned by term bucket
+  stage 2 "index"     — global, idempotent:
+      postings (all generations) → terms (df, idf) + stats (N, avgdl)
+      → salted block encode of the TARGET generation only
+      → index blocks partitioned by (gen, term bucket)
   stage 3 "prior"     — global, idempotent overwrite:
-      refs self-join → edges → PageRank → prior table
+      refs (all generations) ⋈ docs → edges → PageRank → prior table
 
 Resumability: stage 1 runs in "waves" (chunks of pending partitions);
 after each wave the lineage rows land, so a kill loses at most one wave
 of work and a re-run anti-joins completed partitions away (north_rule).
-Stages 2-3 are full overwrites: re-running them after a kill is safe.
+Stages 2-3 are idempotent: re-running them after a kill is safe.
+
+Generations (the Lucene-segment model re-expressed as parquet layout):
+``extend_index`` ingests a NEW corpus batch as generation g — it
+tokenizes and block-encodes ONLY the delta (cost O(delta)), then
+refreshes the global terms/stats tables (one aggregation over postings,
+no content) and rebuilds the link prior (the graph is global). Older
+generations' blocks stay valid because block metadata is the
+avgdl-independent (max_tf, min_dl) pair (operators/compress.py) — the
+analogue of the reference's incremental indexer loop, which indexes
+newly crawled pages without re-parsing old ones and refreshes IDF with
+one corpus-wide UPDATE (`services/ranking/src/idf.py:14-23`).
 
 Why partition on ``part_id = pmod(doc_id, P)``: deterministic from row
 identity alone, so a resumed run computes the same partitioning no
@@ -81,36 +95,38 @@ def _tune_scan_splits(spark: SparkSession, corpus_path: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
 
 
-def build_index(
+def _delete_path(spark: SparkSession, path: str) -> None:
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(hpath, True)
+
+
+def _part_col(src_col: str, n_parts: int):
+    return F.pmod(F.col(src_col), F.lit(n_parts)).cast("int")
+
+
+def _postings_stage(
     spark: SparkSession,
-    corpus_path: str,
+    corpus: DataFrame,
     index_dir: str,
-    cfg: EngineConfig | None = None,
-    resume: bool = True,
-    fail_after_waves: int | None = None,
-) -> dict:
-    """Build (or resume) the full index under ``index_dir``.
+    cfg: EngineConfig,
+    ckpt: CheckpointLog,
+    metrics: MetricsLog,
+    gen: int,
+    resume: bool,
+    fail_after_waves: int | None,
+) -> tuple[int, int, int, int]:
+    """Run the resumable stage-1 waves for one generation.
 
-    ``fail_after_waves`` is a test hook simulating a mid-build kill.
-    Returns a summary dict (also what the CLI prints).
+    Checkpoint rows encode (generation, partition) as
+    ``gen·P + part_id`` so every generation resumes independently.
+    Returns (rows_processed, n_pending, n_skipped, attempt).
     """
-    cfg = cfg or EngineConfig()
-    _tune_scan_splits(spark, corpus_path)
-    t0 = time.time()
-    build_id = uuid.uuid4().hex[:12]
-    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
-    metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
-
-    # dynamic overwrite: re-running a wave replaces only its partitions
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    corpus = with_identity(load_corpus(spark, corpus_path)).withColumn(
-        "part_id", F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int")
-    )
-
-    all_parts = list(range(cfg.build_partitions))
-    done = ckpt.completed_partitions("postings") if resume else set()
-    pending = [p for p in all_parts if p not in done]
+    P = cfg.build_partitions
+    done_ids = ckpt.completed_partitions("postings") if resume else set()
+    done = {d % P for d in done_ids if d // P == gen}
+    pending = [p for p in range(P) if p not in done]
     attempt = ckpt.next_attempt("postings")
     waves = _chunks(pending, cfg.build_waves)
 
@@ -133,37 +149,45 @@ def build_index(
         )
         # mapInPandas consumed (doc_id, content); re-derive part_id from
         # doc_id (deterministic) for the partitioned write.
-        postings = postings.withColumn(
-            "part_id", F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int")
-        )
         # repartition on part_id before the partitioned write: without it
         # every input split writes a file into every part_id directory
         # (splits × partitions small files — a real 1000-executor killer);
         # with it each directory gets ~1 compact file.
-        postings.repartition(len(wave), "part_id").write.mode("overwrite").partitionBy(
-            "part_id"
-        ).parquet(postings_path)
+        (
+            postings.withColumn("part_id", _part_col("doc_id", P))
+            .withColumn("gen", F.lit(gen).cast("int"))
+            .repartition(len(wave), "part_id")
+            .write.mode("overwrite")
+            .partitionBy("gen", "part_id")
+            .parquet(postings_path)
+        )
 
         # reference extraction rides the SAME wave (SURVEY §2.2 P6):
         # refs land partitioned like postings, so stage 3 builds the
-        # link graph from this small table + the docs table and never
-        # re-scans content — at 100 TB the corpus is read by exactly
-        # the stage-1 waves, and a prior-only rebuild is content-free
-        extract_refs(subset.select("doc_id", "content")).withColumn(
-            "part_id",
-            F.pmod(F.col("src_doc_id"), F.lit(cfg.build_partitions)).cast("int"),
-        ).repartition(len(wave), "part_id").write.mode("overwrite").partitionBy(
-            "part_id"
-        ).parquet(refs_path)
+        # link graph from this small table + the docs table. All content
+        # reads are confined to the resumable stage-1 waves; a
+        # prior-only rebuild is content-free.
+        (
+            extract_refs(subset.select("doc_id", "content"))
+            .withColumn("part_id", _part_col("src_doc_id", P))
+            .withColumn("gen", F.lit(gen).cast("int"))
+            .repartition(len(wave), "part_id")
+            .write.mode("overwrite")
+            .partitionBy("gen", "part_id")
+            .parquet(refs_path)
+        )
 
         # per-doc metadata incl. title/description (P7/P8); part_id is
         # re-derived (deterministic in doc_id) since docs_table prunes it
-        docs_table(subset).withColumn(
-            "part_id",
-            F.pmod(F.col("doc_id"), F.lit(cfg.build_partitions)).cast("int"),
-        ).repartition(len(wave), "part_id").write.mode(
-            "overwrite"
-        ).partitionBy("part_id").parquet(docs_path)
+        (
+            docs_table(subset)
+            .withColumn("part_id", _part_col("doc_id", P))
+            .withColumn("gen", F.lit(gen).cast("int"))
+            .repartition(len(wave), "part_id")
+            .write.mode("overwrite")
+            .partitionBy("gen", "part_id")
+            .parquet(docs_path)
+        )
 
         # lineage audit: input-side row counts from an INDEPENDENT
         # column-pruned scan of the source (part_id derives from
@@ -185,7 +209,7 @@ def build_index(
         landed_stats = {
             r["part_id"]: (r["rows_in"], r["sha_xor"])
             for r in spark.read.parquet(docs_path)
-            .where(F.col("part_id").isin(wave))
+            .where((F.col("gen") == gen) & F.col("part_id").isin(wave))
             .groupBy("part_id")
             .agg(
                 F.count("*").alias("rows_in"),
@@ -211,7 +235,7 @@ def build_index(
         out_stats = {
             r["part_id"]: r["rows_out"]
             for r in spark.read.parquet(postings_path)
-            .where(F.col("part_id").isin(wave))
+            .where((F.col("gen") == gen) & F.col("part_id").isin(wave))
             .groupBy("part_id")
             .agg(F.count("*").alias("rows_out"))
             .collect()
@@ -221,7 +245,7 @@ def build_index(
             [
                 {
                     "stage": "postings",
-                    "partition_id": p,
+                    "partition_id": gen * P + p,
                     "status": "done",
                     "rows_in": in_stats.get(p, (0, None))[0],
                     "rows_out": out_stats.get(p, 0),
@@ -241,15 +265,31 @@ def build_index(
                 f"wave_{wi}_docs": sum(in_stats.get(p, (0, None))[0] for p in wave),
             },
         )
+    return rows_processed, len(pending), len(done), attempt
 
-    # ---- stage 2: terms + stats + compressed blocks (idempotent) ----
+
+def _index_stage(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig,
+    ckpt: CheckpointLog,
+    metrics: MetricsLog,
+    build_id: str,
+    attempt: int,
+    encode_gen: int | None,
+) -> tuple[int, float, DataFrame]:
+    """Terms + stats over ALL generations; block-encode one generation
+    (``encode_gen``) or everything (None → full rebuild, blocks dir
+    cleared first so stale generations can't linger).
+    Returns (n_docs, avgdl, docs_df)."""
     t2 = time.time()
-    docs = spark.read.parquet(docs_path)
+    docs = spark.read.parquet(f"{index_dir}/docs")
     n_docs = docs.count()
-    postings_all = spark.read.parquet(postings_path)
+    postings_all = spark.read.parquet(f"{index_dir}/postings")
 
     # one fused pass: per-term (df, Σtf) → terms table AND total_dl
-    # (stage 2 scans postings exactly twice: this agg + the encode)
+    # (this stage scans postings exactly twice: this agg + the encode —
+    # and the encode reads only the target generation's partitions)
     terms, total_dl = build_terms_with_stats(postings_all, n_docs)
     avgdl = total_dl / n_docs if n_docs else 0.0
     t_stats = time.time()
@@ -272,8 +312,19 @@ def build_index(
     terms.unpersist()
     t_terms = time.time()
 
-    blocks = encode_blocks(postings_all, cfg)
-    write_index_blocks(blocks, f"{index_dir}/blocks")
+    if encode_gen is None:
+        # full rebuild doubles as compaction: postings from every
+        # generation merge into gen-0 blocks (doc_id-sorted per group)
+        _delete_path(spark, f"{index_dir}/blocks")
+        to_encode, block_gen = postings_all, 0
+    else:
+        to_encode = postings_all.where(F.col("gen") == encode_gen)
+        block_gen = encode_gen
+    blocks = encode_blocks(to_encode.select("doc_id", "term", "tf", "dl"), cfg)
+    write_index_blocks(
+        blocks.withColumn("gen", F.lit(block_gen).cast("int")),
+        f"{index_dir}/blocks",
+    )
     t_encode = time.time()
 
     _write_json(spark, f"{index_dir}/stats.json", stats)
@@ -286,17 +337,23 @@ def build_index(
                            "avgdl": avgdl, "stats_secs": t_stats - t2,
                            "terms_secs": t_terms - t_stats,
                            "encode_secs": t_encode - t_terms})
+    return n_docs, avgdl, docs
 
-    # ---- stage 3: link graph + PageRank prior (idempotent) ----
+
+def _prior_stage(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig,
+    ckpt: CheckpointLog,
+    metrics: MetricsLog,
+    attempt: int,
+    docs: DataFrame,
+) -> None:
+    """Link graph from the refs side-table (all generations) + PageRank.
+    Content-free: refs were extracted during the stage-1 waves."""
     t3 = time.time()
-    try:
-        refs = spark.read.parquet(refs_path).select("src_doc_id", "ref_path")
-        edges = resolve_edges(refs, docs.select("doc_id", "path"))
-    except Exception:  # noqa: BLE001 - index predates the refs side-write
-        edges = resolve_edges(
-            extract_refs(corpus.select("doc_id", "content")),
-            docs.select("doc_id", "path"),
-        )
+    refs = spark.read.parquet(f"{index_dir}/refs").select("src_doc_id", "ref_path")
+    edges = resolve_edges(refs, docs.select("doc_id", "path"))
     edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
     t_edges = time.time()
     prior = pagerank(
@@ -313,6 +370,43 @@ def build_index(
                            "edges_secs": t_edges - t3,
                            "pagerank_secs": time.time() - t_edges})
 
+
+def build_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the full index under ``index_dir``
+    (generation 0; see :func:`extend_index` for incremental batches).
+
+    ``fail_after_waves`` is a test hook simulating a mid-build kill.
+    Returns a summary dict (also what the CLI prints).
+    """
+    cfg = cfg or EngineConfig()
+    _tune_scan_splits(spark, corpus_path)
+    t0 = time.time()
+    build_id = uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
+    metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
+
+    # dynamic overwrite: re-running a wave replaces only its partitions
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    corpus = with_identity(load_corpus(spark, corpus_path)).withColumn(
+        "part_id", _part_col("doc_id", cfg.build_partitions)
+    )
+    rows_processed, n_pending, n_done, attempt = _postings_stage(
+        spark, corpus, index_dir, cfg, ckpt, metrics,
+        gen=0, resume=resume, fail_after_waves=fail_after_waves,
+    )
+    n_docs, avgdl, docs = _index_stage(
+        spark, index_dir, cfg, ckpt, metrics, build_id, attempt, encode_gen=None
+    )
+    _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
+
     wall = time.time() - t0
     metrics.emit("build", {"secs": wall, "docs": n_docs,
                            "docs_per_sec": (rows_processed / wall) if wall else 0.0})
@@ -320,8 +414,90 @@ def build_index(
         "build_id": build_id,
         "n_docs": n_docs,
         "avgdl": avgdl,
-        "partitions_built": len(pending),
-        "partitions_skipped": len(done),
+        "partitions_built": n_pending,
+        "partitions_skipped": n_done,
+        "wall_secs": wall,
+    }
+
+
+def extend_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    generation: int | None = None,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Ingest a NEW corpus batch into an existing index as its own
+    generation — tokenize + block-encode the delta only (O(delta)),
+    then refresh terms/stats (one aggregation over postings, no
+    content) and rebuild the link prior.
+
+    Upsert semantics: rows whose doc_id already exists in an earlier
+    generation are skipped (the reference's ``ON CONFLICT DO NOTHING``
+    page sink, `services/spider/internal/store/db.go:83-118`, and its
+    claim-loop that never re-indexes an ``indexed=TRUE`` page).
+
+    ``generation=None`` auto-selects: the top generation if its stage-1
+    is incomplete (resuming an interrupted extend), else the next one.
+    """
+    cfg = cfg or EngineConfig()
+    _tune_scan_splits(spark, corpus_path)
+    t0 = time.time()
+    build_id = uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
+    metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    P = cfg.build_partitions
+    done_ids = ckpt.completed_partitions("postings")
+    if not done_ids:
+        raise ValueError(
+            "extend_index requires an existing index (no completed "
+            "postings partitions found) — use build_index first"
+        )
+    if generation is None:
+        gmax = max(d // P for d in done_ids)
+        complete = len({d % P for d in done_ids if d // P == gmax}) == P
+        generation = gmax + 1 if complete else gmax
+    if generation == 0:
+        raise ValueError("generation 0 is the base build; got extend(gen=0)")
+
+    delta = with_identity(load_corpus(spark, corpus_path)).withColumn(
+        "part_id", _part_col("doc_id", cfg.build_partitions)
+    )
+    # upsert: skip docs already indexed by OLDER generations (the gen
+    # currently being written is excluded so its own resume still sees
+    # the delta rows)
+    existing = (
+        spark.read.parquet(f"{index_dir}/docs")
+        .where(F.col("gen") < generation)
+        .select("doc_id")
+    )
+    delta = delta.join(existing, "doc_id", "left_anti")
+
+    rows_processed, n_pending, n_done, attempt = _postings_stage(
+        spark, delta, index_dir, cfg, ckpt, metrics,
+        gen=generation, resume=resume, fail_after_waves=fail_after_waves,
+    )
+    n_docs, avgdl, docs = _index_stage(
+        spark, index_dir, cfg, ckpt, metrics, build_id, attempt,
+        encode_gen=generation,
+    )
+    _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
+
+    wall = time.time() - t0
+    metrics.emit("extend", {"secs": wall, "generation": generation,
+                            "docs_added": rows_processed})
+    return {
+        "build_id": build_id,
+        "generation": generation,
+        "n_docs": n_docs,
+        "docs_added": rows_processed,
+        "avgdl": avgdl,
+        "partitions_built": n_pending,
+        "partitions_skipped": n_done,
         "wall_secs": wall,
     }
 

@@ -1,0 +1,107 @@
+"""Segmented incremental ingest: ``extend_index`` must produce the same
+query answers as a full rebuild over the union corpus.
+
+The delta is tokenized/encoded as its own generation (O(delta) work);
+terms/stats refresh globally; old generations' blocks stay valid
+because block metadata is the avgdl-independent (max_tf, min_dl) pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.build import build_index, extend_index, read_stats
+from search_engine_spark.plans.query import QueryEngine
+
+REL_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def split_corpora(spark, fixture_dir, tmp_path_factory):
+    """Fixture corpus split into a base (120 docs) and a delta (80 docs
+    + 20 overlapping base docs, which upsert semantics must skip)."""
+    root = tmp_path_factory.mktemp("extend")
+    full = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    paths = sorted(r["path"] for r in full.select("path").collect())
+    base_paths, delta_paths = paths[:120], paths[120:]
+    overlap = base_paths[:20]
+    a, b, u = str(root / "a"), str(root / "b"), str(root / "union")
+    full.where(F.col("path").isin(base_paths)).write.parquet(a)
+    full.where(F.col("path").isin(delta_paths + overlap)).write.parquet(b)
+    full.write.parquet(u)
+    return a, b, u, root
+
+
+@pytest.fixture(scope="module")
+def extended_and_full(spark, split_corpora):
+    a, b, u, root = split_corpora
+    inc_dir, full_dir = str(root / "ix_inc"), str(root / "ix_full")
+    s1 = build_index(spark, a, inc_dir)
+    assert s1["n_docs"] == 120
+    s2 = extend_index(spark, b, inc_dir)
+    assert s2["generation"] == 1
+    assert s2["docs_added"] == 80  # 20 overlapping docs upsert-skipped
+    assert s2["n_docs"] == 200
+    build_index(spark, u, full_dir)
+    return inc_dir, full_dir
+
+
+def test_stats_match_full_build(spark, extended_and_full):
+    inc_dir, full_dir = extended_and_full
+    si, sf_ = read_stats(spark, inc_dir), read_stats(spark, full_dir)
+    assert si["n_docs"] == sf_["n_docs"]
+    assert si["avgdl"] == pytest.approx(sf_["avgdl"], rel=REL_TOL)
+
+
+def test_terms_match_full_build(spark, extended_and_full):
+    inc_dir, full_dir = extended_and_full
+    ti = {r["term"]: (r["df"], r["idf"])
+          for r in spark.read.parquet(f"{inc_dir}/terms").collect()}
+    tf_ = {r["term"]: (r["df"], r["idf"])
+           for r in spark.read.parquet(f"{full_dir}/terms").collect()}
+    assert set(ti) == set(tf_)
+    for t, (df_i, idf_i) in ti.items():
+        assert df_i == tf_[t][0], t
+        assert idf_i == pytest.approx(tf_[t][1], rel=REL_TOL)
+
+
+def test_blocks_are_segmented(spark, extended_and_full):
+    inc_dir, _ = extended_and_full
+    gens = {r["gen"] for r in
+            spark.read.parquet(f"{inc_dir}/blocks").select("gen").distinct().collect()}
+    assert gens == {0, 1}  # base segment untouched, delta is its own
+
+
+def test_query_identical_to_full_build(spark, extended_and_full, fixture_queries):
+    inc_dir, full_dir = extended_and_full
+    ei, ef = QueryEngine(spark, inc_dir), QueryEngine(spark, full_dir)
+    for q in fixture_queries[:6]:
+        for wand in (True, False):
+            ri = ei.bm25(q, k=10, wand=wand).collect()
+            rf = ef.bm25(q, k=10, wand=wand).collect()
+            assert [r["doc_id"] for r in ri] == [r["doc_id"] for r in rf], (q, wand)
+            for a_, b_ in zip(ri, rf):
+                assert a_["score"] == pytest.approx(b_["score"], rel=REL_TOL)
+
+
+def test_prior_matches_full_build(spark, extended_and_full):
+    inc_dir, full_dir = extended_and_full
+    pi = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{inc_dir}/prior").collect()}
+    pf = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{full_dir}/prior").collect()}
+    assert set(pi) == set(pf)
+    assert sum(abs(pi[d] - pf[d]) for d in pf) < 1e-6
+
+
+def test_extend_resumes_after_kill(spark, split_corpora):
+    a, b, _, root = split_corpora
+    ix = str(root / "ix_kill")
+    build_index(spark, a, ix)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        extend_index(spark, b, ix, fail_after_waves=1)
+    s = extend_index(spark, b, ix)  # auto-detects the incomplete gen 1
+    assert s["generation"] == 1
+    assert s["partitions_skipped"] > 0  # first wave's partitions kept
+    assert s["n_docs"] == 200
