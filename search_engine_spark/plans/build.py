@@ -352,7 +352,13 @@ def _prior_stage(
     """Link graph from the refs side-table (all generations) + PageRank.
     Content-free: refs were extracted during the stage-1 waves."""
     t3 = time.time()
-    refs = spark.read.parquet(f"{index_dir}/refs").select("src_doc_id", "ref_path")
+    try:
+        refs = spark.read.parquet(f"{index_dir}/refs").select(
+            "src_doc_id", "ref_path"
+        )
+    except Exception:  # noqa: BLE001 - corpus with zero refs writes an
+        # empty (fileless) partitioned dir, which schema inference rejects
+        refs = spark.createDataFrame([], "src_doc_id long, ref_path string")
     edges = resolve_edges(refs, docs.select("doc_id", "path"))
     edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
     t_edges = time.time()

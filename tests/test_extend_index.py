@@ -105,3 +105,20 @@ def test_extend_resumes_after_kill(spark, split_corpora):
     assert s["generation"] == 1
     assert s["partitions_skipped"] > 0  # first wave's partitions kept
     assert s["n_docs"] == 200
+
+
+def test_build_with_zero_refs(spark, fixture_dir, tmp_path_factory):
+    """A corpus with no import/include lines writes an empty refs dir;
+    the build must still complete with an empty graph (regression:
+    schema inference rejects a fileless partitioned dir)."""
+    root = tmp_path_factory.mktemp("norefs")
+    full = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    plain = full.withColumn(
+        "content", F.regexp_replace("content", r"(?m)^(import|from|#include).*$", "x")
+    ).limit(40)
+    src = str(root / "corpus")
+    plain.write.parquet(src)
+    ix = str(root / "ix")
+    s = build_index(spark, src, ix)
+    assert s["n_docs"] == 40
+    assert spark.read.parquet(f"{ix}/prior").count() == 0
