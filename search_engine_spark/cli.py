@@ -7,6 +7,7 @@ query and print ``path: score`` per hit.
 Usage:
     python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
+    python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
 
@@ -110,6 +111,11 @@ def main(argv: list[str]) -> int:
         _build(args[2], args[3])
     elif cmd == "extend":
         _extend(args[2], args[3])
+    elif cmd == "compact":
+        from search_engine_spark.plans.build import compact_index
+        from search_engine_spark.session import get_spark
+
+        print(compact_index(get_spark("se-compact"), args[2]))
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")

@@ -508,6 +508,33 @@ def extend_index(
     }
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Merge all generations' blocks into one segment (gen 0) — the
+    Lucene-style segment merge. Re-encodes from the stored postings
+    (never re-reads content) and refreshes terms/stats in the same
+    pass; docs/refs/prior are untouched. Run after many extends to
+    restore single-segment block density.
+    """
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    build_id = uuid.uuid4().hex[:12]
+    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
+    metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    attempt = ckpt.next_attempt("index")
+    n_docs, avgdl, _ = _index_stage(
+        spark, index_dir, cfg, ckpt, metrics, build_id, attempt, encode_gen=None
+    )
+    wall = time.time() - t0
+    metrics.emit("compact", {"secs": wall})
+    return {"build_id": build_id, "n_docs": n_docs, "avgdl": avgdl,
+            "wall_secs": wall}
+
+
 def _write_json(spark: SparkSession, path: str, payload: dict) -> None:
     """Write a small JSON blob through the Hadoop FS API (works for any
     scheme the cluster sees, not just local paths)."""

@@ -122,3 +122,27 @@ def test_build_with_zero_refs(spark, fixture_dir, tmp_path_factory):
     s = build_index(spark, src, ix)
     assert s["n_docs"] == 40
     assert spark.read.parquet(f"{ix}/prior").count() == 0
+
+
+def test_compact_merges_segments(spark, extended_and_full, fixture_queries):
+    """After compaction the index is single-segment (gen 0 only) and
+    queries answer identically — the re-encode reads stored postings,
+    never content."""
+    from search_engine_spark.plans.build import compact_index
+
+    inc_dir, _ = extended_and_full
+    eng_before = QueryEngine(spark, inc_dir)
+    before = {q: [(r["doc_id"], r["score"])
+                  for r in eng_before.bm25(q, k=10).collect()]
+              for q in fixture_queries[:4]}
+    s = compact_index(spark, inc_dir)
+    assert s["n_docs"] == 200
+    gens = {r["gen"] for r in
+            spark.read.parquet(f"{inc_dir}/blocks").select("gen").distinct().collect()}
+    assert gens == {0}
+    eng = QueryEngine(spark, inc_dir)
+    for q, exp in before.items():
+        got = [(r["doc_id"], r["score"]) for r in eng.bm25(q, k=10).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=REL_TOL)
