@@ -8,6 +8,7 @@ Usage:
     python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
+    python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
 
@@ -116,6 +117,13 @@ def main(argv: list[str]) -> int:
         from search_engine_spark.session import get_spark
 
         print(compact_index(get_spark("se-compact"), args[2]))
+    elif cmd == "delete":
+        from search_engine_spark.plans.build import delete_docs
+        from search_engine_spark.session import get_spark
+
+        n = delete_docs(get_spark("se-delete"), args[2],
+                        [int(d) for d in args[3:]])
+        print(f"tombstones: {n} (run compact to drop physically)")
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")

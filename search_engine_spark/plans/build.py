@@ -102,6 +102,14 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    sc = spark.sparkContext
+    hsrc = sc._jvm.org.apache.hadoop.fs.Path(src)  # noqa: SLF001
+    hdst = sc._jvm.org.apache.hadoop.fs.Path(dst)  # noqa: SLF001
+    fs = hsrc.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.rename(hsrc, hdst)
+
+
 def _part_col(src_col: str, n_parts: int):
     return F.pmod(F.col(src_col), F.lit(n_parts)).cast("int")
 
@@ -508,6 +516,40 @@ def extend_index(
     }
 
 
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: list[int] | DataFrame
+) -> int:
+    """Tombstone documents (Lucene-model deletes): the doc_ids land in
+    ``{index_dir}/tombstones`` and the query engine excludes them
+    immediately; the postings/blocks/stats still contain them until
+    :func:`compact_index` physically drops them and refreshes
+    terms/stats/prior — exactly Lucene's deleted-docs-until-merge
+    semantics. Returns the total live tombstone count."""
+    from search_engine_spark.functions.inline import inline_table
+
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        df = inline_table(
+            spark, [(int(d),) for d in doc_ids], "doc_id long"
+        )
+    df.coalesce(1).write.mode("append").parquet(f"{index_dir}/tombstones")
+    return (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .select("doc_id").distinct().count()
+    )
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live tombstones (empty relation if none were ever written)."""
+    try:
+        return spark.read.parquet(f"{index_dir}/tombstones").select(
+            "doc_id"
+        ).distinct()
+    except Exception:  # noqa: BLE001 - no tombstones dir yet
+        return spark.createDataFrame([], "doc_id long")
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -516,8 +558,11 @@ def compact_index(
     """Merge all generations' blocks into one segment (gen 0) — the
     Lucene-style segment merge. Re-encodes from the stored postings
     (never re-reads content) and refreshes terms/stats in the same
-    pass; docs/refs/prior are untouched. Run after many extends to
-    restore single-segment block density.
+    pass. If tombstones exist, the deleted docs are physically dropped
+    from postings/docs/refs first and the link prior is rebuilt (the
+    graph changes when nodes disappear); otherwise docs/refs/prior are
+    untouched. Run after many extends/deletes to restore single-segment
+    block density and exact corpus stats.
     """
     cfg = cfg or EngineConfig()
     t0 = time.time()
@@ -526,13 +571,41 @@ def compact_index(
     metrics = MetricsLog(spark, f"{index_dir}/_metrics", build_id)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     attempt = ckpt.next_attempt("index")
-    n_docs, avgdl, _ = _index_stage(
+
+    tombs = read_tombstones(spark, index_dir)
+    n_deleted = tombs.count()
+    if n_deleted:
+        # physical delete: rewrite the three row tables minus the
+        # tombstoned docs (full-table rewrite — compaction is the
+        # designated moment to pay it), then drop the tombstones
+        for name, key in (("postings", "doc_id"), ("docs", "doc_id"),
+                          ("refs", "src_doc_id")):
+            path = f"{index_dir}/{name}"
+            try:
+                tbl = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 - empty refs dir
+                continue
+            kept = tbl.join(
+                F.broadcast(tombs.withColumnRenamed("doc_id", key)), key,
+                "left_anti",
+            )
+            tmp = f"{index_dir}/_{name}_compact"
+            kept.repartition("part_id").write.mode("overwrite").partitionBy(
+                "gen", "part_id"
+            ).parquet(tmp)
+            _delete_path(spark, path)
+            _rename_path(spark, tmp, path)
+        _delete_path(spark, f"{index_dir}/tombstones")
+
+    n_docs, avgdl, docs = _index_stage(
         spark, index_dir, cfg, ckpt, metrics, build_id, attempt, encode_gen=None
     )
+    if n_deleted:
+        _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
     wall = time.time() - t0
-    metrics.emit("compact", {"secs": wall})
+    metrics.emit("compact", {"secs": wall, "docs_deleted": n_deleted})
     return {"build_id": build_id, "n_docs": n_docs, "avgdl": avgdl,
-            "wall_secs": wall}
+            "docs_deleted": n_deleted, "wall_secs": wall}
 
 
 def _write_json(spark: SparkSession, path: str, payload: dict) -> None:

@@ -33,7 +33,7 @@ from search_engine_spark.functions.xxhash import spark_xxhash64_str
 from search_engine_spark.operators.compress import decode_blocks
 from search_engine_spark.operators.scoring import partial_scores, rank_order
 from search_engine_spark.operators.wand import wand_topk
-from search_engine_spark.plans.build import read_stats
+from search_engine_spark.plans.build import read_stats, read_tombstones
 
 
 class QueryEngine:
@@ -60,6 +60,18 @@ class QueryEngine:
             self.docs = self.docs.cache()
             self.prior = self.prior.cache()
         self._del_ix: DataFrame | None = None
+        # Lucene-model deletes: tombstoned docs are excluded from every
+        # result immediately; postings/stats still contain them until
+        # compact_index physically drops them (documented divergence of
+        # df/avgdl between delete and compact, same as Lucene segments)
+        self.tombstones = read_tombstones(spark, index_dir).cache()
+        self._n_tombs = self.tombstones.count()
+
+    def _live(self, scored: DataFrame) -> DataFrame:
+        """Drop tombstoned docs from a (doc_id, ...) relation."""
+        if not self._n_tombs:
+            return scored
+        return scored.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
 
     # ---- helpers ----
     def _buckets(self, terms: list[str]) -> list[int]:
@@ -220,14 +232,18 @@ class QueryEngine:
         if not idf_map:
             scored = self._empty_scored()
         elif wand:
+            # +n_tombs: tombstoned docs may occupy per-salt top-k slots
+            # before the anti-join drops them — widening the ask keeps
+            # the post-filter top-k exact (compact to reclaim when the
+            # tombstone backlog grows large)
             scored = wand_topk(
                 self._query_blocks(list(idf_map)), idf_map,
-                self.stats["avgdl"], (page + 1) * k,
+                self.stats["avgdl"], (page + 1) * k + self._n_tombs,
                 self.stats["k1"], self.stats["b"],
             )
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
-        with_path = scored.join(self.docs, "doc_id", "left")
+        with_path = self._live(scored).join(self.docs, "doc_id", "left")
         return self._offset_page(
             with_path, rank_order(with_path), page, k
         ).select("doc_id", "score", "matched", "path", *self._meta_cols)
@@ -271,7 +287,9 @@ class QueryEngine:
             F.sum("partial").alias("score"),
             F.count("*").cast("int").alias("matched"),
         )
-        with_path = scored.join(self.docs.select("doc_id", "path"), "doc_id", "left")
+        with_path = self._live(scored).join(
+            self.docs.select("doc_id", "path"), "doc_id", "left"
+        )
         w = Window.partitionBy("query_id").orderBy(*rank_order(with_path))
         return (
             with_path.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -290,7 +308,11 @@ class QueryEngine:
         if not idf_map:
             return 0
         decoded = decode_blocks(self._query_blocks(list(idf_map)))
-        return decoded.select(F.countDistinct("doc_id")).collect()[0][0]
+        return (
+            self._live(decoded.select("doc_id"))
+            .select(F.countDistinct("doc_id"))
+            .collect()[0][0]
+        )
 
     # ---- reference-compat: blended final ranking (§8.4) ----
     def search(self, query: str, k: int = 10, spell: bool = False,
@@ -314,7 +336,9 @@ class QueryEngine:
             scored = self._cosine_scores(list(idf_map), self._idf_ref_map(terms))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
-        cand = scored.join(self.prior, "doc_id", "left").na.fill({"prior": 0.0})
+        cand = self._live(scored).join(
+            self.prior, "doc_id", "left"
+        ).na.fill({"prior": 0.0})
         # pagination happens at the candidate window, like the
         # reference's LIMIT $2 OFFSET $3 in the ranked CTE (store.go:88-98)
         page = self._offset_page(

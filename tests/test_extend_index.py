@@ -146,3 +146,61 @@ def test_compact_merges_segments(spark, extended_and_full, fixture_queries):
         assert [g[0] for g in got] == [e[0] for e in exp], q
         for g, e in zip(got, exp):
             assert g[1] == pytest.approx(e[1], rel=REL_TOL)
+
+
+def test_delete_then_compact(spark, fixture_dir, tmp_path_factory, fixture_queries):
+    """Tombstoned docs vanish from every result path immediately;
+    compaction physically drops them and the index becomes identical
+    to a fresh build over the filtered corpus (stats, terms, prior,
+    top-k)."""
+    from search_engine_spark.plans.build import compact_index, delete_docs
+
+    root = tmp_path_factory.mktemp("delete")
+    src = str(fixture_dir / "corpus.parquet")
+    ix, ix_ref = str(root / "ix"), str(root / "ix_ref")
+    build_index(spark, src, ix)
+    eng0 = QueryEngine(spark, ix)
+    q = fixture_queries[0]
+    top = eng0.bm25(q, k=5).collect()
+    victims = [top[0]["doc_id"], top[2]["doc_id"]]
+    victim_paths = {r["path"] for r in top if r["doc_id"] in victims}
+    assert delete_docs(spark, ix, victims) == 2
+
+    eng = QueryEngine(spark, ix)  # reload: tombstones read at init
+    hits0 = eng.total_hits(q)
+    for wand in (True, False):
+        got = {r["doc_id"] for r in eng.bm25(q, k=5, wand=wand).collect()}
+        assert not (got & set(victims)), wand
+        assert len(got) == 5  # replacements fill the freed slots
+    assert {r["doc_id"] for r in eng.search(q, k=5).collect()}.isdisjoint(victims)
+    batch = eng.bm25_batch({"q0": q}, k=5).collect()
+    assert {r["doc_id"] for r in batch}.isdisjoint(victims)
+
+    s = compact_index(spark, ix)
+    assert s["docs_deleted"] == 2
+    assert s["n_docs"] == 198
+
+    # reference: fresh build over the corpus minus the victims
+    full = spark.read.parquet(src)
+    full.where(~F.col("path").isin(list(victim_paths))).write.parquet(
+        str(root / "filtered")
+    )
+    build_index(spark, str(root / "filtered"), ix_ref)
+
+    si, sr = read_stats(spark, ix), read_stats(spark, ix_ref)
+    assert si["n_docs"] == sr["n_docs"] == 198
+    assert si["avgdl"] == pytest.approx(sr["avgdl"], rel=REL_TOL)
+    ei, er = QueryEngine(spark, ix), QueryEngine(spark, ix_ref)
+    assert ei.total_hits(q) == er.total_hits(q) == hits0
+    for qq in fixture_queries[:4]:
+        ri = ei.bm25(qq, k=10).collect()
+        rr = er.bm25(qq, k=10).collect()
+        assert [r["doc_id"] for r in ri] == [r["doc_id"] for r in rr], qq
+        for a_, b_ in zip(ri, rr):
+            assert a_["score"] == pytest.approx(b_["score"], rel=REL_TOL)
+    pi = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{ix}/prior").collect()}
+    pr = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{ix_ref}/prior").collect()}
+    assert set(pi) == set(pr)
+    assert sum(abs(pi[d] - pr[d]) for d in pr) < 1e-6
