@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: textstats.quality_score(_t(s, d, "documents")),
         "text_lang_id": lambda s, d: textstats.lang_id(_t(s, d, "documents")),
         "text_fingerprint": lambda s, d: textstats.fingerprint(_t(s, d, "documents")),
+        "text_repetition": lambda s, d: textstats.repetition_stats(
+            _t(s, d, "documents")
+        ),
+        "text_pii_scrub": lambda s, d: textstats.pii_scrub(_t(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.exact_dedup(_t(s, d, "documents")),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(

@@ -7,7 +7,16 @@ stays inside whole-stage codegen and scales linearly with input splits
 
 Ops: token counting (whitespace + BPE-ish regex), quality scoring
 (length/punct/stopword ratios), language-ID (stopword-list heuristic),
-document fingerprinting (rolling polynomial hash).
+document fingerprinting (rolling polynomial hash), repetition signals
+(duplicate-line fraction + top-bigram share, cf. the Gopher repetition
+rules), and PII scrubbing (email/phone redaction, cf. C4-style
+pretraining cleanup).
+
+``repetition_stats`` is the one op here with a shuffle: per-(doc,
+bigram) counts need a groupBy, but partial aggregation (map-side
+combine) keeps the exchange proportional to *distinct* bigrams per doc,
+not tokens — the scalable alternative to an O(tokens²) per-row array
+self-scan, which would blow up on 10k-token source files.
 
 Each Spark op has a DuckDB oracle twin in ``ORACLE_SQL`` (same math,
 4-dp rounding on all floats).
@@ -152,6 +161,80 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals, integer fixed-point (×10^6):
+    duplicate-line fraction and the token share of the single most
+    frequent bigram. High values flag boilerplate/templated docs that
+    pretraining filters drop (Rae et al. 2021, §A.1.1).
+
+    Bigram counting goes through explode → groupBy so Spark's partial
+    aggregation bounds the shuffle by distinct bigrams; docs with <2
+    tokens join back as NULL → 0."""
+    toks = tokens_col("text")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    staged = docs.select("doc_id", toks.alias("toks"),
+                         F.size(lines).alias("n_lines"),
+                         F.size(F.array_distinct(lines)).alias("n_distinct_lines"))
+    staged = staged.withColumn(
+        "bigrams",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr("transform(sequence(0, size(toks) - 2), "
+                   "i -> concat(toks[i], ' ', toks[i+1]))"),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    tops = (
+        staged.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bg"), F.sum("cnt").alias("n_bg"))
+    )
+    return (
+        staged.join(tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.when(
+                F.col("n_lines") > 0,
+                F.expr("((n_lines - n_distinct_lines)::bigint * 1000000) div n_lines"),
+            ).otherwise(F.lit(0).cast("long")).alias("dup_line_frac_e6"),
+            F.when(
+                F.col("n_bg") > 0,
+                F.expr("(top_bg::bigint * 1000000) div n_bg"),
+            ).otherwise(F.lit(0).cast("long")).alias("top_bigram_share_e6"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """C4-style PII cleanup: redact email addresses then phone-shaped
+    digit runs (≥8 chars of digits/space/dash/parens), count both, and
+    emit the scrubbed text's md5 + length so downstream stages (and the
+    oracle) can verify the redaction without shipping the text.
+
+    Pure JVM expressions; both regexes are dialect-portable (Java ⇄ RE2
+    agree on leftmost-first greedy here). Phones are counted on the
+    email-scrubbed text so the two redactions compose deterministically."""
+    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
+        .cast("int").alias("n_phones"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _T = duck_tokens("text")
@@ -213,6 +296,50 @@ SELECT doc_id, lang AS labeled_lang,
             {' '.join(f"WHEN r_{lg} = greatest({', '.join('r_' + l2 for l2 in LANGS)}) THEN '{lg}'" for lg in LANGS)}
             ELSE 'und' END AS pred_lang,
        {', '.join('r_' + lg for lg in LANGS)}
+FROM r
+""",
+    # DuckDB lists are 1-based: range(1, len) + toks[i]/toks[i+1] mirrors
+    # Spark's 0-based sequence(0, size-2) exactly.
+    "text_repetition": f"""
+WITH d AS (
+  SELECT doc_id, {_T} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+), t AS (
+  SELECT doc_id, max(cnt) AS top_bg, sum(cnt) AS n_bg FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CASE WHEN len(lines) > 0 THEN
+         ((len(lines) - len(list_distinct(lines)))::BIGINT * 1000000) // len(lines)
+       ELSE 0 END AS dup_line_frac_e6,
+       CASE WHEN t.n_bg > 0 THEN (t.top_bg::BIGINT * 1000000) // t.n_bg
+       ELSE 0 END AS top_bigram_share_e6
+FROM d LEFT JOIN t ON d.doc_id = t.doc_id
+""",
+    "text_pii_scrub": f"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM documents
+), r AS (
+  SELECT doc_id, text, no_email,
+         regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
 FROM r
 """,
     "text_fingerprint": f"""

@@ -1,0 +1,81 @@
+"""Repetition + PII-scrub ops: engine↔oracle parity on fixtures that
+actually CONTAIN PII and duplicated lines (the driver's synthetic
+documents table mostly doesn't), plus closed-form expectations.
+
+The gate-table parity at sf0.001 is covered by test_ops_parity; this
+file pins behavior where the signals are non-trivial.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark.ops import textstats
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+ROWS = [
+    (1, "contact me at bob.smith+x@example.co.uk or call +1 (555) 123-4567 now",
+     "en", "s", 70),
+    (2, "dup line\ndup line\nunique\nthe cat the cat the cat", "en", "s", 50),
+    (3, "", "en", "s", 0),
+    (4, "x", "en", "s", 1),
+    (5, "a@b.io c@d.io e@f.io and digits 123 456 7890 here", "en", "s", 49),
+    (6, "same\nsame\nsame\nsame", "en", "s", 19),
+]
+
+
+@pytest.fixture(scope="module")
+def duck_inline():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(ROWS, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    con.register("documents", pdf)
+    yield con
+    con.close()
+
+
+def _parity(spark, duck, op, oracle_key):
+    sdf = op(spark.createDataFrame(ROWS, SCHEMA))
+    got = {tuple(sorted(r.asDict().items())) for r in sdf.collect()}
+    want = set()
+    rel = duck.sql(textstats.ORACLE_SQL[oracle_key])
+    cols = list(rel.columns)
+    for row in rel.fetchall():
+        want.add(tuple(sorted(zip(cols, row))))
+    assert got == want
+
+
+def test_pii_scrub_parity_on_pii_fixture(spark, duck_inline):
+    _parity(spark, duck_inline, textstats.pii_scrub, "text_pii_scrub")
+
+
+def test_repetition_parity_on_dup_fixture(spark, duck_inline):
+    _parity(spark, duck_inline, textstats.repetition_stats, "text_repetition")
+
+
+def test_pii_scrub_counts(spark):
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.pii_scrub(spark.createDataFrame(ROWS, SCHEMA)).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[5]["n_emails"] == 3 and got[5]["n_phones"] == 1
+    assert got[3]["n_emails"] == 0 and got[3]["scrubbed_len"] == 0
+    # redaction actually removed the address: scrubbed md5 differs from raw
+    import hashlib
+    assert got[1]["scrubbed_md5"] != hashlib.md5(ROWS[0][1].encode()).hexdigest()
+
+
+def test_repetition_signals(spark):
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.repetition_stats(
+               spark.createDataFrame(ROWS, SCHEMA)).collect()}
+    # doc 2: 4 non-empty lines, 1 dup -> 250000; top bigram 'the cat' 3/10
+    assert got[2]["n_lines"] == 4
+    assert got[2]["dup_line_frac_e6"] == 250_000
+    assert got[2]["top_bigram_share_e6"] == 300_000
+    # doc 6: 4 identical lines -> 750000 dup fraction; 'same same' 3/3 bigrams
+    assert got[6]["dup_line_frac_e6"] == 750_000
+    assert got[6]["top_bigram_share_e6"] == 1_000_000
+    # degenerate docs never NULL out
+    assert got[3]["top_bigram_share_e6"] == 0 and got[4]["top_bigram_share_e6"] == 0
