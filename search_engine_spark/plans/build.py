@@ -401,6 +401,24 @@ def build_index(
     """
     cfg = cfg or EngineConfig()
     _tune_scan_splits(spark, corpus_path)
+    return build_index_df(
+        spark, load_corpus(spark, corpus_path), index_dir, cfg,
+        resume=resume, fail_after_waves=fail_after_waves,
+    )
+
+
+def build_index_df(
+    spark: SparkSession,
+    raw_corpus: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """:func:`build_index` over an already-loaded corpus DataFrame —
+    the entry point streaming ingest (``foreachBatch``) uses, where the
+    micro-batch arrives as a DataFrame, not a path."""
+    cfg = cfg or EngineConfig()
     t0 = time.time()
     build_id = uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
@@ -409,7 +427,7 @@ def build_index(
     # dynamic overwrite: re-running a wave replaces only its partitions
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    corpus = with_identity(load_corpus(spark, corpus_path)).withColumn(
+    corpus = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
     rows_processed, n_pending, n_done, attempt = _postings_stage(
@@ -458,6 +476,25 @@ def extend_index(
     """
     cfg = cfg or EngineConfig()
     _tune_scan_splits(spark, corpus_path)
+    return extend_index_df(
+        spark, load_corpus(spark, corpus_path), index_dir, cfg,
+        resume=resume, generation=generation,
+        fail_after_waves=fail_after_waves,
+    )
+
+
+def extend_index_df(
+    spark: SparkSession,
+    raw_corpus: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+    generation: int | None = None,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """:func:`extend_index` over an already-loaded delta DataFrame (the
+    ``foreachBatch`` entry point for streaming ingest)."""
+    cfg = cfg or EngineConfig()
     t0 = time.time()
     build_id = uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
@@ -478,7 +515,7 @@ def extend_index(
     if generation == 0:
         raise ValueError("generation 0 is the base build; got extend(gen=0)")
 
-    delta = with_identity(load_corpus(spark, corpus_path)).withColumn(
+    delta = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
     # upsert: skip docs already indexed by OLDER generations (the gen

@@ -1,0 +1,107 @@
+"""Continuous ingest: a file-source stream feeding the segmented
+incremental build must (a) bootstrap the base generation from the first
+batch, (b) ingest later files as new generations, (c) never re-ingest
+files the stream checkpoint already consumed, and (d) end up
+query-identical to a batch build over the union corpus.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.build import build_index, read_stats
+from search_engine_spark.plans.query import QueryEngine
+from search_engine_spark.streaming.ingest import stream_ingest
+
+REL_TOL = 1e-9
+TIMEOUT_S = 600
+
+
+def _drop_file(spark, df, tmp: Path, corpus_dir: Path, name: str) -> None:
+    """Write df as ONE parquet file named ``name`` inside corpus_dir
+    (file-source streams watch files, not Spark output directories)."""
+    staging = tmp / f"_staging_{name}"
+    df.coalesce(1).write.parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, corpus_dir / name)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, fixture_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_ingest")
+    corpus_dir = root / "corpus"
+    corpus_dir.mkdir()
+    full = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    paths = sorted(r["path"] for r in full.select("path").collect())
+    base = full.where(F.col("path").isin(paths[:120]))
+    delta = full.where(F.col("path").isin(paths[120:]))
+    return root, corpus_dir, full, base, delta
+
+
+def _run_drain(spark, corpus_dir, ix):
+    q = stream_ingest(spark, str(corpus_dir), ix)
+    assert q.awaitTermination(TIMEOUT_S), "stream did not drain in time"
+    return q
+
+
+def test_stream_ingest_end_to_end(spark, stream_env, fixture_queries):
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix")
+
+    # batch 0 bootstraps the base build
+    _drop_file(spark, base, root, corpus_dir, "batch0.parquet")
+    _run_drain(spark, corpus_dir, ix)
+    assert read_stats(spark, ix)["n_docs"] == 120
+
+    # batch 1 lands later -> its own generation; batch 0 not re-read
+    _drop_file(spark, delta, root, corpus_dir, "batch1.parquet")
+    _run_drain(spark, corpus_dir, ix)
+    assert read_stats(spark, ix)["n_docs"] == 200
+    gens = {r["gen"] for r in spark.read.parquet(f"{ix}/blocks")
+            .select("gen").distinct().collect()}
+    assert gens == {0, 1}
+
+    # no new files -> no-op drain (checkpoint holds)
+    docs_before = spark.read.parquet(f"{ix}/docs").count()
+    _run_drain(spark, corpus_dir, ix)
+    assert spark.read.parquet(f"{ix}/docs").count() == docs_before
+    assert read_stats(spark, ix)["n_docs"] == 200
+
+    # query-identical to a batch build over the union corpus
+    ix_full = str(root / "ix_full")
+    full.write.parquet(str(root / "union"))
+    build_index(spark, str(root / "union"), ix_full)
+    es, ef = QueryEngine(spark, ix), QueryEngine(spark, ix_full)
+    sf_s, sf_f = read_stats(spark, ix), read_stats(spark, ix_full)
+    assert sf_s["n_docs"] == sf_f["n_docs"]
+    assert sf_s["avgdl"] == pytest.approx(sf_f["avgdl"], rel=REL_TOL)
+    for q in fixture_queries[:4]:
+        rs = es.bm25(q, k=10).collect()
+        rf = ef.bm25(q, k=10).collect()
+        assert [r["doc_id"] for r in rs] == [r["doc_id"] for r in rf], q
+        for a, b in zip(rs, rf):
+            assert a["score"] == pytest.approx(b["score"], rel=REL_TOL)
+
+
+def test_stream_ingest_dedupes_across_batches(spark, stream_env):
+    """A later file re-delivering already-indexed docs upsert-skips them
+    (the reference's ON CONFLICT DO NOTHING sink on the streaming path)."""
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix2")
+    cdir = root / "corpus2"
+    cdir.mkdir()
+    _drop_file(spark, base, root, cdir, "b0.parquet")
+    _run_drain(spark, cdir, ix)
+    # delta + 30 docs that overlap the base batch
+    overlap_paths = [r["path"] for r in base.select("path").limit(30).collect()]
+    redelivery = delta.unionByName(full.where(F.col("path").isin(overlap_paths)))
+    _drop_file(spark, redelivery, root, cdir, "b1.parquet")
+    _run_drain(spark, cdir, ix)
+    assert read_stats(spark, ix)["n_docs"] == 200
+    # docs table has no duplicate doc_ids
+    docs = spark.read.parquet(f"{ix}/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count() == 200
