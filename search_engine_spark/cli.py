@@ -11,10 +11,16 @@ Usage:
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
+    python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow]
 
 ``extend`` ingests a new corpus batch into an existing index as its
 own generation — only the delta is tokenized and block-encoded; docs
 already indexed are skipped (upsert), like the reference's claim loop.
+
+``ingest`` is the streaming flavor: watch ``corpus_dir`` for new
+parquet files and ingest each micro-batch as a generation (drains the
+backlog and stops; ``--follow`` keeps tailing like the reference's
+always-on spider/indexer loop).
 
 Query flags (reference-parity surface):
     --spell         edit-distance-1 vocabulary spell correction (≤3
@@ -124,6 +130,14 @@ def main(argv: list[str]) -> int:
         n = delete_docs(get_spark("se-delete"), args[2],
                         [int(d) for d in args[3:]])
         print(f"tombstones: {n} (run compact to drop physically)")
+    elif cmd == "ingest":
+        from search_engine_spark.session import get_spark
+        from search_engine_spark.streaming.ingest import stream_ingest
+
+        q = stream_ingest(get_spark("se-ingest"), args[2], args[3],
+                          available_now="--follow" not in flags)
+        q.awaitTermination()
+        print("ingest stream drained" if "--follow" not in flags else "stopped")
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
