@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, pipeline, relational, search_sql, similarity, textstats
+from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, search_sql, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -127,6 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
         ),
+        "search_phrase_positions": lambda s, d: phrase.positional_postings(
+            _t(s, d, "documents")
+        ),
+        "search_phrase_topk": lambda s, d: phrase.phrase_topk(
+            s, _t(s, d, "documents"), phrase.PHRASE_MAIN
+        ),
+        "search_phrase_topk_tri": lambda s, d: phrase.phrase_topk(
+            s, _t(s, d, "documents"), phrase.PHRASE_TRI
+        ),
         # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
         "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(
@@ -208,6 +217,7 @@ WHERE lang IN ('en', 'es')
   AND n_chars BETWEEN 60 AND 500
 """
     out.update(search_sql.ORACLE_SQL)
+    out.update(phrase.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)

@@ -1,0 +1,158 @@
+"""Phrase (positional) search over ``documents`` — beyond the
+reference's disjunctive-only surface.
+
+The reference engine retrieves on bag-of-words; this module adds the
+Lucene-PhraseQuery capability the same inverted-index family normally
+carries: a positional posting list (term, doc, position) and exact
+phrase retrieval with BM25 scoring of the phrase as a virtual term
+(idf from phrase document-frequency, tf = phrase occurrence count —
+the classic "phrase freq" of Lucene's PhraseScorer).
+
+Scale shape:
+- ``positional_postings`` is one narrow posexplode — no shuffle; at
+  10^12 files it lands bucket-partitioned next to the tf postings.
+- phrase matching never materializes candidate windows per document:
+  each query term i contributes (doc_id, pos - i) "leg" rows, and a
+  phrase occurrence is a (doc_id, start) group containing ALL L legs —
+  ONE groupBy shuffle keyed on (doc_id, start), partial-agg friendly,
+  instead of L-1 chained self-joins. Posting rows for non-query terms
+  are filtered at the scan (isin on a literal list → parquet pushdown).
+- scoring joins are broadcast (per-phrase stats are single rows).
+
+The DuckDB twin computes occurrences in closed form per document
+(list_filter over window starts), deliberately NOT mirroring the
+distributed plan — matching outputs from two independent algorithms is
+the stronger correctness check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.ops.sqltwin import duck_tokens, tokens_col
+
+PHRASE_MAIN = ["table", "hash"]
+PHRASE_TRI = ["big", "order", "scan"]
+TOPK = 10
+
+
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term): the positional index table (0-based token
+    position from the frozen tokenizer)."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "term")
+
+
+def phrase_occurrences(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, start) per exact phrase occurrence. Handles repeated
+    terms in the phrase (each leg i counts independently, so "a a"
+    finds both occurrences inside "a a a")."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    pp = positional_postings(docs).where(F.col("term").isin(list(set(phrase))))
+    legs = None
+    for i, t in enumerate(phrase):
+        leg = pp.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start"), F.lit(i).alias("leg")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return (
+        legs.where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("leg").alias("nlegs"))
+        .where(F.col("nlegs") == len(phrase))
+        .select("doc_id", "start")
+    )
+
+
+def phrase_topk(
+    spark: SparkSession, docs: DataFrame, phrase: list[str], k: int = TOPK
+) -> DataFrame:
+    """Exact-phrase BM25 top-k: the phrase scores as one virtual term
+    with tf = occurrence count and df = #docs containing it; dl/avgdl
+    are the standard token-length stats, so a phrase hit ranks exactly
+    like an equally-frequent single term would."""
+    toks = tokens_col("text")
+    dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    pf = (
+        phrase_occurrences(docs, phrase)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("pf"))
+    )
+    dfp = pf.agg(F.count("*").cast("long").alias("dfp"))
+    m = (
+        pf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+    )
+    idf = F.log((F.col("n") - F.col("dfp") + 0.5) / (F.col("dfp") + 0.5) + 1.0)
+    tfn = (F.col("pf") * (BM25_K1 + 1)) / (
+        F.col("pf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.select("doc_id", "pf", F.round(idf * tfn, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_T = duck_tokens("text")
+
+
+def _pf_expr(phrase: list[str]) -> str:
+    """Closed-form per-doc phrase count: scan every window start p
+    (1-based lists) and check all L terms."""
+    L = len(phrase)
+    conds = " AND ".join(
+        f"toks[p + {i}] = '{t}'" for i, t in enumerate(phrase)
+    )
+    return (
+        f"len(list_filter(range(1, len(toks) - {L} + 2), p -> {conds}))"
+    )
+
+
+def _phrase_topk_sql(phrase: list[str], k: int = TOPK) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pf AS (
+  SELECT doc_id, len(toks) AS dl,
+         CAST({_pf_expr(phrase)} AS INTEGER) AS pf
+  FROM d
+),
+m AS (SELECT * FROM pf WHERE pf > 0),
+stats AS (
+  SELECT (SELECT count(*) FROM d) AS n,
+         (SELECT avg(len(toks)) FROM d) AS avgdl,
+         (SELECT CAST(count(*) AS BIGINT) FROM m) AS dfp
+)
+SELECT doc_id, pf,
+       round(ln((stats.n - stats.dfp + 0.5) / (stats.dfp + 0.5) + 1.0)
+             * (pf * ({BM25_K1} + 1)) /
+               (pf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / stats.avgdl)), 4) AS score
+FROM m CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_SQL = {
+    "search_phrase_positions": f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents)
+SELECT doc_id,
+       CAST(unnest(range(0, len(toks))) AS INTEGER) AS pos,
+       unnest(toks) AS term
+FROM d
+""",
+    "search_phrase_topk": _phrase_topk_sql(PHRASE_MAIN),
+    "search_phrase_topk_tri": _phrase_topk_sql(PHRASE_TRI),
+}
