@@ -159,25 +159,53 @@ def _scaling_evidence() -> dict:
     import subprocess
 
     env = os.environ.copy()
-    # 40 replicas (~200k docs) is the compute-bound regime — at 10 the
-    # fixed small-data stage costs dominate and 16 cores loses to 4.
-    # One repeat here (bounded round snapshot); BASELINE.md records the
-    # interleaved repeats-2 measurement with its same-interval ceiling.
-    env.setdefault("SCALING_REPLICAS", "40")
+    # 24 replicas (~120k docs) keeps tokenize/shuffle/encode dominant
+    # over fixed stage costs (the overhead-bound regime starts ~10)
+    # while bounding the sub-run so a noisy-neighbor interval can't
+    # time the whole evidence block out — measured 2× wall inflation
+    # under heavy load is absorbed by the 600 s cap. One repeat here
+    # (bounded round snapshot); BASELINE.md records the interleaved
+    # repeats-2 measurement with its same-interval host ceiling.
+    env.setdefault("SCALING_REPLICAS", "24")
     env.setdefault("SCALING_REPEATS", "1")
     script = str(Path(__file__).resolve().parent / "tools" / "bench_scaling.py")
+    cache = Path(__file__).resolve().parent / "SCALING_LAST.json"
+
+    def _with_fallback(err: dict) -> dict:
+        # live run failed (usually a noisy-neighbor interval inflating
+        # the fresh-JVM sub-builds past the cap) — surface the error AND
+        # the last committed measurement so the round still carries
+        # scaling numbers with honest provenance.
+        if cache.exists():
+            try:
+                err["last_measured"] = json.loads(cache.read_text())
+                err["last_measured_note"] = (
+                    "cached from a prior run of tools/bench_scaling.py on "
+                    "this host (see BASELINE.md for the full protocol)"
+                )
+            except Exception:  # noqa: BLE001
+                pass
+        return err
+
     try:
         res = subprocess.run(
             [sys.executable, script],
-            capture_output=True, text=True, timeout=480, env=env,
+            capture_output=True, text=True, timeout=600, env=env,
         )
         if res.returncode != 0:
-            return {"error": f"rc={res.returncode}", "tail": res.stderr[-400:]}
-        return json.loads(res.stdout.strip().splitlines()[-1])
+            return _with_fallback(
+                {"error": f"rc={res.returncode}", "tail": res.stderr[-400:]}
+            )
+        out = json.loads(res.stdout.strip().splitlines()[-1])
+        try:
+            cache.write_text(json.dumps(out))
+        except Exception:  # noqa: BLE001
+            pass
+        return out
     except subprocess.TimeoutExpired:
-        return {"error": "timeout"}
+        return _with_fallback({"error": "timeout"})
     except Exception as e:  # noqa: BLE001
-        return {"error": str(e)[:400]}
+        return _with_fallback({"error": str(e)[:400]})
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ via `justfile:47-48`): build an index from a corpus table, then run a
 query and print ``path: score`` per hit.
 
 Usage:
-    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir>
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
@@ -28,6 +28,8 @@ Query flags (reference-parity surface):
     --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
     --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
     --total         also print the total-hits count (GetTotalPages)
+    --phrase        exact-phrase retrieval (needs an index built with
+                    store_positions; build flag: --positions)
 """
 
 from __future__ import annotations
@@ -63,12 +65,14 @@ def _demo(corpus_path: str, query: str, k: int) -> None:
         print(f"{r['path']}: {r['score']:.6f}  (matched {r['matched']}, doc {r['doc_id']})")
 
 
-def _build(corpus_path: str, index_dir: str) -> None:
+def _build(corpus_path: str, index_dir: str, positions: bool = False) -> None:
+    from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.build import build_index
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-build")
-    summary = build_index(spark, corpus_path, index_dir)
+    cfg = EngineConfig(store_positions=positions)
+    summary = build_index(spark, corpus_path, index_dir, cfg=cfg)
     print(summary)
 
 
@@ -82,12 +86,21 @@ def _extend(corpus_path: str, index_dir: str) -> None:
 
 
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
-           page: int = 0, mode: str = "bm25", total: bool = False) -> None:
+           page: int = 0, mode: str = "bm25", total: bool = False,
+           phrase: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
+    if phrase:
+        rows = eng.phrase(query, k=k).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (phrase x{r['pf']}, "
+                  f"doc {r['doc_id']})")
+        return
     if spell:
         from search_engine_spark.functions.tokenize import query_terms
 
@@ -115,7 +128,7 @@ def main(argv: list[str]) -> int:
     if cmd == "demo":
         _demo(args[2], args[3], int(args[4]) if len(args) > 4 else 10)
     elif cmd == "build":
-        _build(args[2], args[3])
+        _build(args[2], args[3], positions="--positions" in flags)
     elif cmd == "extend":
         _extend(args[2], args[3])
     elif cmd == "compact":
@@ -143,7 +156,7 @@ def main(argv: list[str]) -> int:
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
         _query(args[2], args[3], int(args[4]) if len(args) > 4 else 10,
                spell="--spell" in flags, page=page, mode=mode,
-               total="--total" in flags)
+               total="--total" in flags, phrase="--phrase" in flags)
     else:
         print(__doc__)
         return 2

@@ -74,6 +74,22 @@ class EngineConfig:
     # is faster than one worker per core; on healthy clusters set to
     # executor cores. None → leave stage parallelism to Spark.
     python_parallelism: int | None = 8
+    # df-adaptive salting (SURVEY §7 watch item 2, two-pass df → salt):
+    # a term with df < threshold packs its whole posting list into ONE
+    # unsalted group (salt = -1) instead of fanning out across
+    # 2^salt_bits mostly-singleton blocks; the query side replicates
+    # the (few, small) unsalted blocks into every salt group and
+    # max-merges, which keeps block-max WAND exact (partial scores only
+    # underestimate). With Zipf vocab (code identifiers!) the long tail
+    # dominates the dictionary, so this collapses block-row count while
+    # leaving hot-term skew handling untouched. None → block_size;
+    # 0 → disabled (round-1 layout).
+    rare_salt_df_threshold: int | None = None
+    # opt-in positional index (Lucene-style positions sidecar): stage 1
+    # additionally writes (doc_id, term, positions, dl) per wave, and
+    # QueryEngine.phrase() answers exact-phrase BM25 top-k from it.
+    # Off by default — positions roughly double stage-1 output bytes.
+    store_positions: bool = False
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS

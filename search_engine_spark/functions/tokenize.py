@@ -174,6 +174,32 @@ def jvm_tokens_col(text_col: str):
     )
 
 
+def extract_positions_jvm(df, text_col: str = "content"):
+    """Positional postings for the persisted index (opt-in,
+    ``EngineConfig.store_positions``): (doc_id, term, positions
+    array<int>, dl) — 0-based token positions from the same frozen
+    tokenizer (JVM expression path; the pandas/JVM property tests pin
+    both paths to identical token streams, so positions are consistent
+    with either build tokenizer).
+
+    ``sort_array`` is load-bearing: collect_list order is not
+    deterministic across shuffles, and phrase matching assumes sorted
+    positions per (doc, term).
+    """
+    from pyspark.sql import functions as F
+
+    toks = jvm_tokens_col(text_col)
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.size("toks").cast("int").alias("dl"),
+                F.posexplode("toks").alias("pos", "term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int")))
+             .alias("positions"))
+        .select("doc_id", "term", "positions", "dl")
+    )
+
+
 def extract_postings_jvm(df, text_col: str = "content"):
     """JVM-only twin of :func:`extract_postings` — same output schema.
 

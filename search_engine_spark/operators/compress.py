@@ -121,17 +121,50 @@ def block_max_partial(max_tf, min_dl, avgdl: float,
 
 
 def encode_blocks(postings: DataFrame,
-                  cfg: EngineConfig | None = None) -> DataFrame:
+                  cfg: EngineConfig | None = None,
+                  term_df: DataFrame | None = None) -> DataFrame:
     """postings (doc_id, term, tf, dl) → compressed block rows.
 
     Needs no corpus stats: block metadata is (max_tf, min_dl), bounded
-    at query time against whatever avgdl the corpus has by then."""
+    at query time against whatever avgdl the corpus has by then.
+
+    ``term_df`` (term, df) enables df-adaptive salting (SURVEY §7 watch
+    item 2): terms with df < ``cfg.rare_salt_df_threshold`` encode as a
+    single unsalted group (salt = -1) — the Zipf long tail stops
+    producing 2^salt_bits near-singleton blocks per term. Only the
+    FREQUENT subset is joined (size ≤ Σdf / threshold, a Zipf-bounded
+    fraction of the vocabulary), broadcast as the salt map; rare terms
+    fall out of the left join as NULL. Exactness of WAND under the
+    mixed layout is argued in plans/query.py::_wand_blocks.
+    """
     cfg = cfg or EngineConfig()
     bs = cfg.block_size
+    thr = (
+        cfg.block_size
+        if cfg.rare_salt_df_threshold is None
+        else cfg.rare_salt_df_threshold
+    )
 
-    with_keys = postings.withColumn(
-        "salt", salt_col(F.col("doc_id"), cfg.salt_bits)
-    ).withColumn("bucket", bucket_col(F.col("term"), cfg.term_buckets))
+    range_salt = salt_col(F.col("doc_id"), cfg.salt_bits)
+    if term_df is not None and thr > 0:
+        freq = term_df.where(F.col("df") >= thr).select(
+            "term", F.lit(True).alias("__freq")
+        )
+        with_keys = (
+            postings.join(F.broadcast(freq), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("__freq").isNotNull(), range_salt)
+                .otherwise(F.lit(-1))
+                .cast("int"),
+            )
+            .drop("__freq")
+        )
+    else:
+        with_keys = postings.withColumn("salt", range_salt)
+    with_keys = with_keys.withColumn(
+        "bucket", bucket_col(F.col("term"), cfg.term_buckets)
+    )
 
     # pre-partition on exactly the grouping keys: applyInPandas needs a
     # ClusteredDistribution on them, so this single exchange doubles as

@@ -47,13 +47,18 @@ def positional_postings(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "term")
 
 
-def phrase_occurrences(docs: DataFrame, phrase: list[str]) -> DataFrame:
-    """(doc_id, start) per exact phrase occurrence. Handles repeated
-    terms in the phrase (each leg i counts independently, so "a a"
-    finds both occurrences inside "a a a")."""
+def occurrences_from_positions(pp: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, pos, term) relation → (doc_id, start) per exact phrase
+    occurrence — the shared leg-offset core: query term i contributes
+    (doc_id, pos - i) rows, and an occurrence is a (doc_id, start)
+    group containing all L legs. One groupBy shuffle; repeated phrase
+    terms are handled (each leg counts independently, so "a a" finds
+    both occurrences inside "a a a"). Used by both the SQL-checkable
+    flavor here and the persisted-index path
+    (plans/query.py::QueryEngine.phrase)."""
     if not phrase:
         raise ValueError("empty phrase")
-    pp = positional_postings(docs).where(F.col("term").isin(list(set(phrase))))
+    pp = pp.where(F.col("term").isin(list(set(phrase))))
     legs = None
     for i, t in enumerate(phrase):
         leg = pp.where(F.col("term") == t).select(
@@ -67,6 +72,11 @@ def phrase_occurrences(docs: DataFrame, phrase: list[str]) -> DataFrame:
         .where(F.col("nlegs") == len(phrase))
         .select("doc_id", "start")
     )
+
+
+def phrase_occurrences(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, start) per exact phrase occurrence over raw documents."""
+    return occurrences_from_positions(positional_postings(docs), phrase)
 
 
 def phrase_topk(

@@ -56,6 +56,7 @@ from search_engine_spark.operators.linkgraph import extract_refs, resolve_edges
 from search_engine_spark.operators.pagerank import pagerank
 from search_engine_spark.operators.postings import build_terms_with_stats
 from search_engine_spark.functions.tokenize import (
+    extract_positions_jvm,
     extract_postings,
     extract_postings_jvm,
 )
@@ -185,6 +186,21 @@ def _postings_stage(
             .parquet(refs_path)
         )
 
+        # opt-in positional sidecar (Lucene positions): same wave, same
+        # resume semantics; file-sorted by term so phrase queries prune
+        # parquet row groups on the term predicate
+        if cfg.store_positions:
+            (
+                extract_positions_jvm(subset.select("doc_id", "content"))
+                .withColumn("part_id", _part_col("doc_id", P))
+                .withColumn("gen", F.lit(gen).cast("int"))
+                .repartition(len(wave), "part_id")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("gen", "part_id")
+                .parquet(f"{index_dir}/positions")
+            )
+
         # per-doc metadata incl. title/description (P7/P8); part_id is
         # re-derived (deterministic in doc_id) since docs_table prunes it
         (
@@ -307,6 +323,10 @@ def _index_stage(
         "block_size": cfg.block_size,
         "term_buckets": cfg.term_buckets,
         "salt_bits": cfg.salt_bits,
+        "rare_salt_df_threshold": (
+            cfg.block_size if cfg.rare_salt_df_threshold is None
+            else cfg.rare_salt_df_threshold
+        ),
         "k1": cfg.k1,
         "b": cfg.b,
         "build_id": build_id,
@@ -328,7 +348,12 @@ def _index_stage(
     else:
         to_encode = postings_all.where(F.col("gen") == encode_gen)
         block_gen = encode_gen
-    blocks = encode_blocks(to_encode.select("doc_id", "term", "tf", "dl"), cfg)
+    # df-adaptive salt map: read back the just-written terms table (no
+    # recompute) — encode packs rare terms (df < threshold) unsalted
+    blocks = encode_blocks(
+        to_encode.select("doc_id", "term", "tf", "dl"), cfg,
+        term_df=spark.read.parquet(f"{index_dir}/terms").select("term", "df"),
+    )
     write_index_blocks(
         blocks.withColumn("gen", F.lit(block_gen).cast("int")),
         f"{index_dir}/blocks",
@@ -616,7 +641,7 @@ def compact_index(
         # tombstoned docs (full-table rewrite — compaction is the
         # designated moment to pay it), then drop the tombstones
         for name, key in (("postings", "doc_id"), ("docs", "doc_id"),
-                          ("refs", "src_doc_id")):
+                          ("refs", "src_doc_id"), ("positions", "doc_id")):
             path = f"{index_dir}/{name}"
             try:
                 tbl = spark.read.parquet(path)

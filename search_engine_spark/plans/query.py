@@ -89,6 +89,43 @@ class QueryEngine:
             F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
         )
 
+    def _wand_blocks(self, terms: list[str]) -> DataFrame:
+        """Query blocks prepared for the per-salt WAND fan-out.
+
+        Rare terms are stored UNSALTED (salt = -1, df-adaptive layout,
+        operators/compress.py): their blocks span the whole doc_id axis,
+        so they are replicated into every salt group (tiny: ≤ df/block
+        rows per term by construction). Exactness: group s then holds
+        every posting of every doc in salt range s (aligned blocks for
+        frequent terms + replicated blocks for rare ones), so the per-
+        group top-k still scores those docs fully; docs OUTSIDE range s
+        appear with partial (underestimated) scores, which only shrink
+        WAND's θ (prunes less) and are eliminated by the max-score merge
+        in :func:`_merge_salt_topk` — a partial row can displace a full
+        row from a group's top-k only when k docs with strictly higher
+        full scores exist, in which case that row wasn't in the global
+        top-k anyway."""
+        blk = self._query_blocks(terms)
+        salted = blk.where(F.col("salt") >= 0)
+        rare = blk.where(F.col("salt") == -1).drop("salt")
+        nsalts = 1 << int(self.stats["salt_bits"])
+        salts = self.spark.range(nsalts).select(
+            F.col("id").cast("int").alias("salt")
+        )
+        return salted.unionByName(
+            rare.crossJoin(F.broadcast(salts)).select(*salted.columns)
+        )
+
+    @staticmethod
+    def _merge_salt_topk(scored: DataFrame) -> DataFrame:
+        """Collapse duplicate per-salt rows to each doc's full score
+        (max over (score, matched) — partial rows are dominated)."""
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.max(F.struct("score", "matched")).alias("sm"))
+            .select("doc_id", "sm.score", "sm.matched")
+        )
+
     def _empty_scored(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double, matched int")
 
@@ -236,11 +273,11 @@ class QueryEngine:
             # before the anti-join drops them — widening the ask keeps
             # the post-filter top-k exact (compact to reclaim when the
             # tombstone backlog grows large)
-            scored = wand_topk(
-                self._query_blocks(list(idf_map)), idf_map,
+            scored = self._merge_salt_topk(wand_topk(
+                self._wand_blocks(list(idf_map)), idf_map,
                 self.stats["avgdl"], (page + 1) * k + self._n_tombs,
                 self.stats["k1"], self.stats["b"],
-            )
+            ))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
@@ -295,6 +332,61 @@ class QueryEngine:
             with_path.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k)
             .select("query_id", "doc_id", "score", "matched", "rk", "path")
+        )
+
+    def phrase(self, query: str, k: int = 10) -> DataFrame:
+        """Exact-phrase BM25 top-k over the persisted positional index
+        (requires an index built with ``store_positions=True``).
+
+        The phrase scores as one virtual term (tf = occurrence count,
+        df = docs containing the phrase — Lucene PhraseScorer
+        semantics). Plan: term-pruned positions scan (row-group min/max
+        on the file-sorted term column) → explode → shared leg-offset
+        groupBy (ops/phrase.py::occurrences_from_positions) → per-doc
+        count → broadcast stats joins → TakeOrderedAndProject.
+        Token ORDER is preserved (``tokenize``, not the deduping
+        ``query_terms``)."""
+        from search_engine_spark.functions.tokenize import tokenize
+        from search_engine_spark.ops.phrase import occurrences_from_positions
+
+        phrase_terms = tokenize(query)
+        out_schema = ("doc_id long, pf int, score double, path string"
+                      + "".join(f", {c} string" for c in self._meta_cols))
+        if not phrase_terms:
+            return self.spark.createDataFrame([], out_schema)
+        try:
+            positions = self.spark.read.parquet(f"{self.index_dir}/positions")
+        except Exception as e:  # noqa: BLE001 - missing sidecar
+            raise ValueError(
+                "no positional index — build with "
+                "EngineConfig(store_positions=True)"
+            ) from e
+        hit = positions.where(F.col("term").isin(sorted(set(phrase_terms))))
+        pp = hit.select(
+            "doc_id", "dl", "term", F.explode("positions").alias("pos")
+        )
+        pf = (
+            occurrences_from_positions(pp.select("doc_id", "pos", "term"),
+                                       phrase_terms)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("pf"))
+        )
+        dl = pp.select("doc_id", "dl").distinct()
+        n = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = self.stats["k1"], self.stats["b"]
+        dfp = pf.agg(F.count("*").cast("long").alias("dfp"))
+        m = self._live(pf).join(dl, "doc_id").crossJoin(F.broadcast(dfp))
+        idf = F.log((F.lit(n) - F.col("dfp") + 0.5) / (F.col("dfp") + 0.5) + 1.0)
+        tfn = (F.col("pf") * (k1 + 1)) / (
+            F.col("pf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        return (
+            m.select("doc_id", "pf", (idf * tfn).alias("score"))
+            .join(self.docs, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "pf", "score", "path", *self._meta_cols)
         )
 
     def total_hits(self, query: str) -> int:

@@ -1,0 +1,104 @@
+"""Engine-level phrase search over the persisted positional index:
+must agree with the ops-level algorithm (independent path over raw
+text), survive segmented incremental ingest, and respect tombstones.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.tokenize import tokenize
+from search_engine_spark.ops import phrase as ops_phrase
+from search_engine_spark.plans.build import build_index_df, extend_index_df
+from search_engine_spark.plans.query import QueryEngine
+from search_engine_spark.sources.corpus import with_identity
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, fixture_dir, tmp_path_factory):
+    """Base build (120 docs) + positional extend (80) — the segmented
+    layout is the normal state of a long-lived index."""
+    root = tmp_path_factory.mktemp("engine_phrase")
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    paths = sorted(r["path"] for r in corpus.select("path").collect())
+    cfg = EngineConfig(store_positions=True)
+    ix = str(root / "ix")
+    build_index_df(spark, corpus.where(F.col("path").isin(paths[:120])), ix, cfg)
+    extend_index_df(spark, corpus.where(F.col("path").isin(paths[120:])), ix, cfg)
+    return ix, corpus
+
+
+def _pick_phrase(spark, corpus) -> str:
+    """A 2-token phrase that actually occurs in the fixture stream."""
+    docs_frame = with_identity(corpus).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    for cand in ("binary search", "search tree", "hash table", "sort merge"):
+        n = ops_phrase.phrase_occurrences(docs_frame, tokenize(cand)).count()
+        if n > 0:
+            return cand
+    raise AssertionError("no candidate phrase occurs in the fixture corpus")
+
+
+def test_engine_phrase_matches_ops_algorithm(spark, pos_index):
+    ix, corpus = pos_index
+    q = _pick_phrase(spark, corpus)
+    eng = QueryEngine(spark, ix)
+    got = eng.phrase(q, k=10).collect()
+    assert len(got) > 0
+    docs_frame = with_identity(corpus).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    want = ops_phrase.phrase_topk(spark, docs_frame, tokenize(q), k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert a["pf"] == b["pf"]
+        # ops flavor rounds to 4dp for its SQL oracle; engine is exact
+        assert round(a["score"], 4) == pytest.approx(b["score"], abs=1e-4)
+
+
+def test_engine_phrase_spans_generations(spark, pos_index):
+    """Positions exist for both generations and phrase hits include
+    docs ingested by the extend."""
+    ix, _ = pos_index
+    pos = spark.read.parquet(f"{ix}/positions")
+    assert {r["gen"] for r in pos.select("gen").distinct().collect()} == {0, 1}
+
+
+def test_engine_phrase_respects_tombstones(spark, pos_index):
+    ix, corpus = pos_index
+    from search_engine_spark.plans.build import delete_docs
+
+    q = _pick_phrase(spark, corpus)
+    eng0 = QueryEngine(spark, ix)
+    top = eng0.phrase(q, k=5).collect()
+    assert len(top) > 0
+    victim = top[0]["doc_id"]
+    delete_docs(spark, ix, [victim])
+    try:
+        eng = QueryEngine(spark, ix)
+        got = {r["doc_id"] for r in eng.phrase(q, k=5).collect()}
+        assert victim not in got
+    finally:
+        # clean tombstones so sibling tests see the full index
+        from search_engine_spark.plans.build import _delete_path
+
+        _delete_path(spark, f"{ix}/tombstones")
+
+
+def test_phrase_requires_positional_index(spark, fixture_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("no_positions")
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet")).limit(30)
+    ix = str(root / "ix")
+    build_index_df(spark, corpus, ix)  # store_positions defaults off
+    eng = QueryEngine(spark, ix)
+    with pytest.raises(ValueError, match="no positional index"):
+        eng.phrase("binary search")
+
+
+def test_phrase_empty_query(spark, pos_index):
+    ix, _ = pos_index
+    eng = QueryEngine(spark, ix)
+    assert eng.phrase("123 ,,, ':::'").collect() == []

@@ -87,6 +87,24 @@ def test_stream_ingest_end_to_end(spark, stream_env, fixture_queries):
             assert a["score"] == pytest.approx(b["score"], rel=REL_TOL)
 
 
+def test_ingest_batch_replay_is_idempotent(spark, stream_env):
+    """If an epoch retries after a fully-committed ingest (driver died
+    between the engine's commit and the stream's), the replay must
+    degenerate to an empty extend: same docs, same stats, no dup gens
+    with content."""
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix_replay")
+    s1 = ingest_batch(spark, base, ix)
+    assert s1["n_docs"] == 120
+    s2 = ingest_batch(spark, base, ix)  # full replay of the same batch
+    assert s2["docs_added"] == 0
+    assert read_stats(spark, ix)["n_docs"] == 120
+    docs = spark.read.parquet(f"{ix}/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count() == 120
+
+
 def test_stream_ingest_dedupes_across_batches(spark, stream_env):
     """A later file re-delivering already-indexed docs upsert-skips them
     (the reference's ON CONFLICT DO NOTHING sink on the streaming path)."""

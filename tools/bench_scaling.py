@@ -72,6 +72,45 @@ def _cpu_ceiling(lo: int, hi: int) -> dict:
             "ceiling_efficiency": round(eff, 3)}
 
 
+def _stream(iters: int) -> float:
+    import numpy as np
+
+    a = np.zeros(20_000_000, dtype=np.float64)  # 160 MB working set
+    b = np.ones(20_000_000, dtype=np.float64)
+    for _ in range(iters):
+        a += b
+    return float(a[0])
+
+
+def _mem_ceiling(lo: int, hi: int) -> dict:
+    """Memory-bandwidth calibration (STREAM-style a += b at lo/hi
+    process counts). A data engine is bandwidth-bound, not spin-bound:
+    on this shared host the socket's bandwidth can be saturated by
+    neighbor VMs (measured as low as ~2-3 GB/s aggregate), in which
+    case NO memory-touching workload can scale past a few threads even
+    while the spin ceiling reads ~1.0 — this probe makes that failure
+    mode visible next to the engine's numbers."""
+    import multiprocessing as mp
+
+    iters = 6
+    gb_per_proc = iters * 20_000_000 * 8 * 3 / 1e9  # r+r+w per iter
+    out = {}
+    for procs in (lo, hi):
+        with mp.get_context("fork").Pool(procs) as p:
+            p.map(_stream, [1] * procs)  # warm the pages outside the clock
+            t0 = time.perf_counter()
+            p.map(_stream, [iters] * procs)
+            out[procs] = time.perf_counter() - t0
+    eff = out[lo] / out[hi]
+    return {
+        f"stream_wall_{lo}p": round(out[lo], 2),
+        f"stream_wall_{hi}p": round(out[hi], 2),
+        f"stream_gbps_{lo}p": round(lo * gb_per_proc / out[lo], 1),
+        f"stream_gbps_{hi}p": round(hi * gb_per_proc / out[hi], 1),
+        "stream_ceiling_efficiency": round(eff, 3),
+    }
+
+
 def _make_corpus(sf_dir: str, out_path: str, replicas: int) -> int:
     from pyspark.sql import functions as F
 
@@ -152,6 +191,7 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ceiling = _cpu_ceiling(*CORES)
+    mem_ceiling = _mem_ceiling(*CORES)
     work = Path(tempfile.mkdtemp(prefix="se_scaling_"))
     try:
         corpus = str(work / "corpus.parquet")
@@ -203,6 +243,7 @@ def main() -> int:
             "pass": eff >= 0.8,
             "pass_postings_stage": (postings_eff or 0.0) >= 0.8,
             "host_cpu_ceiling": ceiling,
+            "host_mem_ceiling": mem_ceiling,
         }))
         return 0
     finally:
