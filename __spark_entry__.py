@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_oov": lambda s, d: search_sql.bm25_topk(
             s, _t(s, d, "documents"), search_sql.QUERY_MIXED
         ),
+        "search_bm25_snippets": lambda s, d: search_sql.bm25_topk_snippets(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         "search_bm25_topk_typo": lambda s, d: search_sql.bm25_topk_typo(
             s, _t(s, d, "documents"), search_sql.QUERY_TYPO
         ),
@@ -160,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents")
         ),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
         "dedup_embedding_pairs": lambda s, d: similarity.embedding_dup_pairs(
             _t(s, d, "embeddings")
         ),

@@ -270,6 +270,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) duplicate-relation edges feeding the clustering stage:
+
+    - exact edges: every non-canonical member of an md5 group links to
+      its canonical (min) doc_id — star-shaped, |group|-1 edges per
+      group, never quadratic;
+    - near edges: LSH-verified pairs (``ngram_jaccard_pairs`` prefilter
+      path — canonicalized, bucket-capped, Jaccard ≥ threshold), which
+      relate exact-group *representatives* to each other.
+
+    The union is linear in true-duplicate count by construction.
+    """
+    digests = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    canon = digests.groupBy("text_md5").agg(F.min("doc_id").alias("src"))
+    exact_e = (
+        digests.join(canon, "text_md5")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    near_e = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return exact_e.union(near_e)
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY doc — transitive closure of the
+    exact+near duplicate relation via
+    :func:`operators.components.connected_components`; docs with no
+    duplicate edge form singleton clusters. ``cluster_id`` is the min
+    doc_id of the cluster, so ``doc_id == cluster_id`` selects the
+    survivor set (one canonical doc per duplicate class)."""
+    from search_engine_spark.operators.components import connected_components
+
+    cc = connected_components(
+        near_dup_edges(docs), nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _T = duck_tokens("text")
@@ -394,5 +436,40 @@ SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
 FROM j
 WHERE round(CAST(inter AS DOUBLE) / un, 4) >= {JACCARD_THRESHOLD}
+""",
+    # clustering stage: min-id connected components over the exact+near
+    # duplicate relation. Independent algorithm on the oracle side —
+    # recursive-CTE transitive closure (min reachable id per node) vs
+    # Spark's iterative min-label propagation.
+    "dedup_clusters": f"""
+WITH RECURSIVE {_REPS}, {_distinct_terms_sql("docs_r")}, {_SIGS},
+{_CAPPED_PAIRS}, {_shingles_sql("docs_r")},
+near_e AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+  WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+    AND round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+              4) >= {JACCARD_THRESHOLD}
+),
+exact_e AS (
+  SELECT g.canonical AS src, d.doc_id AS dst
+  FROM (SELECT doc_id, md5(text) AS m FROM documents) d
+  JOIN (SELECT md5(text) AS m, min(doc_id) AS canonical
+        FROM documents GROUP BY 1) g USING (m)
+  WHERE d.doc_id <> g.canonical
+),
+sym AS (
+  SELECT src, dst FROM exact_e UNION SELECT dst, src FROM exact_e
+  UNION SELECT src, dst FROM near_e UNION SELECT dst, src FROM near_e
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """,
 }

@@ -167,6 +167,54 @@ def bm25_topk(
     )
 
 
+SNIPPET_RADIUS = 40   # chars of left context before the anchor
+SNIPPET_LEN = 120     # rendered snippet length
+_NO_SUBSTR = 1_000_000_000  # sentinel: term absent as substring
+
+
+def bm25_topk_snippets(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK,
+) -> DataFrame:
+    """Top-k + result rendering: a deterministic keyword-in-context
+    snippet per hit. The reference renders a fixed 300-char description
+    per result (`services/spider/internal/parser/helpers.go:11-37`,
+    truncate at P8); this op upgrades that surface to query-anchored
+    snippets computed engine-side.
+
+    Anchor = earliest 1-based occurrence of any query term in
+    ``lower(text)`` (a matched doc always contains some query term as a
+    substring, since index tokens are substrings of the lowered text;
+    the sentinel fallback renders a document-prefix snippet). Snippet =
+    ``SNIPPET_LEN`` chars starting ``SNIPPET_RADIUS`` before the
+    anchor. Scale shape: content is touched only AFTER the top-k —
+    the join back to ``docs`` is k rows against the corpus, so the
+    text read is k row-group point lookups, not a scan.
+    """
+    top = bm25_topk(spark, docs, terms, k)
+    lowered = F.lower(F.col("text"))
+    pos_cols = [
+        F.when(F.locate(t, lowered) > 0, F.locate(t, lowered))
+        .otherwise(F.lit(_NO_SUBSTR))
+        for t in sorted(set(terms))
+    ]
+    anchor = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "anchor",
+            F.when(anchor == _NO_SUBSTR, F.lit(0)).otherwise(anchor).cast("int"),
+        )
+        .withColumn(
+            "snippet",
+            F.expr(
+                f"substring(text, greatest(1, anchor - {SNIPPET_RADIUS}), "
+                f"{SNIPPET_LEN})"
+            ),
+        )
+        .select("doc_id", "score", "matched", "anchor", "snippet")
+    )
+
+
 def bm25_topk_batch(
     spark: SparkSession, docs: DataFrame,
     queries: dict[str, list[str]] | None = None, k: int = TOPK,
@@ -428,6 +476,30 @@ FROM dfq CROSS JOIN n
     "search_bm25_scores": _scores_cte(QUERY_MAIN) + "\nSELECT doc_id, score, matched FROM scored",
     "search_bm25_topk": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_snippets": _scores_cte(QUERY_MAIN)
+    + f""",
+topk AS (
+  SELECT doc_id, score, matched FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+),
+anch AS (
+  SELECT t.doc_id, t.score, t.matched, d.text,
+         least({", ".join(
+             f"CASE WHEN strpos(lower(d.text), '{t}') > 0 "
+             f"THEN strpos(lower(d.text), '{t}') ELSE {_NO_SUBSTR} END"
+             for t in sorted(set(QUERY_MAIN))
+         )}) AS rawpos
+  FROM topk t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, matched,
+       CAST(CASE WHEN rawpos = {_NO_SUBSTR} THEN 0 ELSE rawpos END AS INTEGER)
+         AS anchor,
+       substr(text,
+              greatest(1, (CASE WHEN rawpos = {_NO_SUBSTR} THEN 0 ELSE rawpos END)
+                          - {SNIPPET_RADIUS}),
+              {SNIPPET_LEN}) AS snippet
+FROM anch
+""",
     "search_bm25_topk_oov": _scores_cte(QUERY_MIXED)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
