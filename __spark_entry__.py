@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, search_sql, similarity, textstats
+from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, sampling, search_sql, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -127,6 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_refcompat_topk": lambda s, d: search_sql.refcompat_topk(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
+        "search_bm25_conj": lambda s, d: search_sql.bm25_topk_conj(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
+        "search_mlt": lambda s, d: search_sql.more_like_this(
+            s, _t(s, d, "documents")
+        ),
+        "search_bm25f_topk": lambda s, d: search_sql.bm25f_topk(
+            s, _t(s, d, "documents")
+        ),
         "search_block_layout": lambda s, d: search_sql.index_block_layout(
             _t(s, d, "documents")
         ),
@@ -153,6 +162,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "text_pii_scrub": lambda s, d: textstats.pii_scrub(_t(s, d, "documents")),
+        # --- deterministic sampling (training-data curation) ---
+        "samp_bernoulli": lambda s, d: sampling.bernoulli_sample(
+            _t(s, d, "documents")
+        ),
+        "samp_stratified_quota": lambda s, d: sampling.stratified_quota(
+            _t(s, d, "documents")
+        ),
+        "samp_mixture": lambda s, d: sampling.mixture_sample(
+            _t(s, d, "documents")
+        ),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.exact_dedup(_t(s, d, "documents")),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
@@ -221,6 +240,7 @@ WHERE lang IN ('en', 'es')
   AND n_chars BETWEEN 60 AND 500
 """
     out.update(search_sql.ORACLE_SQL)
+    out.update(sampling.ORACLE_SQL)
     out.update(phrase.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)

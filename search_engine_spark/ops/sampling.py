@@ -1,0 +1,189 @@
+"""Deterministic sampling for training-data curation over ``documents``.
+
+A 100 TB pipeline rarely trains on everything it crawls: it Bernoulli-
+samples for ablations, draws fixed per-group quotas for eval sets, and
+resamples sources to a target language/domain *mixture*. All three ops
+here are deterministic functions of (doc_id, seed) — no RNG state, so
+reruns, resumed jobs and the DuckDB oracle all agree bit-for-bit — and
+all selection decisions ride on the portable 31-bit md5 hash from
+ops/sqltwin.py reduced to a millionth-scale bucket.
+
+Reference provenance: the reference engine has no sampling surface (its
+corpus is whatever the spider fetched); this module is part of the
+training-data-pipeline layer the brief adds on top of SURVEY §2.
+
+Scale shape (what survives 100×):
+- ``bernoulli_sample`` and ``mixture_sample`` are pure scan-side
+  filters — a deterministic hash threshold per row, NO shuffle, no
+  sort; the mixture variant adds one tiny counts aggregate broadcast
+  back. This is the only sane shape at 10^12 rows.
+- ``stratified_quota`` needs exact per-group counts, so it pays one
+  window sort per group — bounded because quotas are small, but
+  group-skew-exposed; the docstring documents the hash-threshold
+  escape hatch for huge groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.sqltwin import MERSENNE31, duck_term_hash31, term_hash31
+
+SEED = "seed42"          # sampling namespace; change → independent sample
+BUCKETS_E6 = 1_000_000   # hash buckets; rate_e6 is a count of kept buckets
+RATE_E6 = 250_000        # bernoulli gate keeps ~25%
+QUOTA = 40               # stratified gate: docs per lang
+# mixture gate: resample langs to these relative weights, total budget
+# ~40% of the corpus. Langs missing from the map are dropped (the
+# "filter out the tail" posture of a training mix).
+MIXTURE_WEIGHTS = {"en": 0.5, "es": 0.3, "de": 0.2}
+MIXTURE_BUDGET_PCT = 40
+
+
+def sample_bucket(doc_id_col) -> F.Column:
+    """Deterministic per-doc bucket in [0, 1e6): portable md5-31bit hash
+    of ``doc_id:SEED``, folded to a millionth. Namespacing by SEED makes
+    independent samples (different seed → uncorrelated buckets)."""
+    key = F.concat(doc_id_col.cast("string"), F.lit(":" + SEED))
+    return (term_hash31(key) % BUCKETS_E6).cast("int")
+
+
+def _duck_bucket(doc_id_sql: str = "doc_id") -> str:
+    key = f"concat(CAST({doc_id_sql} AS VARCHAR), ':{SEED}')"
+    return f"CAST({duck_term_hash31(key)} % {BUCKETS_E6} AS INTEGER)"
+
+
+def bernoulli_sample(docs: DataFrame, rate_e6: int = RATE_E6) -> DataFrame:
+    """Keep a deterministic ~``rate_e6``/1e6 fraction of docs.
+
+    One scan, zero shuffles: the hash threshold is a plain filter
+    predicate, so Catalyst keeps column pruning + whole-stage codegen
+    and the sample of a 10^12-row table costs exactly one pass (less,
+    if the filter lands after partition pruning). The kept set is a
+    fixed function of doc_id — growing the corpus never unsamples an
+    old doc, which is what makes downstream caches/dedup stable.
+    """
+    return (
+        docs.select("doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket"))
+        .where(F.col("bucket") < rate_e6)
+    )
+
+
+def stratified_quota(docs: DataFrame, quota: int = QUOTA) -> DataFrame:
+    """Exactly ``min(quota, |group|)`` docs per lang, chosen in hash
+    order — the deterministic eval-set draw.
+
+    Plan: one window sort per lang on (bucket, doc_id). Quotas are
+    small, so the k survivors per group are cheap to keep, but the sort
+    still shuffles every row of a group to its lang partition; for a
+    lang holding half of 10^12 rows, switch to the two-pass escape
+    hatch: ``bernoulli_sample`` at rate ≈ quota/|group| (one scan,
+    over-draws slightly), then window only the ~quota survivors.
+    """
+    w = Window.partitionBy("lang").orderBy(F.asc("bucket"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= quota)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    budget_pct: int = MIXTURE_BUDGET_PCT,
+) -> DataFrame:
+    """Resample the corpus toward a target lang *mixture* — the
+    training-mix op (e.g. "40% of the corpus, split 50/30/20 over
+    en/es/de").
+
+    Per-lang keep rate = min(1, target_share·budget / group_count),
+    materialized as an integer hash threshold, so selection stays a
+    scan-side filter: the only aggregation is the per-lang count
+    (grouped on a low-cardinality key, partial-agg absorbed map-side)
+    whose result is broadcast back. Counts are hash-binomial around the
+    target (±√n), the standard trade for a shuffle-free mix at 10^12
+    rows; ``stratified_quota`` is the exact-count alternative.
+
+    Integer math everywhere (rates in e6 fixed point, floor division)
+    so the DuckDB twin reproduces thresholds bit-for-bit.
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    total_w = sum(weights.values())
+    tagged = docs.select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+    counts = tagged.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_total = tagged.agg(F.count("*").alias("n_total"))
+    # weight_e6 per lang as a literal lookup (tiny, driver-side constants)
+    wmap = F.create_map(
+        *[x for lang, wt in sorted(weights.items())
+          for x in (F.lit(lang), F.lit(int(round(wt / total_w * 1_000_000))))]
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(n_total))
+        .withColumn("share_e6", wmap[F.col("lang")])
+        .where(F.col("share_e6").isNotNull())
+        # target docs for this lang: share · (budget% of corpus)
+        .withColumn(
+            "target",
+            (F.col("share_e6") * F.col("n_total") * budget_pct)
+            / F.lit(100) / F.lit(1_000_000),
+        )
+        .withColumn(
+            "rate_e6",
+            F.least(
+                F.lit(BUCKETS_E6),
+                F.floor(F.col("target") * BUCKETS_E6 / F.col("n_lang")).cast("int"),
+            ),
+        )
+        .select("lang", "rate_e6")
+    )
+    return (
+        tagged.join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_e6"))
+        .select("doc_id", "lang", "bucket", "rate_e6")
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_BKT = _duck_bucket("doc_id")
+
+ORACLE_SQL = {
+    "samp_bernoulli": f"""
+SELECT doc_id, lang, {_BKT} AS bucket
+FROM documents
+WHERE {_BKT} < {RATE_E6}
+""",
+    "samp_stratified_quota": f"""
+WITH tagged AS (SELECT doc_id, lang, {_BKT} AS bucket FROM documents)
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY bucket ASC, doc_id ASC) AS rk
+  FROM tagged
+) WHERE rk <= {QUOTA}
+""",
+    "samp_mixture": f"""
+WITH tagged AS (SELECT doc_id, lang, {_BKT} AS bucket FROM documents),
+counts AS (SELECT lang, count(*) AS n_lang FROM tagged GROUP BY lang),
+tot AS (SELECT count(*) AS n_total FROM tagged),
+shares(lang, share_e6) AS (VALUES {", ".join(
+    f"('{lang}', {int(round(wt / sum(MIXTURE_WEIGHTS.values()) * 1_000_000))})"
+    for lang, wt in sorted(MIXTURE_WEIGHTS.items())
+)}),
+rates AS (
+  SELECT c.lang,
+         least({BUCKETS_E6}, CAST(floor(
+             (s.share_e6 * t.n_total * {MIXTURE_BUDGET_PCT} / 100.0 / 1000000.0)
+             * {BUCKETS_E6} / c.n_lang) AS INTEGER)) AS rate_e6
+  FROM counts c JOIN shares s USING (lang) CROSS JOIN tot t
+)
+SELECT g.doc_id, g.lang, g.bucket, r.rate_e6
+FROM tagged g JOIN rates r USING (lang)
+WHERE g.bucket < r.rate_e6
+""",
+}

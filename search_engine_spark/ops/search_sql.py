@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import BM25_B, BM25_K1
 from search_engine_spark.functions.inline import inline_table
-from search_engine_spark.ops.sqltwin import duck_term_hash31, duck_tokens, term_hash31, tokens_col
+from search_engine_spark.ops.sqltwin import (
+    MAX_TERM_LEN,
+    duck_term_hash31,
+    duck_tokens,
+    term_hash31,
+    tokens_col,
+)
 
 QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
 QUERY_MIXED = ["filter", "stream", "zzzunknownzzz"]  # includes an OOV term
@@ -378,6 +384,172 @@ def refcompat_topk(
     )
 
 
+def bm25_topk_conj(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k: only docs matching EVERY query term
+    qualify (the reference surface is disjunctive-only, `store.go:66-83`;
+    AND-mode is the standard companion every inverted index carries —
+    Lucene BooleanQuery MUST semantics).
+
+    Same one-shuffle plan as :func:`bm25_scores` plus a post-agg HAVING
+    on the matched count — already computed, so conjunctive mode is free
+    relative to OR. (The engine path prunes harder: WAND with all-terms
+    required tightens the θ bound; here we stay SQL-checkable.)
+    """
+    n_terms = len(set(terms))
+    scored = bm25_scores(spark, docs, terms).where(F.col("matched") == n_terms)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+MLT_TOP_TERMS = 5  # seed-doc terms used as the derived query
+
+
+def more_like_this(
+    spark: SparkSession, docs: DataFrame, k: int = TOPK,
+    top_terms: int = MLT_TOP_TERMS,
+) -> DataFrame:
+    """More-like-this: take the corpus's min-doc_id document as the
+    seed, extract its ``top_terms`` strongest terms by (tf·idf DESC,
+    term ASC), and run disjunctive BM25 with the seed doc excluded —
+    Lucene MoreLikeThis over the same frozen tokenizer.
+
+    Plan shape: the seed's posting row-set is tiny (one doc) and the
+    derived query table is broadcast, so the expensive side stays the
+    single postings shuffle every scoring op shares. Scoring reuses
+    :func:`bm25_scores` unchanged — MLT is query *construction*, not a
+    new scorer.
+    """
+    post = postings(docs)
+    n = docs.select(F.count("*").alias("n"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    seed = docs.agg(F.min("doc_id").alias("doc_id"))
+    seed_post = post.join(F.broadcast(seed), "doc_id")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    qterms = (
+        seed_post.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", F.round(F.col("tf") * idf, 6))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(top_terms)
+        .select("term")
+    )
+    scored = bm25_scores(spark, docs, qterms).join(
+        F.broadcast(seed), "doc_id", "left_anti"
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+# BM25F field weights: the path field outranks content (a filename hit
+# beats a body mention — the code-search analogue of the reference
+# boosting Title in its re-rank comparator, util.go:20-36).
+BM25F_W_CONTENT = 1.0
+BM25F_W_PATH = 2.0
+QUERY_BM25F = ["table", "src3"]  # one content-ish term, one path-ish term
+
+
+def _path_tokens(col: str) -> F.Column:
+    """Path tokenizer: lowercase, split on path punctuation ([/._-] and
+    whitespace), keep non-empty alnum tokens ≤25 chars. Paths carry
+    digits (``v2``, ``src3``), so this deliberately admits [a-z0-9]+
+    where the content tokenizer (frozen §8.1) is letters-only."""
+    raw = F.split(F.lower(F.col(col)), r"[/._\- \t]+")
+    return F.filter(
+        raw,
+        lambda t: (F.length(t) > 0)
+        & (F.length(t) <= MAX_TERM_LEN)
+        & t.rlike(r"^[a-z0-9]+$"),
+    )
+
+
+def _duck_path_tokens(col: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({col}), '[/._\\- \\t]+'),"
+        f" t -> len(t) > 0 AND len(t) <= {MAX_TERM_LEN}"
+        f" AND regexp_full_match(t, '[a-z0-9]+'))"
+    )
+
+
+def bm25f_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """Field-weighted BM25F top-k over (content=text, path=source):
+    per-field term frequencies are combined BEFORE saturation —
+    ``wtf = w_c·tf_content + w_p·tf_path``, ``wdl = w_c·len_content +
+    w_p·len_path`` — then scored once with the standard BM25 formula
+    (Robertson & Zaragoza 2009, the simple-BM25F variant Lucene's
+    multi-field scoring approximates). df counts docs where wtf > 0,
+    so a path-only hit still earns idf.
+
+    Plan shape: two narrow explodes union into ONE postings relation →
+    the same single groupBy shuffle as plain BM25; weights ride along
+    as literals. No extra pass over content.
+    """
+    terms = QUERY_BM25F if terms is None else terms
+    c_toks, p_toks = tokens_col("text"), _path_tokens("source")
+    field_post = (
+        docs.select(
+            "doc_id", F.explode(c_toks).alias("term"),
+            F.lit(BM25F_W_CONTENT).alias("w"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id", F.explode(p_toks).alias("term"),
+                F.lit(BM25F_W_PATH).alias("w"),
+            )
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("w").alias("wtf"))
+    )
+    wdl = docs.select(
+        "doc_id",
+        (
+            F.lit(BM25F_W_CONTENT) * F.size(c_toks)
+            + F.lit(BM25F_W_PATH) * F.size(p_toks)
+        ).alias("wdl"),
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(
+            F.lit(BM25F_W_CONTENT) * F.size(c_toks)
+            + F.lit(BM25F_W_PATH) * F.size(p_toks)
+        ).alias("avg_wdl"),
+    )
+    df_tbl = field_post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
+    m = (
+        field_post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(wdl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("wtf") * (BM25_K1 + 1)) / (
+        F.col("wtf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("wdl") / F.col("avg_wdl"))
+    )
+    return (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 def index_block_layout(docs: DataFrame) -> DataFrame:
     """The compressed index's block numbering as a window query:
     postings bucketed by term hash, row-numbered by doc_id within term,
@@ -582,6 +754,83 @@ SELECT doc_id, round(cosine, 4) AS cosine,
 FROM cand CROSS JOIN mm
 ORDER BY global_score DESC, matched DESC, doc_id ASC
 LIMIT {TOPK}
+""",
+    "search_bm25_conj": _scores_cte(QUERY_MAIN)
+    + f"\nSELECT doc_id, score, matched FROM scored"
+    + f" WHERE matched = {len(set(QUERY_MAIN))}"
+    + f" ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_mlt": f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+seed AS (SELECT min(doc_id) AS doc_id FROM documents),
+seedw AS (
+  SELECT p.term,
+         round(p.tf * ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6) AS w
+  FROM post p
+  JOIN seed s ON p.doc_id = s.doc_id
+  JOIN dfq ON dfq.term = p.term
+  CROSS JOIN stats
+),
+q AS (SELECT term FROM seedw ORDER BY w DESC, term ASC LIMIT {MLT_TOP_TERMS}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+WHERE doc_id <> (SELECT doc_id FROM seed)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+""",
+    "search_bm25f_topk": f"""
+WITH fpost AS (
+  SELECT doc_id, term, CAST(sum(w) AS DOUBLE) AS wtf FROM (
+    SELECT doc_id, unnest({_T}) AS term, {BM25F_W_CONTENT} AS w FROM documents
+    UNION ALL
+    SELECT doc_id, unnest({_duck_path_tokens('source')}) AS term,
+           {BM25F_W_PATH} AS w
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+wdl AS (
+  SELECT doc_id,
+         {BM25F_W_CONTENT} * len({_T})
+         + {BM25F_W_PATH} * len({_duck_path_tokens('source')}) AS wdl
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(wdl) FROM wdl) AS avg_wdl
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM fpost GROUP BY term),
+q(term) AS (VALUES {_q_values(QUERY_BM25F)}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.wtf * ({BM25_K1} + 1)) /
+                 (p.wtf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * wdl.wdl / stats.avg_wdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM fpost p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN wdl ON wdl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """,
     "search_block_layout": f"""
 WITH {_POST},

@@ -1,0 +1,82 @@
+"""Sampling-op invariants beyond the DuckDB parity gate: determinism,
+threshold nesting, exact quotas, mixture proportions."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from search_engine_spark.ops import sampling  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_bernoulli_deterministic_and_nested(spark):
+    """Reruns agree exactly, and a lower rate draws a SUBSET of a higher
+    rate (hash-threshold nesting — the property that makes ablation
+    subsets consistent: the 10% sample is inside the 25% sample)."""
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 250_000).collect()}
+    b = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 250_000).collect()}
+    assert a == b
+    small = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 100_000).collect()}
+    assert small <= a
+    n = docs.count()
+    # binomial tolerance: ±5 sigma around p=0.25
+    sigma = (n * 0.25 * 0.75) ** 0.5
+    assert abs(len(a) - 0.25 * n) <= 5 * sigma + 1
+
+
+def test_stratified_quota_exact_per_group(spark):
+    docs = _docs(spark)
+    group_sizes = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    out = sampling.stratified_quota(docs, quota=10).collect()
+    per_lang: dict[str, int] = {}
+    for r in out:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+        assert 1 <= r["rk"] <= 10
+    for lang, size in group_sizes.items():
+        assert per_lang.get(lang, 0) == min(10, size)
+
+
+def test_mixture_hits_target_proportions(spark):
+    docs = _docs(spark)
+    out = sampling.mixture_sample(docs).collect()
+    n_total = docs.count()
+    budget = n_total * sampling.MIXTURE_BUDGET_PCT / 100
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert set(got) <= set(sampling.MIXTURE_WEIGHTS)
+    tw = sum(sampling.MIXTURE_WEIGHTS.values())
+    group_sizes = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for lang, wt in sampling.MIXTURE_WEIGHTS.items():
+        target = min(group_sizes.get(lang, 0), wt / tw * budget)
+        if target < 8:  # too small for a statistical bound
+            continue
+        sigma = (target * (1 - target / group_sizes[lang])) ** 0.5
+        assert abs(got.get(lang, 0) - target) <= 5 * sigma + 2, (
+            f"{lang}: got {got.get(lang, 0)}, target {target:.1f}"
+        )
+
+
+def test_mixture_is_subset_of_corpus_and_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(r["doc_id"] for r in sampling.mixture_sample(docs).collect())
+    b = sorted(r["doc_id"] for r in sampling.mixture_sample(docs).collect())
+    assert a == b
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(a) <= all_ids
