@@ -127,12 +127,16 @@ def main() -> int:
             df_fn().count()
             timings[name] = round(time.perf_counter() - t0, 4)
 
+        # headline wall: build + queries + ops only. Captured BEFORE the
+        # scaling-evidence subprocess, which is a separate protocol with
+        # its own walls (and a 600 s cap that would otherwise drown the
+        # headline in a noisy interval).
+        total = time.perf_counter() - t_all
+
         # ---- scaling evidence (north_rule): same job at N and 4N ----
         scaling = None
         if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
             scaling = _scaling_evidence()
-
-        total = time.perf_counter() - t_all
         out = {
             "metric": "index_build+bm25+pipeline_ops",
             "value": round(total, 3),
@@ -204,6 +208,27 @@ def _scaling_evidence() -> dict:
             except Exception:  # noqa: BLE001
                 pass
         return err
+
+    # Cheap pre-probe (~30 s): if the shared host's memory bus is
+    # collapsed by neighbors (stream bandwidth flat from 4p to 16p), no
+    # memory-touching job can scale in this interval at ANY software
+    # quality — skip the 600 s live attempt and say why, instead of
+    # recording an interval artifact or a timeout as "the" number.
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from bench_scaling import _cpu_ceiling, _mem_ceiling
+
+        cpu = _cpu_ceiling(4, 16)
+        mem = _mem_ceiling(4, 16)
+        if mem["stream_ceiling_efficiency"] < 0.45:
+            return _with_fallback({
+                "error": "skipped: host memory bus collapsed this interval",
+                "host_cpu_ceiling": cpu,
+                "host_mem_ceiling": mem,
+                "best_measured": best_measured,
+            })
+    except Exception:  # noqa: BLE001
+        pass  # probe trouble → fall through to the live attempt
 
     try:
         res = subprocess.run(
