@@ -12,6 +12,11 @@ Usage:
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow]
+    python -m search_engine_spark.cli verify <index_dir>
+
+``verify`` audits a persisted index against its per-partition lineage
+(plans/audit.py checks C1-C7: coverage, counts, sha-XOR digests, orphan
+postings, block density, corpus stats); exit 1 on any mismatch.
 
 ``extend`` ingests a new corpus batch into an existing index as its
 own generation — only the delta is tokenized and block-encoded; docs
@@ -143,6 +148,13 @@ def main(argv: list[str]) -> int:
         n = delete_docs(get_spark("se-delete"), args[2],
                         [int(d) for d in args[3:]])
         print(f"tombstones: {n} (run compact to drop physically)")
+    elif cmd == "verify":
+        from search_engine_spark.plans.audit import verify_index
+        from search_engine_spark.session import get_spark
+
+        report = verify_index(get_spark("se-verify"), args[2])
+        print(report)
+        return 0 if report["ok"] else 1
     elif cmd == "ingest":
         from search_engine_spark.session import get_spark
         from search_engine_spark.streaming.ingest import stream_ingest

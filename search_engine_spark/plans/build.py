@@ -330,6 +330,9 @@ def _index_stage(
         "k1": cfg.k1,
         "b": cfg.b,
         "build_id": build_id,
+        # lineage granularity: lets tooling map checkpoint partition_id
+        # (= gen·P + part_id) back to (gen, part_id) without the cfg
+        "build_partitions": cfg.build_partitions,
     }
 
     # range-partitioned + sorted by term → parquet min/max row-group
@@ -658,6 +661,11 @@ def compact_index(
             _delete_path(spark, path)
             _rename_path(spark, tmp, path)
         _delete_path(spark, f"{index_dir}/tombstones")
+        # re-baseline lineage: physical deletes changed the landed
+        # per-partition counts/digests, so append fresh 'postings' rows
+        # reflecting what NOW lands — keeps plans/audit.py::verify_index
+        # a strict invariant (landed == latest lineage) across deletes
+        _rebaseline_lineage(spark, index_dir, cfg, ckpt)
 
     n_docs, avgdl, docs = _index_stage(
         spark, index_dir, cfg, ckpt, metrics, build_id, attempt, encode_gen=None
@@ -668,6 +676,56 @@ def compact_index(
     metrics.emit("compact", {"secs": wall, "docs_deleted": n_deleted})
     return {"build_id": build_id, "n_docs": n_docs, "avgdl": avgdl,
             "docs_deleted": n_deleted, "wall_secs": wall}
+
+
+def _rebaseline_lineage(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig,
+    ckpt: CheckpointLog,
+) -> None:
+    """Append fresh 'postings' lineage rows from the landed docs and
+    postings tables (one aggregate each, no content). Called after a
+    physical delete so the latest attempt per partition again equals
+    what is on disk."""
+    P = cfg.build_partitions
+    attempt = ckpt.next_attempt("postings")
+    now = time.time()
+    docs_stats = {
+        (r["gen"], r["part_id"]): (r["rows_in"], r["sha_xor"])
+        for r in spark.read.parquet(f"{index_dir}/docs")
+        .groupBy("gen", "part_id")
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.bit_xor(_sha_prefix_col()).alias("sha_xor"),
+        )
+        .collect()
+    }
+    post_counts = {
+        (r["gen"], r["part_id"]): r["rows_out"]
+        for r in spark.read.parquet(f"{index_dir}/postings")
+        .groupBy("gen", "part_id")
+        .agg(F.count("*").alias("rows_out"))
+        .collect()
+    }
+    # every partition the OLD lineage covered gets a fresh row, so a
+    # fully-deleted partition re-baselines to 0 rather than lingering
+    covered = ckpt.completed_partitions("postings")
+    keys = {(pid // P, pid % P) for pid in covered} | set(docs_stats)
+    ckpt.append(
+        [
+            {
+                "stage": "postings",
+                "partition_id": g * P + p,
+                "status": "done",
+                "rows_in": docs_stats.get((g, p), (0, None))[0],
+                "rows_out": post_counts.get((g, p), 0),
+                "sha_xor": docs_stats.get((g, p), (0, None))[1],
+                "attempt": attempt,
+                "started_at": now,
+                "finished_at": now,
+            }
+            for (g, p) in sorted(keys)
+        ]
+    )
 
 
 def _write_json(spark: SparkSession, path: str, payload: dict) -> None:

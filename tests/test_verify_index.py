@@ -1,0 +1,92 @@
+"""Index integrity audit (plans/audit.py): a fresh build verifies
+clean, tampering is detected, and delete→compact re-baselines lineage
+so the audit stays a strict invariant across the index lifecycle."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.audit import verify_index
+from search_engine_spark.plans.build import (
+    build_index,
+    compact_index,
+    delete_docs,
+    extend_index,
+)
+
+
+@pytest.fixture()
+def ix(spark, fixture_dir, tmp_path):
+    index_dir = str(tmp_path / "ix")
+    build_index(spark, str(fixture_dir / "corpus.parquet"), index_dir)
+    return index_dir
+
+
+def test_fresh_build_verifies_clean(spark, ix):
+    report = verify_index(spark, ix)
+    assert report["ok"], report["mismatches"]
+    assert all(report["checks"].values())
+    assert report["n_docs"] == 200
+    assert report["partitions_audited"] > 0
+
+
+def test_tampered_docs_partition_detected(spark, ix):
+    # drop one landed docs partition directory behind the engine's back
+    docs_root = Path(ix) / "docs" / "gen=0"
+    victim = sorted(p for p in docs_root.iterdir() if p.name.startswith("part_id="))[0]
+    shutil.rmtree(victim)
+    report = verify_index(spark, ix)
+    assert not report["ok"]
+    # missing docs break the count check (C2) and the digest check (C3)
+    assert not report["checks"]["C2"]
+    failing = {m["check"] for m in report["mismatches"]}
+    assert "C2" in failing
+
+
+def test_duplicated_postings_detected(spark, ix):
+    # re-append one partition's postings (simulates a replayed write
+    # landing in append mode instead of dynamic overwrite)
+    post = spark.read.parquet(f"{ix}/postings")
+    one = post.where(F.col("part_id") == post.select("part_id").first()[0])
+    (
+        one.write.mode("append").partitionBy("gen", "part_id")
+        .parquet(f"{ix}/postings")
+    )
+    report = verify_index(spark, ix)
+    assert not report["ok"]
+    failing = {m["check"] for m in report["mismatches"]}
+    assert "C4" in failing  # postings rows != lineage rows_out
+    assert "C6" in failing  # blocks Σn != postings rows
+
+
+def test_delete_then_compact_stays_verified(spark, ix):
+    docs = spark.read.parquet(f"{ix}/docs")
+    victims = [r["doc_id"] for r in docs.select("doc_id").limit(5).collect()]
+    delete_docs(spark, ix, victims)
+    # tombstones don't touch the tables: audit still clean
+    report = verify_index(spark, ix)
+    assert report["ok"], report["mismatches"]
+    # compaction physically drops them AND re-baselines lineage
+    summary = compact_index(spark, ix)
+    assert summary["docs_deleted"] == 5
+    report2 = verify_index(spark, ix)
+    assert report2["ok"], report2["mismatches"]
+    assert report2["n_docs"] == 195
+
+
+def test_extended_index_verifies_clean(spark, fixture_dir, tmp_path):
+    index_dir = str(tmp_path / "ix2")
+    full = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    paths = sorted(r["path"] for r in full.select("path").collect())
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    full.where(F.col("path").isin(paths[:120])).write.parquet(a)
+    full.where(F.col("path").isin(paths[120:])).write.parquet(b)
+    build_index(spark, a, index_dir)
+    extend_index(spark, b, index_dir)
+    report = verify_index(spark, index_dir)
+    assert report["ok"], report["mismatches"]
+    assert report["n_docs"] == 200
