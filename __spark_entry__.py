@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_features": lambda s, d: multimodal.extract_media_features(
             multimodal.with_media_blob(_t(s, d, "documents"))
         ),
+        "mm_png_features": lambda s, d: multimodal.extract_image_features(
+            multimodal.with_image_blob(_t(s, d, "documents"))
+        ),
         # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
         "graph_pagerank_5iter": _pagerank_5iter,
         "graph_pagerank_prior": _pagerank_prior,

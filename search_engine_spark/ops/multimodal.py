@@ -19,6 +19,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -64,13 +65,112 @@ def blob_metadata(docs: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """STUB for the image/video decoders (resize / frame-sample).
-    audio/wav has a REAL decoder (:func:`_decode_wav`, stdlib ``wave``);
-    the remaining media types require PIL/ffmpeg, absent here."""
+    """STUB for the remaining decoders (video frame-sample, non-PNG
+    image formats). audio/wav and image/png have REAL stdlib decoders
+    (:func:`_decode_wav`, :func:`_decode_png`); JPEG/video require
+    PIL/ffmpeg, absent here."""
     raise NotImplementedError(
-        "image/video decode requires PIL/ffmpeg — not available in this "
-        "container; text/plain and audio/wav are handled by real paths"
+        "video / non-PNG image decode requires PIL/ffmpeg — not available "
+        "in this container; text/plain, audio/wav and image/png are "
+        "handled by real paths"
     )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, gray: int) -> bytes:
+    """Deterministic 8-bit grayscale PNG encoder (stdlib zlib/struct —
+    test fixtures, no external data). Constant pixel value ``gray``,
+    filter 0 scanlines."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([gray]) * width for _ in range(height))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 1) -> bytearray:
+    """Undo PNG scanline filters 0-4 (the full public spec set,
+    RFC 2083 §6) for ``bpp`` bytes/pixel."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out.extend(line)
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL image decode (stdlib): PNG container parse (chunk walk with
+    CRC check), IDAT inflate, scanline un-filter → pixel-domain features
+    (dims, bit depth, fixed-point mean intensity). Grayscale-8 pixels
+    are fully decoded; other color types report header metadata with
+    px_mean_e4 = -1 (documented partial decode, not a wrong answer)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, depth, ctype, idat = 8, 0, 0, 0, -1, b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ctype == 0 and depth == 8:
+        pixels = _png_unfilter(zlib.decompress(idat), width, height)
+        mean = sum(pixels) / len(pixels) if pixels else 0.0
+        px_mean_e4 = int(mean * 10_000)
+    else:
+        px_mean_e4 = -1
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "px_mean_e4": px_mean_e4,
+    }
 
 
 def make_wav(samples: list[int], rate: int = 8000) -> bytes:
@@ -190,6 +290,89 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=MEDIA_FEATURE_SCHEMA)
 
 
+# n_bytes deliberately absent: the zlib-compressed payload size is
+# deterministic but not closed-form, so it can't be oracle-predicted
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "bit_depth int, px_mean_e4 long"
+)
+
+
+def with_image_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic image/png payload per doc (no external
+    data): 8-bit grayscale, constant intensity, closed-form params —
+    width = 4 + doc_id%8, height = 2 + doc_id%5, gray = doc_id%256.
+    Closed form means the DuckDB oracle can predict EXACTLY what the
+    real decoder must extract (dims, bit depth, px_mean_e4 = gray·10^4),
+    making the container-parse → inflate → un-filter path end-to-end
+    gate-checkable."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_png(int(4 + i % 8), int(2 + i % 5), int(i % 256))
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def extract_image_features(blobs: DataFrame) -> DataFrame:
+    """Typed image feature extraction over the binary column — same
+    pruned (doc_id, payload, media_type) Arrow contract as the other
+    extractors; image/png rows are REALLY decoded (:func:`_decode_png`),
+    other media types raise the documented stub."""
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "media_type": [],
+                "width": [], "height": [], "bit_depth": [], "px_mean_e4": [],
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt == "image/png":
+                    feat = _decode_png(bytes(payload))
+                else:
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["width"].append(feat["width"])
+                out["height"].append(feat["height"])
+                out["bit_depth"].append(feat["bit_depth"])
+                out["px_mean_e4"].append(feat["px_mean_e4"])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32",
+                 "height": "int32", "bit_depth": "int32",
+                 "px_mean_e4": "int64"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA)
+
+
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Batch feature extraction over the binary column via mapInPandas.
 
@@ -249,6 +432,19 @@ SELECT doc_id,
            // octet_length(encode(text))
        ELSE 0 END AS BIGINT) AS byte_mean_e4,
        lower(hex(encode(substring(text, 1, 8)))) AS byte_head
+FROM documents
+""",
+    # The oracle predicts, in closed form, what the REAL png decoder
+    # (chunk walk + CRC + inflate + un-filter) must extract from the
+    # synthesized payloads (with_image_blob): dims and gray level are
+    # arithmetic on doc_id; constant-intensity mean is the gray level.
+    "mm_png_features": """
+SELECT doc_id,
+       'image/png' AS media_type,
+       CAST(4 + doc_id % 8 AS INTEGER) AS width,
+       CAST(2 + doc_id % 5 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST((doc_id % 256) * 10000 AS BIGINT) AS px_mean_e4
 FROM documents
 """,
     # The oracle predicts, in closed form, what the REAL wav decoder

@@ -1,8 +1,9 @@
-"""Multimodal decode path (VERDICT r01 item 9): audio/wav rows are
-REALLY decoded (stdlib RIFF/WAVE parse + PCM stats) inside the
-mapInPandas kernel; text/plain passes through; image/* still raises the
-documented PIL/ffmpeg stub. Fixtures are synthesized deterministically
-(no external data)."""
+"""Multimodal decode paths (VERDICT r01 item 9): audio/wav and
+image/png rows are REALLY decoded (stdlib RIFF/WAVE + PCM stats;
+PNG chunk walk + CRC + inflate + un-filter) inside mapInPandas kernels;
+text/plain passes through; video/JPEG still raise the documented
+PIL/ffmpeg stub. Fixtures are synthesized deterministically (no
+external data)."""
 
 from __future__ import annotations
 
@@ -68,7 +69,7 @@ def test_byte_features_accept_wav(spark, mixed_blobs):
 
 def test_unknown_media_still_stubbed(spark):
     df = spark.createDataFrame(
-        [(9, b"\x89PNG\r\n\x1a\n....", "image/png")],
+        [(9, b"\x00\x00\x00\x18ftypmp42", "video/mp4")],
         "doc_id long, payload binary, media_type string",
     ).select(
         "doc_id", "payload",
@@ -78,3 +79,75 @@ def test_unknown_media_still_stubbed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         extract_media_features(df).collect()
+
+
+# ------------------------------------------------------------- image/png
+
+
+def test_png_roundtrip_and_all_filter_types():
+    """Pure-kernel check: encoder→decoder roundtrip, plus un-filtering
+    of every PNG filter type (0-4, RFC 2083 §6) on a hand-built
+    gradient where each filter produces distinct deltas."""
+    from search_engine_spark.ops.multimodal import (
+        _decode_png,
+        _png_unfilter,
+        make_png,
+    )
+
+    for i in [0, 7, 123, 255, 511]:
+        feat = _decode_png(make_png(4 + i % 8, 2 + i % 5, i % 256))
+        assert feat == {
+            "width": 4 + i % 8, "height": 2 + i % 5,
+            "bit_depth": 8, "px_mean_e4": (i % 256) * 10_000,
+        }
+
+    rows = [bytes([10, 20, 30]), bytes([15, 25, 35])]
+
+    def encode_with(ftype: int) -> bytes:
+        out, prev = b"", bytes(3)
+        for line in rows:
+            fl = bytearray()
+            for i in range(3):
+                a = line[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                pred = {
+                    0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                }.get(ftype)
+                if pred is None:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                fl.append((line[i] - pred) & 0xFF)
+            out += bytes([ftype]) + bytes(fl)
+            prev = line
+        return out
+
+    for ftype in range(5):
+        assert bytes(_png_unfilter(encode_with(ftype), 3, 2)) == b"".join(rows)
+
+
+def test_png_crc_corruption_detected():
+    from search_engine_spark.ops.multimodal import _decode_png, make_png
+
+    p = bytearray(make_png(5, 3, 77))
+    p[20] ^= 0xFF  # flip a bit inside IHDR body → CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(p))
+
+
+def test_png_rows_really_decode(spark):
+    from search_engine_spark.ops.multimodal import (
+        extract_image_features,
+        with_image_blob,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 3, 300]], "doc_id long"
+    )
+    got = {r["doc_id"]: r for r in
+           extract_image_features(with_image_blob(docs)).collect()}
+    for i in [0, 3, 300]:
+        r = got[i]
+        assert (r["width"], r["height"], r["bit_depth"], r["px_mean_e4"]) == (
+            4 + i % 8, 2 + i % 5, 8, (i % 256) * 10_000
+        )
