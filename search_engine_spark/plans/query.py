@@ -438,15 +438,16 @@ class QueryEngine:
             [F.desc("matched"), F.desc("prior"), F.asc("doc_id")],
             page_num,
             self.cfg.candidate_k,
-        ).cache()
-        mm = page.agg(F.min("score"), F.max("score")).collect()[0]
-        smin, smax = mm[0], mm[1]
-        rng = (smax - smin) if (smax is not None and smin is not None) else None
-        norm = (
-            (F.col("score") - F.lit(smin)) / F.lit(rng)
-            if rng
-            else F.lit(0.0)
         )
+        # min-max normalize within the page via an unpartitioned window
+        # over the ≤(page+1)·candidate_k surviving rows — one pass, no
+        # driver collect, nothing left cached per query call
+        wmm = Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+        smin, smax = F.min("score").over(wmm), F.max("score").over(wmm)
+        norm = F.when(
+            smax - smin > 0, (F.col("score") - smin) / (smax - smin)
+        ).otherwise(F.lit(0.0))
         w = self.cfg.blend_weight
         out = (
             page.withColumn("norm", norm)
