@@ -225,6 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_features": lambda s, d: multimodal.extract_image_features(
             multimodal.with_image_blob(_t(s, d, "documents"))
         ),
+        "mm_video_frames": lambda s, d: multimodal.sample_video_frames(
+            multimodal.with_video_blob(_t(s, d, "documents"))
+        ),
+        "mm_jpeg_dims": lambda s, d: multimodal.extract_jpeg_dims(
+            multimodal.with_jpeg_blob(_t(s, d, "documents"))
+        ),
         # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
         "graph_pagerank_5iter": _pagerank_5iter,
         "graph_pagerank_prior": _pagerank_prior,

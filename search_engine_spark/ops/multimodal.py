@@ -65,14 +65,17 @@ def blob_metadata(docs: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """STUB for the remaining decoders (video frame-sample, non-PNG
-    image formats). audio/wav and image/png have REAL stdlib decoders
-    (:func:`_decode_wav`, :func:`_decode_png`); JPEG/video require
-    PIL/ffmpeg, absent here."""
+    """STUB for the remaining decoders (JPEG *pixel* decode, compressed
+    video codecs). REAL stdlib paths exist for audio/wav
+    (:func:`_decode_wav`), image/png (:func:`_decode_png`), image/jpeg
+    header metadata (:func:`_decode_jpeg_header`) and video/y4m
+    frame-sampling (:func:`_decode_y4m`); JPEG entropy decode and
+    H.26x/VP9 need libjpeg/ffmpeg, absent here."""
     raise NotImplementedError(
-        "video / non-PNG image decode requires PIL/ffmpeg — not available "
-        "in this container; text/plain, audio/wav and image/png are "
-        "handled by real paths"
+        "JPEG pixel / compressed-video decode requires libjpeg/ffmpeg — "
+        "not available in this container; text/plain, audio/wav, "
+        "image/png, image/jpeg headers and video/y4m are handled by "
+        "real paths"
     )
 
 
@@ -373,6 +376,292 @@ def extract_image_features(blobs: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA)
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, luma_mean_e4 long"
+)
+
+# frame-plane sizes per y4m chroma tag (luma plane is always first)
+_Y4M_CHROMA_FACTOR = {
+    "mono": (1, 1),        # Y only
+    "420jpeg": (3, 2), "420mpeg2": (3, 2), "420paldv": (3, 2), "420": (3, 2),
+    "422": (2, 1),
+    "444": (3, 1),
+}
+
+
+def make_y4m(width: int, height: int, lumas: list[int],
+             rate: tuple[int, int] = (25, 1)) -> bytes:
+    """Deterministic Y-only (Cmono) YUV4MPEG2 stream encoder (stdlib —
+    test fixtures, no external data): one constant-luma frame per entry
+    of ``lumas``. y4m is the public uncompressed interchange format from
+    mjpegtools; its plain-text header + raw planes make it the video
+    analogue of WAV."""
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{rate[0]}:{rate[1]} Ip A1:1 Cmono\n"
+    ).encode("ascii")
+    frames = b"".join(
+        b"FRAME\n" + bytes([v & 0xFF]) * (width * height) for v in lumas
+    )
+    return header + frames
+
+
+def _decode_y4m(payload: bytes, sample_every: int = 2) -> list[dict]:
+    """REAL video decode (stdlib): YUV4MPEG2 stream parse (header
+    params, FRAME markers, raw planes) + temporal frame-sampling —
+    keeps every ``sample_every``-th frame and extracts pixel-domain
+    features from its luma plane (dims + fixed-point mean luminance).
+    Supports mono/420/422/444 chroma layouts; the luma plane is always
+    the first ``w*h`` bytes of a frame."""
+    nl = payload.index(b"\n")
+    parts = payload[:nl].split(b" ")
+    if parts[0] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    chroma = "420jpeg"  # spec default when C is absent
+    for p in parts[1:]:
+        if p[:1] == b"W":
+            width = int(p[1:])
+        elif p[:1] == b"H":
+            height = int(p[1:])
+        elif p[:1] == b"C":
+            chroma = p[1:].decode("ascii")
+    if width is None or height is None:
+        raise ValueError("y4m header missing W/H")
+    if chroma not in _Y4M_CHROMA_FACTOR:
+        raise NotImplementedError(f"unsupported y4m chroma {chroma}")
+    num, den = _Y4M_CHROMA_FACTOR[chroma]
+    luma_size = width * height
+    frame_size = luma_size * num // den
+    pos, t, sampled = nl + 1, 0, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated y4m frame")
+        if t % sample_every == 0:
+            luma = np.frombuffer(
+                payload[pos : pos + luma_size], dtype=np.uint8
+            )
+            sampled.append({
+                "frame_idx": t,
+                "width": width,
+                "height": height,
+                # integer-exact fixed-point mean (×10^4), same convention
+                # as the wav/png features
+                "luma_mean_e4": int(luma.sum(dtype=np.int64)) * 10_000
+                // luma_size,
+            })
+        pos += frame_size
+        t += 1
+    return sampled
+
+
+def with_video_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic video/y4m payload per doc (no external
+    data): Y-only frames with closed-form params — width = 4 + doc_id%4,
+    height = 2 + doc_id%3, n_frames = 3 + doc_id%4, frame t's constant
+    luma = (doc_id + 17·t) % 256. Closed form means the DuckDB oracle
+    can predict EXACTLY what the real stream parser + frame sampler
+    must extract, making the video path end-to-end gate-checkable."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_y4m(
+                    int(4 + i % 4),
+                    int(2 + i % 3),
+                    [int((i + 17 * t) % 256) for t in range(int(3 + i % 4))],
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["video/y4m"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
+    """Temporal frame-sampling over the binary video column — one output
+    row per KEPT frame (doc_id, frame_idx, dims, luma mean). Same pruned
+    (doc_id, payload, media_type) Arrow contract as the other
+    extractors; video/y4m rows are REALLY decoded (:func:`_decode_y4m`),
+    other media types raise the documented stub. This is the row-explode
+    shape a training pipeline feeds to a per-frame embedding stage."""
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "luma_mean_e4": [],
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "video/y4m":
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                for feat in _decode_y4m(bytes(payload), sample_every=every):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(feat["frame_idx"])
+                    out["width"].append(feat["width"])
+                    out["height"].append(feat["height"])
+                    out["luma_mean_e4"].append(feat["luma_mean_e4"])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "width": "int32",
+                 "height": "int32", "luma_mean_e4": "int64"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
+JPEG_DIMS_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "bit_depth int, n_comp int"
+)
+
+# SOF0..SOF15 minus the non-frame markers sharing the range:
+# DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def make_jpeg_shell(width: int, height: int, n_comp: int = 1) -> bytes:
+    """Minimal structurally-valid JPEG header stream (SOI + JFIF APP0 +
+    SOF0 + EOI) for fixtures — the entropy-coded scan is omitted because
+    header-metadata extraction never reads it (the same reason `file`
+    and exif tools can report JPEG dims without a pixel decode)."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    sof = struct.pack(">BHHB", 8, height, width, n_comp) + comps
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg_header(payload: bytes) -> dict:
+    """REAL JPEG header parse (stdlib): marker-segment walk (ITU T.81
+    §B.1) to the first SOFn frame header → dims, sample precision,
+    component count, progressive flag. Pixel decode (Huffman + IDCT)
+    stays behind the documented stub."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            prec, h, w, ncomp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "width": w, "height": h, "bit_depth": prec,
+                "n_comp": ncomp, "progressive": int(marker == 0xC2),
+            }
+        pos += 2 + ln
+    raise ValueError("no SOF frame header found")
+
+
+def with_jpeg_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic image/jpeg header payload per doc:
+    width = 16 + doc_id%16, height = 8 + doc_id%8, components
+    1 + 2·(doc_id%2) (grayscale / YCbCr alternating) — closed-form so
+    the DuckDB oracle predicts exactly what the marker walk extracts."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_jpeg_shell(
+                    int(16 + i % 16), int(8 + i % 8), int(1 + 2 * (i % 2))
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["image/jpeg"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def extract_jpeg_dims(blobs: DataFrame) -> DataFrame:
+    """JPEG header-metadata extraction over the binary column — same
+    pruned Arrow contract as the other extractors; image/jpeg rows get
+    a REAL marker-walk parse (:func:`_decode_jpeg_header`), other media
+    types raise the documented stub."""
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "media_type": [], "width": [], "height": [],
+                "bit_depth": [], "n_comp": [],
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "image/jpeg":
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                feat = _decode_jpeg_header(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["width"].append(feat["width"])
+                out["height"].append(feat["height"])
+                out["bit_depth"].append(feat["bit_depth"])
+                out["n_comp"].append(feat["n_comp"])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "bit_depth": "int32", "n_comp": "int32"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=JPEG_DIMS_SCHEMA)
+
+
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Batch feature extraction over the binary column via mapInPandas.
 
@@ -459,6 +748,30 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS n_channels,
        CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
        CAST((doc_id % 30 + 1) * 10000 AS BIGINT) AS rms_e4
+FROM documents
+""",
+    # The oracle predicts, in closed form, what the REAL y4m stream
+    # parser + frame sampler must extract from the synthesized payloads
+    # (with_video_blob): every 2nd frame of n_frames = 3 + doc_id%4,
+    # constant-luma frame t has mean (doc_id + 17t) % 256.
+    "mm_video_frames": """
+SELECT d.doc_id,
+       CAST(u.t AS INTEGER) AS frame_idx,
+       CAST(4 + d.doc_id % 4 AS INTEGER) AS width,
+       CAST(2 + d.doc_id % 3 AS INTEGER) AS height,
+       CAST(((d.doc_id + 17 * u.t) % 256) * 10000 AS BIGINT) AS luma_mean_e4
+FROM documents d, UNNEST(range(0, CAST(3 + d.doc_id % 4 AS BIGINT))) u(t)
+WHERE u.t % 2 = 0
+""",
+    # The oracle predicts what the REAL marker-segment walk must pull
+    # out of the synthesized SOF0 headers (with_jpeg_blob).
+    "mm_jpeg_dims": """
+SELECT doc_id,
+       'image/jpeg' AS media_type,
+       CAST(16 + doc_id % 16 AS INTEGER) AS width,
+       CAST(8 + doc_id % 8 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(1 + 2 * (doc_id % 2) AS INTEGER) AS n_comp
 FROM documents
 """,
 }

@@ -1,9 +1,10 @@
-"""Multimodal decode paths (VERDICT r01 item 9): audio/wav and
-image/png rows are REALLY decoded (stdlib RIFF/WAVE + PCM stats;
-PNG chunk walk + CRC + inflate + un-filter) inside mapInPandas kernels;
-text/plain passes through; video/JPEG still raise the documented
-PIL/ffmpeg stub. Fixtures are synthesized deterministically (no
-external data)."""
+"""Multimodal decode paths (VERDICT r01 item 9): audio/wav, image/png,
+video/y4m and image/jpeg headers are REALLY decoded (stdlib RIFF/WAVE +
+PCM stats; PNG chunk walk + CRC + inflate + un-filter; YUV4MPEG2 stream
+parse + frame-sampling; JPEG marker walk to SOFn) inside mapInPandas
+kernels; text/plain passes through; compressed video / JPEG pixels
+still raise the documented stub. Fixtures are synthesized
+deterministically (no external data)."""
 
 from __future__ import annotations
 
@@ -150,4 +151,123 @@ def test_png_rows_really_decode(spark):
         r = got[i]
         assert (r["width"], r["height"], r["bit_depth"], r["px_mean_e4"]) == (
             4 + i % 8, 2 + i % 5, 8, (i % 256) * 10_000
+        )
+
+
+# ------------------------------------------------------------ video/y4m
+
+
+def test_y4m_roundtrip_and_sampling():
+    """Pure-kernel check: encoder→parser roundtrip; sampling keeps
+    exactly frames 0, every, 2·every, …; luma means are integer-exact."""
+    from search_engine_spark.ops.multimodal import _decode_y4m, make_y4m
+
+    lumas = [5, 250, 17, 0, 128, 99, 200]
+    payload = make_y4m(6, 4, lumas)
+    got = _decode_y4m(payload, sample_every=3)
+    assert [f["frame_idx"] for f in got] == [0, 3, 6]
+    for f in got:
+        assert (f["width"], f["height"]) == (6, 4)
+        assert f["luma_mean_e4"] == lumas[f["frame_idx"]] * 10_000
+    # every=1 keeps all frames
+    assert len(_decode_y4m(payload, sample_every=1)) == len(lumas)
+
+
+def test_y4m_chroma_420_luma_plane_first():
+    """A hand-built C420jpeg stream: the parser must skip the chroma
+    planes (w·h/2 extra bytes per frame) and still read frame 1's luma
+    correctly."""
+    from search_engine_spark.ops.multimodal import _decode_y4m
+
+    w, h = 4, 2
+    header = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    def frame(y_val, c_val):
+        return (b"FRAME\n" + bytes([y_val]) * (w * h)
+                + bytes([c_val]) * (w * h // 2))
+    payload = header + frame(10, 99) + frame(20, 77)
+    got = _decode_y4m(payload, sample_every=1)
+    assert [f["luma_mean_e4"] for f in got] == [100_000, 200_000]
+
+
+def test_y4m_truncated_frame_detected():
+    from search_engine_spark.ops.multimodal import _decode_y4m, make_y4m
+
+    payload = make_y4m(8, 8, [1, 2])[:-5]  # chop the last frame short
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_y4m(payload, sample_every=1)
+
+
+def test_y4m_rows_really_decode(spark):
+    from search_engine_spark.ops.multimodal import (
+        sample_video_frames,
+        with_video_blob,
+    )
+
+    ids = [0, 3, 300]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = sample_video_frames(with_video_blob(docs)).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    for i in ids:
+        n_frames = 3 + i % 4
+        kept = [t for t in range(n_frames) if t % 2 == 0]
+        assert sorted(t for (d, t) in got if d == i) == kept
+        for t in kept:
+            r = got[(i, t)]
+            assert (r["width"], r["height"]) == (4 + i % 4, 2 + i % 3)
+            assert r["luma_mean_e4"] == ((i + 17 * t) % 256) * 10_000
+
+
+# ----------------------------------------------------------- image/jpeg
+
+
+def test_jpeg_header_roundtrip():
+    from search_engine_spark.ops.multimodal import (
+        _decode_jpeg_header,
+        make_jpeg_shell,
+    )
+
+    for w, h, nc in [(16, 8, 1), (31, 15, 3), (640, 480, 3)]:
+        feat = _decode_jpeg_header(make_jpeg_shell(w, h, nc))
+        assert feat == {"width": w, "height": h, "bit_depth": 8,
+                        "n_comp": nc, "progressive": 0}
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg_header(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_skips_non_sof_segments():
+    """Marker walk must hop over APPn/COM/DQT segments (including ones
+    containing 0xFFC0-looking bytes in their bodies) before SOF."""
+    import struct as _s
+
+    from search_engine_spark.ops.multimodal import _decode_jpeg_header
+
+    com_body = b"decoy \xff\xc0 inside a comment"
+    dqt_body = bytes([0]) + bytes(range(64))
+    sof = _s.pack(">BHHB", 8, 99, 177, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xfe" + _s.pack(">H", 2 + len(com_body)) + com_body
+        + b"\xff\xdb" + _s.pack(">H", 2 + len(dqt_body)) + dqt_body
+        + b"\xff\xc2" + _s.pack(">H", 2 + len(sof)) + sof  # progressive
+        + b"\xff\xd9"
+    )
+    feat = _decode_jpeg_header(payload)
+    assert feat == {"width": 177, "height": 99, "bit_depth": 8,
+                    "n_comp": 3, "progressive": 1}
+
+
+def test_jpeg_rows_really_decode(spark):
+    from search_engine_spark.ops.multimodal import (
+        extract_jpeg_dims,
+        with_jpeg_blob,
+    )
+
+    ids = [0, 5, 300]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in
+           extract_jpeg_dims(with_jpeg_blob(docs)).collect()}
+    for i in ids:
+        r = got[i]
+        assert (r["width"], r["height"], r["bit_depth"], r["n_comp"]) == (
+            16 + i % 16, 8 + i % 8, 8, 1 + 2 * (i % 2)
         )
