@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_dims": lambda s, d: multimodal.extract_jpeg_dims(
             multimodal.with_jpeg_blob(_t(s, d, "documents"))
         ),
+        "mm_image_resize": lambda s, d: multimodal.resize_image_features(
+            multimodal.with_gradient_image_blob(_t(s, d, "documents"))
+        ),
         # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
         "graph_pagerank_5iter": _pagerank_5iter,
         "graph_pagerank_prior": _pagerank_prior,

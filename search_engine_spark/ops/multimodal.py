@@ -102,6 +102,30 @@ def make_png(width: int, height: int, gray: int) -> bytes:
     )
 
 
+def make_png_gradient(width: int, height: int, base: int) -> bytes:
+    """Deterministic 8-bit grayscale PNG with a 2-D gradient — pixel
+    (x, y) = (base + 3y + 5x) % 256, filter-0 scanlines. Non-constant
+    pixels make the resize oracle actually sensitive to WHICH pixels
+    nearest-neighbor picks (a constant image would pass any resample)."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((base + 3 * y + 5 * x) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 1) -> bytearray:
     """Undo PNG scanline filters 0-4 (the full public spec set,
     RFC 2083 §6) for ``bpp`` bytes/pixel."""
@@ -139,12 +163,11 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 1) -> bytearra
     return out
 
 
-def _decode_png(payload: bytes) -> dict:
-    """REAL image decode (stdlib): PNG container parse (chunk walk with
-    CRC check), IDAT inflate, scanline un-filter → pixel-domain features
-    (dims, bit depth, fixed-point mean intensity). Grayscale-8 pixels
-    are fully decoded; other color types report header metadata with
-    px_mean_e4 = -1 (documented partial decode, not a wrong answer)."""
+def _png_pixels(payload: bytes):
+    """PNG container parse (chunk walk with CRC check) + IDAT inflate +
+    scanline un-filter → (width, height, bit_depth, pixels). ``pixels``
+    is an (h, w) uint8 ndarray for grayscale-8 streams, else ``None``
+    (header-only partial decode for other color types)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, width, height, depth, ctype, idat = 8, 0, 0, 0, -1, b""
@@ -162,10 +185,26 @@ def _decode_png(payload: bytes) -> dict:
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    pixels = None
     if ctype == 0 and depth == 8:
-        pixels = _png_unfilter(zlib.decompress(idat), width, height)
-        mean = sum(pixels) / len(pixels) if pixels else 0.0
-        px_mean_e4 = int(mean * 10_000)
+        raw = _png_unfilter(zlib.decompress(idat), width, height)
+        pixels = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            height, width
+        )
+    return width, height, depth, pixels
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL image decode (stdlib): PNG container parse (chunk walk with
+    CRC check), IDAT inflate, scanline un-filter → pixel-domain features
+    (dims, bit depth, fixed-point mean intensity). Grayscale-8 pixels
+    are fully decoded; other color types report header metadata with
+    px_mean_e4 = -1 (documented partial decode, not a wrong answer)."""
+    width, height, depth, pixels = _png_pixels(payload)
+    if pixels is not None and pixels.size:
+        px_mean_e4 = int(pixels.sum(dtype=np.int64)) * 10_000 // pixels.size
+    elif pixels is not None:
+        px_mean_e4 = 0
     else:
         px_mean_e4 = -1
     return {
@@ -335,6 +374,99 @@ def with_image_blob(docs: DataFrame) -> DataFrame:
             F.sha2("payload", 256).alias("sha256"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, px_mean_e4 long"
+)
+
+
+def _resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w) grayscale array to
+    (th, tw): dst (x, y) ← src (⌊x·w/tw⌋, ⌊y·h/th⌋) — the floor-index
+    convention, chosen because it's exactly expressible in the SQL
+    oracle (integer division)."""
+    h, w = pixels.shape
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return pixels[np.ix_(ys, xs)]
+
+
+def with_gradient_image_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic gradient image/png payload per doc:
+    width = 5 + doc_id%6, height = 3 + doc_id%4, pixel (x,y) =
+    (doc_id%256 + 3y + 5x) % 256 — closed-form so the DuckDB oracle can
+    predict the mean of the RESIZED pixels (which pixels survive the
+    resample is arithmetic on doc_id)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_png_gradient(
+                    int(5 + i % 6), int(3 + i % 4), int(i % 256)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def resize_image_features(blobs: DataFrame, tw: int = 4, th: int = 3) -> DataFrame:
+    """Pixel-domain image resize over the binary column: REAL PNG decode
+    (:func:`_png_pixels`) → nearest-neighbor resample to (tw, th) →
+    fixed-point mean of the RESIZED pixels. Same pruned Arrow contract
+    as the other extractors; non-PNG rows raise the documented stub.
+    This is the batch shape a training pipeline uses to normalize
+    image dims before an embedding stage."""
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "width": [], "height": [], "px_mean_e4": []}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "image/png":
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                _, _, _, pixels = _png_pixels(bytes(payload))
+                if pixels is None:
+                    raise ValueError(
+                        "resize requires a fully-decoded grayscale-8 PNG"
+                    )
+                r = _resize_nearest(pixels, tw, th)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["px_mean_e4"].append(
+                    int(r.sum(dtype=np.int64)) * 10_000 // r.size
+                )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "px_mean_e4": "int64"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
 def extract_image_features(blobs: DataFrame) -> DataFrame:
@@ -762,6 +894,23 @@ SELECT d.doc_id,
        CAST(((d.doc_id + 17 * u.t) % 256) * 10000 AS BIGINT) AS luma_mean_e4
 FROM documents d, UNNEST(range(0, CAST(3 + d.doc_id % 4 AS BIGINT))) u(t)
 WHERE u.t % 2 = 0
+""",
+    # The oracle predicts, pixel by pixel, what nearest-neighbor
+    # resampling of the REAL-decoded gradient PNGs (with_gradient_
+    # image_blob) must keep: dst (x,y) <- src (x*w//4, y*h//3), pixel
+    # value (doc_id%256 + 3*src_y + 5*src_x) % 256.
+    "mm_image_resize": """
+SELECT d.doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS height,
+       CAST(sum((d.doc_id % 256
+                 + 3 * ((uy.y * (3 + d.doc_id % 4)) // 3)
+                 + 5 * ((ux.x * (5 + d.doc_id % 6)) // 4)) % 256) * 10000
+            // 12 AS BIGINT) AS px_mean_e4
+FROM documents d,
+     UNNEST(range(0, 3)) uy(y),
+     UNNEST(range(0, 4)) ux(x)
+GROUP BY d.doc_id
 """,
     # The oracle predicts what the REAL marker-segment walk must pull
     # out of the synthesized SOF0 headers (with_jpeg_blob).

@@ -271,3 +271,52 @@ def test_jpeg_rows_really_decode(spark):
         assert (r["width"], r["height"], r["bit_depth"], r["n_comp"]) == (
             16 + i % 16, 8 + i % 8, 8, 1 + 2 * (i % 2)
         )
+
+
+# ---------------------------------------------------------- image resize
+
+
+def test_resize_nearest_kernel():
+    """Pure-kernel check against an explicit hand-resample."""
+    import numpy as np
+
+    from search_engine_spark.ops.multimodal import (
+        _png_pixels,
+        _resize_nearest,
+        make_png_gradient,
+    )
+
+    w, h, base = 7, 5, 40
+    _, _, _, px = _png_pixels(make_png_gradient(w, h, base))
+    assert px.shape == (h, w)
+    assert px[2, 3] == (base + 3 * 2 + 5 * 3) % 256
+    r = _resize_nearest(px, 4, 3)
+    assert r.shape == (3, 4)
+    for y in range(3):
+        for x in range(4):
+            assert r[y, x] == px[(y * h) // 3, (x * w) // 4]
+    # upscale also works (indices repeat)
+    up = _resize_nearest(px, 14, 10)
+    assert up.shape == (10, 14) and up[0, 0] == px[0, 0]
+    assert np.array_equal(up[::2, ::2], px)
+
+
+def test_resize_rows_really_decode(spark):
+    from search_engine_spark.ops.multimodal import (
+        resize_image_features,
+        with_gradient_image_blob,
+    )
+
+    ids = [0, 5, 300]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in
+           resize_image_features(with_gradient_image_blob(docs)).collect()}
+    for i in ids:
+        w, h, base = 5 + i % 6, 3 + i % 4, i % 256
+        tot = sum(
+            (base + 3 * ((y * h) // 3) + 5 * ((x * w) // 4)) % 256
+            for y in range(3) for x in range(4)
+        )
+        r = got[i]
+        assert (r["width"], r["height"]) == (4, 3)
+        assert r["px_mean_e4"] == tot * 10_000 // 12
