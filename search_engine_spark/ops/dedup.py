@@ -114,6 +114,8 @@ def lsh_candidate_pairs(
       members from pairing (deterministic: per-``bkey`` count). Bounds
       worst-case pair output at buckets·cap²/2 instead of m²/2.
     """
+    from pyspark.sql import Window
+
     if canonicalize:
         docs = exact_representatives(docs)
     sigs = minhash_signatures(docs)
@@ -125,41 +127,47 @@ def lsh_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
-    banded = sigs.select("doc_id", *[F.col(f"sig_{j}") for j in range(N_PERMS)], *band_cols)
-    keys = banded.select(
+    # Carry the whole signature as an array THROUGH the band join
+    # instead of joining it back per side afterwards: the minhash
+    # pipeline (tokenize → distinct → 16-way min agg) is then planned
+    # once, and both self-join sides + the cap filter hang off a single
+    # exchange on bkey (AQE ReusedExchange). The wider shuffle rows
+    # (16 ints) cost far less than two extra signature join shuffles.
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(N_PERMS)])
+    keys = sigs.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias("bkey"),
+        sig_arr.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("bkey"),
     )
     if bucket_cap is not None:
-        ok = (
-            keys.groupBy("bkey")
-            .agg(F.count("*").alias("bsz"))
+        # window count instead of groupBy+semi-join: same bkey shuffle
+        # the self-join needs anyway, zero extra scans of the pipeline
+        keys = (
+            keys.withColumn(
+                "bsz", F.count("*").over(Window.partitionBy("bkey"))
+            )
             .where(F.col("bsz") <= bucket_cap)
-            .select("bkey")
+            .drop("bsz")
         )
-        keys = keys.join(ok, "bkey", "left_semi")
-    pairs = (
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         keys.alias("a")
         .join(keys.alias("b"), on="bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(N_PERMS)],
-    )
-    sb = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(N_PERMS)],
-    )
-    matches = sum(
-        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
-        for j in range(N_PERMS)
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        # dedupe pairs colliding in >1 band; sig_a/sig_b are
+        # functionally dependent on the doc ids, so first() is exact
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
         .select(
             "doc_a",
             "doc_b",
