@@ -87,21 +87,25 @@ def main() -> int:
         docs_per_sec = n_docs / timings["index_build"]
 
         # ---- headline 2: BM25 top-10 latency over the query set ----
-        # both score paths: block-max WAND (primary) and the vectorized
-        # exhaustive twin (VERDICT r01 item 7 done-check: WAND ≤ exhaustive)
+        # primary = cost-routed default (wand=None), plus both forced
+        # paths so rounds can diff the WAND and exhaustive kernels
         eng = QueryEngine(spark, index_dir, cfg=cfg)
         eng.docs.count()  # warm the cached dims once, like a query service
-        lat, lat_ex = [], []
+        lat, lat_w, lat_ex = [], [], []
         for i, q in enumerate(BENCH_QUERIES):
             t0 = time.perf_counter()
-            eng.bm25(q, k=10, wand=True).collect()
+            eng.bm25(q, k=10).collect()
             dt = time.perf_counter() - t0
             lat.append(dt)
             timings[f"q{i + 1}"] = round(dt, 4)
             t0 = time.perf_counter()
+            eng.bm25(q, k=10, wand=True).collect()
+            lat_w.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
             eng.bm25(q, k=10, wand=False).collect()
             lat_ex.append(time.perf_counter() - t0)
         timings["bm25_p50"] = statistics.median(lat)
+        timings["bm25_p50_wand"] = statistics.median(lat_w)
         timings["bm25_p50_exhaustive"] = statistics.median(lat_ex)
 
         # ---- headline 3: batched retrieval throughput (one job scores

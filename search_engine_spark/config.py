@@ -68,6 +68,14 @@ class EngineConfig:
     # "jvm" (identical rules as whole-stage-codegen expressions; no
     # Python workers — see functions/tokenize.py::extract_postings_jvm)
     tokenizer: str = "pandas"
+    # cost-based bm25 routing (wand=None): force the exhaustive path
+    # when the query's candidate posting volume (Σ df over query terms,
+    # already driver-known from the idf lookup) is below this — decoding
+    # everything in one narrow vectorized pass beats the WAND fan-out's
+    # extra exchange + per-salt Python groups until decode cost
+    # dominates (measured crossover ~10^6 postings on local[32]; at
+    # 100 TB any real query is far past it and routes to WAND)
+    wand_min_postings: int = 1_000_000
     # cap on concurrent Python-worker tasks for grouped pandas stages
     # (block encode). On hosts where kernel memcg accounting throttles
     # many concurrent page-faulting workers (this sandbox), a small cap

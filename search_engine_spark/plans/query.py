@@ -12,7 +12,13 @@ Two modes:
   ``wand=True`` routes through the block-max WAND operator (per-salt
   exact top-k + k-row global merge); ``wand=False`` decodes matching
   blocks and scores exhaustively (vectorized) — same results, property-
-  tested against each other.
+  tested against each other. ``wand=None`` (default) picks by cost:
+  the terms-dim lookup already returns Σ df (the exact candidate
+  posting volume), so small queries take the single narrow exhaustive
+  pass (the WAND fan-out's salt exchange + Python groups cost more
+  than decoding everything) and big ones take WAND, where block-max
+  pruning pays. The cost pick is driver-side, zero extra jobs — the
+  same flavor of decision AQE makes between broadcast and SMJ.
 - ``search`` (reference-compat §8.4): candidate page by (matched DESC,
   prior DESC, doc_id ASC) truncated to 20, min-max normalize BM25
   within the page, blend 0.5/0.5 with the PageRank prior, final
@@ -78,11 +84,17 @@ class QueryEngine:
         nb = int(self.stats["term_buckets"])
         return sorted({spark_xxhash64_str(t) % nb for t in terms})
 
-    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+    def _term_info(self, terms: list[str]) -> tuple[dict[str, float], int]:
+        """One pruned scan of the terms dim → ({term: idf}, Σ df).
+        Σ df is the exact candidate posting volume, used for the
+        cost-based wand/exhaustive routing at zero extra jobs."""
         if not terms:
-            return {}
+            return {}, 0
         rows = self.terms.where(F.col("term").isin(terms)).collect()
-        return {r["term"]: r["idf"] for r in rows}
+        return {r["term"]: r["idf"] for r in rows}, sum(r["df"] for r in rows)
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        return self._term_info(terms)[0]
 
     def _query_blocks(self, terms: list[str]) -> DataFrame:
         return self.blocks.where(
@@ -260,12 +272,19 @@ class QueryEngine:
         )
 
     # ---- primary: pure BM25 top-k ----
-    def bm25(self, query: str, k: int = 10, wand: bool = True,
+    def bm25(self, query: str, k: int = 10, wand: bool | None = None,
              spell: bool = False, page: int = 0) -> DataFrame:
+        """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
+        physical strategy by cost: exhaustive decode below
+        ``cfg.wand_min_postings`` candidate postings, block-max WAND
+        above (both exact — same results, property-tested). True/False
+        force a path."""
         terms = query_terms(query)
         if spell:
             terms = self.expand_query_terms(terms)
-        idf_map = self._idf_map(terms)
+        idf_map, sum_df = self._term_info(terms)
+        if wand is None:
+            wand = sum_df >= self.cfg.wand_min_postings
         if not idf_map:
             scored = self._empty_scored()
         elif wand:
