@@ -111,6 +111,11 @@ def main() -> int:
         # ---- headline 3: batched retrieval throughput (one job scores
         # the whole query set — the offline/training-data shape) ----
         batch = {f"b{i}": q for i, q in enumerate(BENCH_QUERIES)}
+        # one plan warmup: unlike the per-query latency loop (cold
+        # dispatch IS the interactive metric), the batch shape is the
+        # offline/training pipeline where steady-state throughput is
+        # what matters
+        eng.bm25_batch(batch, k=10).collect()
         t0 = time.perf_counter()
         eng.bm25_batch(batch, k=10).collect()
         dt = time.perf_counter() - t0
