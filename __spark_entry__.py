@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_topk_tri": lambda s, d: phrase.phrase_topk(
             s, _t(s, d, "documents"), phrase.PHRASE_TRI
         ),
+        "search_facets": lambda s, d: search_sql.search_facets(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
         "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(

@@ -406,6 +406,41 @@ def bm25_topk_conj(
     )
 
 
+def search_facets(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    facet_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Facet counts over the FULL matching set (not just the page):
+    per (facet dimension, value) — matching-doc count, max and total
+    BM25 score. The aggregation surface a search UI / relevance
+    pipeline reads next to the top-k (Lucene facets / Elasticsearch
+    terms-agg shape; the reference stops at GetTotalPages,
+    store.go:100-118 — this generalizes that COUNT to per-dimension
+    counts).
+
+    Plan shape: the scored set is already (doc_id, score) post-agg;
+    one shuffle join back to the docs dims on doc_id, then a stack of
+    low-cardinality groupBys (partial-agg friendly — combiner output
+    is #values per mapper, so the facet shuffle is tiny at any scale).
+    """
+    scored = bm25_scores(spark, docs, terms)
+    dims = docs.select("doc_id", *facet_cols)
+    # stack (unpivot) instead of one groupBy-per-dimension unioned:
+    # a union would re-plan the whole scoring pipeline per dimension;
+    # the stack explodes each matched row into #dims rows in the same
+    # narrow stage, so all dimensions aggregate in ONE pass
+    stack_args = ", ".join(f"'{c}', {c}" for c in facet_cols)
+    stacked = scored.join(dims, "doc_id").selectExpr(
+        "score",
+        f"stack({len(facet_cols)}, {stack_args}) AS (facet, value)",
+    )
+    return stacked.groupBy("facet", "value").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.max("score"), 4).alias("max_score"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+    )
+
+
 MLT_TOP_TERMS = 5  # seed-doc terms used as the derived query
 
 
@@ -646,6 +681,17 @@ SELECT term, df,
 FROM dfq CROSS JOIN n
 """,
     "search_bm25_scores": _scores_cte(QUERY_MAIN) + "\nSELECT doc_id, score, matched FROM scored",
+    "search_facets": _scores_cte(QUERY_MAIN)
+    + """
+SELECT f.facet, f.value,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(max(s.score), 4) AS max_score,
+       round(sum(s.score), 4) AS sum_score
+FROM scored s
+JOIN documents d USING (doc_id),
+     LATERAL (VALUES ('lang', d.lang), ('source', d.source)) f(facet, value)
+GROUP BY f.facet, f.value
+""",
     "search_bm25_topk": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_snippets": _scores_cte(QUERY_MAIN)
