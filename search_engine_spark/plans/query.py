@@ -425,6 +425,38 @@ class QueryEngine:
             .collect()[0][0]
         )
 
+    def facets(self, query: str,
+               facet_cols: tuple[str, ...] = ("lang", "repo")) -> DataFrame:
+        """Facet counts over the FULL matching set of the compressed
+        index: per (dimension, value) — matching-doc count, max and
+        total BM25 score (the engine twin of
+        ``ops/search_sql.search_facets``; Lucene facets / ES terms-agg
+        shape). Plan: doubly-pruned block scan → exhaustive score (the
+        full matching set is needed, so WAND pruning can't apply — same
+        reason the reference's candidate page is exhaustive) → one
+        shuffle join to the docs dims → stack-unpivot → single pass of
+        low-cardinality groupBys (combiner-friendly: shuffle rows =
+        #values per mapper)."""
+        terms = query_terms(query)
+        idf_map = self._idf_map(terms)
+        out_schema = ("facet string, value string, n_docs long, "
+                      "max_score double, sum_score double")
+        if not idf_map:
+            return self.spark.createDataFrame([], out_schema)
+        scored = self._live(self._scores_exhaustive(list(idf_map), idf_map))
+        dims = self.spark.read.parquet(f"{self.index_dir}/docs").select(
+            "doc_id", *facet_cols
+        )
+        stack_args = ", ".join(f"'{c}', {c}" for c in facet_cols)
+        stacked = scored.join(dims, "doc_id").selectExpr(
+            "score", f"stack({len(facet_cols)}, {stack_args}) AS (facet, value)"
+        )
+        return stacked.groupBy("facet", "value").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.round(F.sum("score"), 4).alias("sum_score"),
+        )
+
     # ---- reference-compat: blended final ranking (§8.4) ----
     def search(self, query: str, k: int = 10, spell: bool = False,
                page_num: int = 0, mode: str = "bm25") -> DataFrame:

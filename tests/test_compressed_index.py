@@ -225,3 +225,43 @@ def test_bm25_batch_matches_single(engine, fixture_queries):
         for r, s in zip(rows, single):
             assert r["score"] == pytest.approx(s["score"], rel=1e-9)
             assert r["matched"] == s["matched"]
+
+
+def test_facets_match_exhaustive_scores(spark, engine, fixture_queries):
+    """Engine facets over the compressed index must agree with a direct
+    aggregation of the exhaustive matching set joined to the corpus
+    dims: same values, same counts, same max scores."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    q = fixture_queries[0]
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in engine.bm25(q, k=10**9, wand=False).collect()
+    }
+    assert scored, "fixture query must match something"
+    dims = {
+        r["doc_id"]: (r["lang"], r["repo"])
+        for r in spark.read.parquet(f"{engine.index_dir}/docs")
+        .select("doc_id", "lang", "repo").collect()
+    }
+    want = defaultdict(lambda: [0, 0.0])
+    for doc_id, score in scored.items():
+        lang, repo = dims[doc_id]
+        for facet, value in (("lang", lang), ("repo", repo)):
+            slot = want[(facet, value)]
+            slot[0] += 1
+            slot[1] = max(slot[1], score)
+    got = engine.facets(q).collect()
+    assert {(r["facet"], r["value"]): r["n_docs"] for r in got} == {
+        k: v[0] for k, v in want.items()
+    }
+    for r in got:
+        assert r["max_score"] == pytest.approx(
+            round(want[(r["facet"], r["value"])][1], 4), abs=1e-4
+        )
+
+
+def test_facets_empty_query(engine):
+    assert engine.facets("zzzunknownzzz").collect() == []
