@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assignments": lambda s, d: similarity.ivf_assignments(
             _t(s, d, "embeddings")
         ),
+        "sim_pq_codes": lambda s, d: similarity.pq_codes(
+            _t(s, d, "embeddings")
+        ),
         "sim_ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
             _t(s, d, "embeddings")
         ),

@@ -233,7 +233,13 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> Dat
     truncating div ≡ DuckDB's floor div). Empty clusters keep their
     previous centroid. Every iteration is one broadcast join + one
     groupBy — the same shape at 10^9 vectors."""
-    qe = _quantized(emb)
+    return _kmeans(_quantized(emb), k, iters)
+
+
+def _kmeans(qe: DataFrame, k: int, iters: int) -> DataFrame:
+    """Fixed-point Lloyd iterations over a (vec_id, qe array<long>)
+    relation (the :func:`ivf_centroids` kernel, reused per PQ
+    subspace)."""
     cent = qe.where(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("qe").alias("cvec")
     )
@@ -262,6 +268,65 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     """Final cluster assignment (the IVF partition key at scale)."""
     return _assign(_quantized(emb), ivf_centroids(emb)).select(
         "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
+PQ_M = 4       # subspaces (DIM/PQ_M dims each)
+PQ_K = 4       # codebook size per subspace
+PQ_ITERS = 2   # fixed Lloyd iterations per sub-codebook (oracle-twinned)
+
+
+def pq_codes(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+             iters: int = PQ_ITERS) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011 "Product
+    quantization for nearest neighbor search" — method from the paper):
+    split each vector into ``m`` subvectors, learn an independent
+    fixed-point k-means codebook per subspace (:func:`_kmeans`, same
+    integer-exact kernel as IVF), and emit each vector's code word —
+    (vec_id, codes array<int> of length m, err = Σ squared-L2 to the
+    chosen codewords). codes compress a vector to m·log2(k) bits; err
+    is the exact integer reconstruction error, the quality number a
+    pipeline monitors when picking m/k.
+
+    Scale shape: training is m driver-looped k-means (at 100 TB you
+    train on a sample — the loop is over m=4, not over data); encoding
+    is ONE pass — slices explode to (vec_id, sub, sqe), the m·k
+    codebook rows broadcast, nearest-per-(vec,sub) is a window, and
+    codes reassemble in a single groupBy."""
+    ds = DIM // m
+    qe = _quantized(emb)
+    books = [
+        _kmeans(
+            qe.select("vec_id", F.slice("qe", j * ds + 1, ds).alias("qe")),
+            k, iters,
+        ).select(F.lit(j).alias("sub"), "cid", "cvec")
+        for j in range(m)
+    ]
+    allbooks = books[0]
+    for b in books[1:]:
+        allbooks = allbooks.unionByName(b)
+    subs = qe.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("qe", j * ds + 1, ds) for j in range(m)])
+        ).alias("sub", "sqe"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sqe", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    j = subs.join(F.broadcast(allbooks), "sub").select(
+        "vec_id", "sub", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("cid"))
+    chosen = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return chosen.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda x: x["cid"].cast("int"),
+        ).alias("codes"),
+        F.sum("dist").cast("long").alias("err"),
     )
 
 
@@ -381,7 +446,88 @@ def _duck_ivf_ctes(iters: int = IVF_ITERS, k: int = IVF_K) -> str:
     return ",\n".join(ctes)
 
 
+def _duck_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Chained-CTE twin of :func:`pq_codes`: one independent fixed-point
+    k-means per subspace over the sliced quantized vectors (prefixed
+    CTE names p{j}_*), final assignment keeps the chosen distance so
+    the reconstruction error is checkable too."""
+    ds = DIM // m
+    ctes = [
+        f"""qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT) + {IVF_OFFSET}) AS qe
+  FROM embeddings
+)"""
+    ]
+    for j in range(m):
+        p = f"p{j}"
+        lo, hi = j * ds + 1, (j + 1) * ds
+        sq = (
+            f"list_sum(list_transform(generate_series(1, {ds}), "
+            f"i -> (q.qe[i] - c.cvec[i]) * (q.qe[i] - c.cvec[i])))"
+        )
+        ctes.append(
+            f"{p}_qe AS (SELECT vec_id, qe[{lo}:{hi}] AS qe FROM qe)"
+        )
+        ctes.append(
+            f"{p}_c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS cvec "
+            f"FROM {p}_qe WHERE vec_id < {k})"
+        )
+        for i in range(iters):
+            ctes.append(
+                f"""{p}_a{i} AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT q.vec_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM {p}_qe q CROSS JOIN {p}_c{i} c
+  ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""{p}_u{i} AS (
+  SELECT cid, list(mval ORDER BY pos) AS newvec FROM (
+    SELECT cid, pos, CAST(CAST(sum(val) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mval
+    FROM (SELECT cid, unnest(qe) AS val,
+                 unnest(generate_series(1, len(qe))) AS pos FROM {p}_a{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+            )
+            ctes.append(
+                f"""{p}_c{i + 1} AS (
+  SELECT c.cid, coalesce(u.newvec, c.cvec) AS cvec
+  FROM {p}_c{i} c LEFT JOIN {p}_u{i} u USING (cid)
+)"""
+            )
+        ctes.append(
+            f"""{p}_fin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, {sq} AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM {p}_qe q CROSS JOIN {p}_c{iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_PQ_SQL = (
+    "WITH "
+    + _duck_pq_ctes()
+    + f"""
+SELECT p0.vec_id,
+       [{", ".join(f"CAST(p{j}.cid AS INTEGER)" for j in range(PQ_M))}] AS codes,
+       CAST({" + ".join(f"p{j}.dist" for j in range(PQ_M))} AS BIGINT) AS err
+FROM {" JOIN ".join(["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in range(1, PQ_M)])}
+"""
+)
+
+
 ORACLE_SQL = {
+    "sim_pq_codes": _PQ_SQL,
     "sim_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
