@@ -330,6 +330,67 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     )
 
 
+def pq_adc_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
+    m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ asymmetric distance computation (ADC, Jégou TPAMI 2011 §III):
+    rank the database by Σ_j ‖q_subj − codeword(j, codes_v[j])‖² — the
+    query stays exact, database vectors are read ONLY through their
+    m·log2(k)-bit codes. This is the query path of a PQ index: at
+    100 TB the scan side touches codes (4 bytes/vec here), never the
+    raw vectors.
+
+    Plan shape: the per-query distance table (n_queries·m·k rows —
+    constant-sized) is built by one broadcast cross join and broadcast
+    back; the database side explodes codes to (vec_id, sub, cid), joins
+    the table, and aggregates — one narrow pass + one groupBy shuffle
+    on (query_id, vec_id), then window top-k. Integer-exact, so ranks
+    are deterministic."""
+    ds = DIM // m
+    qe = _quantized(emb)
+    books = [
+        _kmeans(
+            qe.select("vec_id", F.slice("qe", j * ds + 1, ds).alias("qe")),
+            kc, iters,
+        ).select(F.lit(j).alias("sub"), "cid", "cvec")
+        for j in range(m)
+    ]
+    allbooks = books[0]
+    for b in books[1:]:
+        allbooks = allbooks.unionByName(b)
+    qsubs = qe.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice("qe", j * ds + 1, ds) for j in range(m)])
+        ).alias("sub", "sqe"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sqe", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dtable = qsubs.join(F.broadcast(allbooks), "sub").select(
+        "query_id", "sub", "cid", dist.alias("d")
+    )
+    vcodes = pq_codes(emb, m=m, k=kc, iters=iters).select(
+        "vec_id", F.posexplode("codes").alias("sub", "cid")
+    )
+    adc = (
+        vcodes.join(F.broadcast(dtable), ["sub", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
 ) -> DataFrame:
@@ -526,8 +587,60 @@ FROM {" JOIN ".join(["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in ra
 )
 
 
+def _duck_adc_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
+    """ADC twin: per-query × per-codeword distance tables from the same
+    per-subspace codebook CTEs, summed over the database's chosen
+    codes."""
+    ds = DIM // m
+    parts = [_duck_pq_ctes(m=m, iters=iters)]
+    for j in range(m):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        sq = (
+            f"list_sum(list_transform(generate_series(1, {ds}), "
+            f"i -> (q.sq[i] - c.cvec[i]) * (q.sq[i] - c.cvec[i])))"
+        )
+        parts.append(
+            f"""dt{j} AS (
+  SELECT q.query_id, c.cid, {sq} AS d
+  FROM (SELECT vec_id AS query_id, qe[{lo}:{hi}] AS sq FROM qe
+        WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN p{j}_c{iters} c
+)"""
+        )
+    dsum = " + ".join(f"d{j}.d" for j in range(m))
+    joins = "\n  ".join(
+        f"JOIN dt{j} d{j} ON d{j}.query_id = q.query_id AND d{j}.cid = p{j}.cid"
+        for j in range(m)
+    )
+    vjoins = " JOIN ".join(
+        ["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in range(1, m)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+adc AS (
+  SELECT q.query_id, p0.vec_id, CAST({dsum} AS BIGINT) AS adc_dist
+  FROM {vjoins}
+  CROSS JOIN (SELECT DISTINCT query_id FROM dt0) q
+  {joins}
+  WHERE p0.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+    )
+
+
 ORACLE_SQL = {
     "sim_pq_codes": _PQ_SQL,
+    "sim_pq_adc_topk": _duck_adc_sql(),
     "sim_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
