@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_adc_topk": lambda s, d: similarity.pq_adc_topk(
             _t(s, d, "embeddings")
         ),
+        "sim_ivfpq_topk": lambda s, d: similarity.ivfpq_topk(
+            _t(s, d, "embeddings")
+        ),
         "sim_ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
             _t(s, d, "embeddings")
         ),

@@ -391,6 +391,75 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF-PQ (the production 100 TB ANN layout): coarse IVF probe
+    (nprobe=1 — scan 1/K of the corpus) then PQ asymmetric-distance
+    ranking INSIDE the probed cluster — the scan side reads each
+    candidate's cluster id + m·log2(k)-bit code, never raw vectors.
+    Simplification vs Jégou §IV: codes quantize raw vectors, not
+    coarse residuals (residual encoding is the production refinement;
+    raw-vector codes keep every stage integer-exact and
+    oracle-checkable). Composes :func:`ivf_assignments` and the
+    :func:`pq_adc_topk` machinery — one broadcast distance table, one
+    (query_id, vec_id) groupBy, window top-k."""
+    assign = ivf_assignments(emb)
+    ds = DIM // PQ_M
+    qe = _quantized(emb)
+    books = [
+        _kmeans(
+            qe.select("vec_id", F.slice("qe", j * ds + 1, ds).alias("qe")),
+            PQ_K, PQ_ITERS,
+        ).select(F.lit(j).alias("sub"), "cid", "cvec")
+        for j in range(PQ_M)
+    ]
+    allbooks = books[0]
+    for b in books[1:]:
+        allbooks = allbooks.unionByName(b)
+    qsubs = qe.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice("qe", j * ds + 1, ds) for j in range(PQ_M)])
+        ).alias("sub", "sqe"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sqe", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dtable = qsubs.join(F.broadcast(allbooks), "sub").select(
+        "query_id", "sub", "cid", dist.alias("d")
+    )
+    qclus = assign.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+    )
+    # prune to the probed cluster FIRST (candidates = 1/K of the corpus
+    # per query), THEN join the broadcast distance table — order matters
+    # at scale: distance rows are only materialized for survivors
+    cand = (
+        assign.join(F.broadcast(qclus), F.col("cid") == F.col("qcid"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    vcodes = pq_codes(emb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "cid")
+    )
+    adc = (
+        cand.join(vcodes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
 ) -> DataFrame:
@@ -507,13 +576,16 @@ def _duck_ivf_ctes(iters: int = IVF_ITERS, k: int = IVF_K) -> str:
     return ",\n".join(ctes)
 
 
-def _duck_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+def _duck_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+                  skip_qe: bool = False) -> str:
     """Chained-CTE twin of :func:`pq_codes`: one independent fixed-point
     k-means per subspace over the sliced quantized vectors (prefixed
     CTE names p{j}_*), final assignment keeps the chosen distance so
-    the reconstruction error is checkable too."""
+    the reconstruction error is checkable too. ``skip_qe`` omits the
+    shared ``qe`` CTE when composing with :func:`_duck_ivf_ctes`
+    (which emits an identical one)."""
     ds = DIM // m
-    ctes = [
+    ctes = [] if skip_qe else [
         f"""qe AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -587,19 +659,18 @@ FROM {" JOIN ".join(["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in ra
 )
 
 
-def _duck_adc_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
-    """ADC twin: per-query × per-codeword distance tables from the same
-    per-subspace codebook CTEs, summed over the database's chosen
-    codes."""
+def _duck_dt_ctes(m: int = PQ_M, iters: int = PQ_ITERS) -> list[str]:
+    """Per-query × per-codeword ADC distance-table CTEs (dt0..dt{m-1}),
+    shared by the ADC and IVF-PQ twins."""
     ds = DIM // m
-    parts = [_duck_pq_ctes(m=m, iters=iters)]
+    out = []
     for j in range(m):
         lo, hi = j * ds + 1, (j + 1) * ds
         sq = (
             f"list_sum(list_transform(generate_series(1, {ds}), "
             f"i -> (q.sq[i] - c.cvec[i]) * (q.sq[i] - c.cvec[i])))"
         )
-        parts.append(
+        out.append(
             f"""dt{j} AS (
   SELECT q.query_id, c.cid, {sq} AS d
   FROM (SELECT vec_id AS query_id, qe[{lo}:{hi}] AS sq FROM qe
@@ -607,6 +678,14 @@ def _duck_adc_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
   CROSS JOIN p{j}_c{iters} c
 )"""
         )
+    return out
+
+
+def _duck_adc_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
+    """ADC twin: per-query × per-codeword distance tables from the same
+    per-subspace codebook CTEs, summed over the database's chosen
+    codes."""
+    parts = [_duck_pq_ctes(m=m, iters=iters)] + _duck_dt_ctes(m, iters)
     dsum = " + ".join(f"d{j}.d" for j in range(m))
     joins = "\n  ".join(
         f"JOIN dt{j} d{j} ON d{j}.query_id = q.query_id AND d{j}.cid = p{j}.cid"
@@ -638,9 +717,51 @@ FROM ranked WHERE rank <= {TOPK}
     )
 
 
+def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
+    """IVF-PQ twin: coarse k-means assignment (afin, from
+    :func:`_duck_ivf_ctes`) restricts candidates to the query's cluster;
+    ADC distance tables rank them through their codes."""
+    parts = (
+        [_duck_ivf_ctes(), _duck_pq_ctes(m=m, iters=iters, skip_qe=True)]
+        + _duck_dt_ctes(m, iters)
+    )
+    dsum = " + ".join(f"d{j}.d" for j in range(m))
+    joins = "\n  ".join(
+        f"JOIN dt{j} d{j} ON d{j}.query_id = q.query_id AND d{j}.cid = p{j}.cid"
+        for j in range(m)
+    )
+    vjoins = " JOIN ".join(
+        ["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in range(1, m)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(p for p in parts if p)
+        + f""",
+qclus AS (SELECT vec_id AS query_id, cid AS qcid FROM afin
+          WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.query_id, p0.vec_id, CAST({dsum} AS BIGINT) AS adc_dist
+  FROM {vjoins}
+  JOIN afin a USING (vec_id)
+  JOIN qclus q ON a.cid = q.qcid AND p0.vec_id <> q.query_id
+  {joins}
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+    )
+
+
 ORACLE_SQL = {
     "sim_pq_codes": _PQ_SQL,
     "sim_pq_adc_topk": _duck_adc_sql(),
+    "sim_ivfpq_topk": _duck_ivfpq_sql(),
     "sim_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
