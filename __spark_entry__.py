@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": lambda s, d: search_sql.search_facets(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
+        "search_near_topk": lambda s, d: phrase.near_topk(
+            s, _t(s, d, "documents"), *phrase.NEAR_PAIR
+        ),
         # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
         "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(

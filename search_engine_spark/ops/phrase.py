@@ -36,6 +36,8 @@ from search_engine_spark.ops.sqltwin import duck_tokens, tokens_col
 PHRASE_MAIN = ["table", "hash"]
 PHRASE_TRI = ["big", "order", "scan"]
 TOPK = 10
+NEAR_WINDOW = 8
+NEAR_PAIR = ("join", "window")
 
 
 def positional_postings(docs: DataFrame) -> DataFrame:
@@ -79,23 +81,16 @@ def phrase_occurrences(docs: DataFrame, phrase: list[str]) -> DataFrame:
     return occurrences_from_positions(positional_postings(docs), phrase)
 
 
-def phrase_topk(
-    spark: SparkSession, docs: DataFrame, phrase: list[str], k: int = TOPK
-) -> DataFrame:
-    """Exact-phrase BM25 top-k: the phrase scores as one virtual term
-    with tf = occurrence count and df = #docs containing it; dl/avgdl
-    are the standard token-length stats, so a phrase hit ranks exactly
-    like an equally-frequent single term would."""
+def _virtual_term_topk(docs: DataFrame, pf: DataFrame, k: int = TOPK) -> DataFrame:
+    """BM25 top-k for any (doc_id, pf) virtual-term relation: tf = pf,
+    df = #docs with pf > 0, standard dl/avgdl — so a phrase or
+    proximity hit ranks exactly like an equally-frequent single term
+    would. Shared by :func:`phrase_topk` and :func:`near_topk`."""
     toks = tokens_col("text")
     dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
     stats = docs.agg(
         F.count("*").alias("n"),
         F.avg(F.size(toks)).alias("avgdl"),
-    )
-    pf = (
-        phrase_occurrences(docs, phrase)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("pf"))
     )
     dfp = pf.agg(F.count("*").cast("long").alias("dfp"))
     m = (
@@ -112,6 +107,68 @@ def phrase_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_topk(
+    spark: SparkSession, docs: DataFrame, phrase: list[str], k: int = TOPK
+) -> DataFrame:
+    """Exact-phrase BM25 top-k (phrase = one virtual term)."""
+    pf = (
+        phrase_occurrences(docs, phrase)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("pf"))
+    )
+    return _virtual_term_topk(docs, pf, k)
+
+
+def near_pair_counts(
+    docs: DataFrame, a: str, b: str, window: int = NEAR_WINDOW
+) -> DataFrame:
+    """Unordered proximity: per doc, the number of position pairs
+    (pa, pb) of two DISTINCT terms with |pa − pb| ≤ window — the
+    Lucene SpanNearQuery (unordered) counting shape.
+
+    Scale shape — banded range join, never a per-doc cross join: band
+    positions into width-`window` buckets; a's rows replicate into
+    {bucket−1, bucket, bucket+1} (adding ±window moves floor(p/w) by
+    exactly ∓1, so the 3-bucket neighborhood covers every candidate,
+    and each true pair matches exactly once since b keeps its single
+    bucket). The join is then a pure equi-join on (doc_id, bucket) —
+    shuffle-friendly, skew bounded by positions-per-bucket."""
+    if a == b:
+        raise ValueError("near_pair_counts requires two distinct terms")
+    pp = positional_postings(docs).where(F.col("term").isin([a, b]))
+    pa = pp.where(F.col("term") == a).select(
+        "doc_id",
+        F.col("pos").alias("pa"),
+        F.explode(
+            F.array(
+                F.floor(F.col("pos") / window) - 1,
+                F.floor(F.col("pos") / window),
+                F.floor(F.col("pos") / window) + 1,
+            )
+        ).alias("bucket"),
+    )
+    pb = pp.where(F.col("term") == b).select(
+        "doc_id",
+        F.col("pos").alias("pb"),
+        F.floor(F.col("pos") / window).alias("bucket"),
+    )
+    return (
+        pa.join(pb, ["doc_id", "bucket"])
+        .where(F.abs(F.col("pa") - F.col("pb")) <= window)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("pf"))
+    )
+
+
+def near_topk(
+    spark: SparkSession, docs: DataFrame, a: str, b: str,
+    window: int = NEAR_WINDOW, k: int = TOPK,
+) -> DataFrame:
+    """Proximity BM25 top-k: NEAR(a, b, window) scores as one virtual
+    term with tf = pair count."""
+    return _virtual_term_topk(docs, near_pair_counts(docs, a, b, window), k)
 
 
 # --------------------------------------------------------------- oracle SQL
@@ -155,7 +212,41 @@ LIMIT {k}
 """
 
 
+def _near_topk_sql(a: str, b: str, w: int = NEAR_WINDOW, k: int = TOPK) -> str:
+    """Closed-form per-doc pair count (every a-position × b-positions
+    inside the window) — independent of the banded-join plan."""
+    pf = (
+        f"list_sum(list_transform(range(1, len(toks) + 1), p -> "
+        f"CASE WHEN toks[p] = '{a}' THEN "
+        f"len(list_filter(range(greatest(1, p - {w}), "
+        f"least(len(toks), p + {w}) + 1), q -> toks[q] = '{b}')) "
+        f"ELSE 0 END))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pf AS (
+  SELECT doc_id, len(toks) AS dl,
+         CAST(coalesce({pf}, 0) AS INTEGER) AS pf
+  FROM d
+),
+m AS (SELECT * FROM pf WHERE pf > 0),
+stats AS (
+  SELECT (SELECT count(*) FROM d) AS n,
+         (SELECT avg(len(toks)) FROM d) AS avgdl,
+         (SELECT CAST(count(*) AS BIGINT) FROM m) AS dfp
+)
+SELECT doc_id, pf,
+       round(ln((stats.n - stats.dfp + 0.5) / (stats.dfp + 0.5) + 1.0)
+             * (pf * ({BM25_K1} + 1)) /
+               (pf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / stats.avgdl)), 4) AS score
+FROM m CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 ORACLE_SQL = {
+    "search_near_topk": _near_topk_sql(*NEAR_PAIR),
     "search_phrase_positions": f"""
 WITH d AS (SELECT doc_id, {_T} AS toks FROM documents)
 SELECT doc_id,

@@ -63,3 +63,44 @@ def test_empty_phrase_rejected(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):
         phrase_occurrences(df, [])
+
+
+# ---------------------------------------------------------- NEAR search
+
+
+def test_near_pair_counts_banded_join_exact(spark):
+    """The banded range join must count each (pa, pb) pair exactly once,
+    including pairs straddling bucket boundaries — verified against a
+    brute-force pair count over every planted position layout."""
+    from search_engine_spark.ops.phrase import near_pair_counts
+
+    w = 4
+    docs = [
+        # (doc_id, text): positions of 'a'/'b' chosen to straddle the
+        # width-4 buckets ('x' is filler)
+        (1, "a b x x x x x x x x"),            # |0-1|=1 -> 1 pair
+        (2, "a x x x b x x x x x"),            # |0-4|=4 -> 1 pair (== w)
+        (3, "a x x x x b x x x x"),            # |0-5|=5 -> 0 pairs
+        (4, "b x x a x x b a x b"),            # multiple pairs both sides
+        (5, "a a x b b x x x a x"),            # repeated terms
+        (6, "x x x x x x x x x x"),            # no pairs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["pf"] for r in near_pair_counts(df, "a", "b", w).collect()}
+
+    def brute(text):
+        toks = text.split()
+        pa = [i for i, t in enumerate(toks) if t == "a"]
+        pb = [i for i, t in enumerate(toks) if t == "b"]
+        return sum(1 for x in pa for y in pb if abs(x - y) <= w)
+
+    want = {i: brute(t) for i, t in docs if brute(t) > 0}
+    assert got == want
+
+
+def test_near_requires_distinct_terms(spark):
+    from search_engine_spark.ops.phrase import near_pair_counts
+
+    df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        near_pair_counts(df, "a", "a")
