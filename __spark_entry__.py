@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, sampling, search_sql, similarity, textstats
+from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, sampling, search_sql, similarity, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_near_topk": lambda s, d: phrase.near_topk(
             s, _t(s, d, "documents"), *phrase.NEAR_PAIR
         ),
+        "search_substring": lambda s, d: trigram.substring_search(
+            s, _t(s, d, "documents"), trigram.NEEDLE_MAIN
+        ),
         # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
         "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(
@@ -275,6 +278,7 @@ WHERE lang IN ('en', 'es')
     out.update(relational.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(pipeline.ORACLE_SQL)
+    out.update(trigram.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
