@@ -5,11 +5,12 @@ via `justfile:47-48`): build an index from a corpus table, then run a
 query and print ``path: score`` per hit.
 
 Usage:
-    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions]
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
+    python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow]
     python -m search_engine_spark.cli verify <index_dir>
@@ -70,13 +71,14 @@ def _demo(corpus_path: str, query: str, k: int) -> None:
         print(f"{r['path']}: {r['score']:.6f}  (matched {r['matched']}, doc {r['doc_id']})")
 
 
-def _build(corpus_path: str, index_dir: str, positions: bool = False) -> None:
+def _build(corpus_path: str, index_dir: str, positions: bool = False,
+           trigrams: bool = False) -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.build import build_index
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-build")
-    cfg = EngineConfig(store_positions=positions)
+    cfg = EngineConfig(store_positions=positions, store_trigrams=trigrams)
     summary = build_index(spark, corpus_path, index_dir, cfg=cfg)
     print(summary)
 
@@ -133,7 +135,8 @@ def main(argv: list[str]) -> int:
     if cmd == "demo":
         _demo(args[2], args[3], int(args[4]) if len(args) > 4 else 10)
     elif cmd == "build":
-        _build(args[2], args[3], positions="--positions" in flags)
+        _build(args[2], args[3], positions="--positions" in flags,
+               trigrams="--trigrams" in flags)
     elif cmd == "extend":
         _extend(args[2], args[3])
     elif cmd == "compact":
@@ -163,6 +166,17 @@ def main(argv: list[str]) -> int:
                           available_now="--follow" not in flags)
         q.awaitTermination()
         print("ingest stream drained" if "--follow" not in flags else "stopped")
+    elif cmd == "substring":
+        from search_engine_spark.plans.query import QueryEngine
+        from search_engine_spark.session import get_spark
+
+        eng = QueryEngine(get_spark("se-substring"), args[2])
+        rows = eng.substring(args[4], args[3],
+                             k=int(args[5]) if len(args) > 5 else 10).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: substring x{r['n_occ']}  (doc {r['doc_id']})")
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")

@@ -98,6 +98,10 @@ class EngineConfig:
     # QueryEngine.phrase() answers exact-phrase BM25 top-k from it.
     # Off by default — positions roughly double stage-1 output bytes.
     store_positions: bool = False
+    # opt-in character-trigram sidecar (Google-Code-Search/Zoekt layout):
+    # QueryEngine.substring() answers cross-token substring queries from
+    # it (candidate = trigram AND, verify = contains on survivors).
+    store_trigrams: bool = False
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS

@@ -43,7 +43,7 @@ def _trigrams(s: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)})
 
 
-def trigram_postings(docs: DataFrame) -> DataFrame:
+def trigram_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, tri): distinct character 3-grams of ``lower(text)`` —
     one narrow JVM pass (sequence/transform/explode), per-doc distinct
     collapses before any shuffle."""
@@ -51,9 +51,9 @@ def trigram_postings(docs: DataFrame) -> DataFrame:
     # form; the length guard matters because Spark's sequence(1, 0)
     # DESCENDS ([1, 0]) instead of being empty
     tris = F.expr(
-        "CASE WHEN length(text) >= 3 THEN "
-        "transform(sequence(1, length(text) - 2), "
-        "i -> substring(lower(text), i, 3)) "
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2), "
+        f"i -> substring(lower({text_col}), i, 3)) "
         "ELSE array() END"
     )
     return (

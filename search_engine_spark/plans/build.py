@@ -201,6 +201,25 @@ def _postings_stage(
                 .parquet(f"{index_dir}/positions")
             )
 
+        # opt-in character-trigram sidecar (substring search across
+        # token boundaries): same wave/resume semantics; file-sorted by
+        # tri so the candidate scan prunes parquet row groups
+        if cfg.store_trigrams:
+            from search_engine_spark.ops.trigram import trigram_postings
+
+            (
+                trigram_postings(
+                    subset.select("doc_id", "content"), text_col="content"
+                )
+                .withColumn("part_id", _part_col("doc_id", P))
+                .withColumn("gen", F.lit(gen).cast("int"))
+                .repartition(len(wave), "part_id")
+                .sortWithinPartitions("tri")
+                .write.mode("overwrite")
+                .partitionBy("gen", "part_id")
+                .parquet(f"{index_dir}/trigrams")
+            )
+
         # per-doc metadata incl. title/description (P7/P8); part_id is
         # re-derived (deterministic in doc_id) since docs_table prunes it
         (

@@ -408,6 +408,61 @@ class QueryEngine:
             .select("doc_id", "pf", "score", "path", *self._meta_cols)
         )
 
+    def substring(self, needle: str, corpus_path: str, k: int = 10) -> DataFrame:
+        """Substring search across token boundaries over the persisted
+        trigram sidecar (requires ``EngineConfig(store_trigrams=True)``)
+        → (doc_id, n_occ, path, …meta) ordered by occurrence count.
+
+        The index wipes content (S13), so the exact-``contains`` verify
+        reads it back from the corpus — but ONLY for the candidates
+        that survive the trigram AND (point lookups, not a scan; the
+        same shape as Zoekt verifying against its stored file blobs).
+        ``load_corpus`` re-derives the same deterministic doc_id, so
+        the verify join is a natural-key join."""
+        from search_engine_spark.ops.trigram import _trigrams
+        from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+        needle = needle.lower()
+        out_schema = ("doc_id long, n_occ int, path string"
+                      + "".join(f", {c} string" for c in self._meta_cols))
+        tris = _trigrams(needle)
+        if not tris:
+            return self.spark.createDataFrame([], out_schema)
+        try:
+            tp = self.spark.read.parquet(f"{self.index_dir}/trigrams")
+        except Exception as e:  # noqa: BLE001 - missing sidecar
+            raise ValueError(
+                "no trigram index — build with "
+                "EngineConfig(store_trigrams=True)"
+            ) from e
+        cand = (
+            tp.where(F.col("tri").isin(tris))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("ntri"))
+            .where(F.col("ntri") == len(tris))
+            .select("doc_id")
+        )
+        content = with_identity(load_corpus(self.spark, corpus_path)).select(
+            "doc_id", F.lower(F.col("content")).alias("lt")
+        )
+        n_occ = (
+            (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(needle),
+                                                 F.lit(""))))
+            / len(needle)
+        ).cast("int")
+        verified = (
+            content.join(cand, "doc_id", "left_semi")
+            .where(F.col("lt").contains(needle))
+            .select("doc_id", n_occ.alias("n_occ"))
+        )
+        return (
+            self._live(verified)
+            .join(self.docs, "doc_id", "left")
+            .orderBy(F.desc("n_occ"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "n_occ", "path", *self._meta_cols)
+        )
+
     def total_hits(self, query: str) -> int:
         """Total distinct matching docs — the reference's
         ``GetTotalPages`` (`services/engine/internal/store/store.go:

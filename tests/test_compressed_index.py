@@ -236,9 +236,11 @@ def test_facets_match_exhaustive_scores(spark, engine, fixture_queries):
     from pyspark.sql import functions as F
 
     q = fixture_queries[0]
+    # k must comfortably exceed the 200-doc fixture corpus, but stay
+    # small: TakeOrderedAndProject sizes per-partition heaps by k
     scored = {
         r["doc_id"]: r["score"]
-        for r in engine.bm25(q, k=10**9, wand=False).collect()
+        for r in engine.bm25(q, k=1000, wand=False).collect()
     }
     assert scored, "fixture query must match something"
     dims = {
