@@ -256,12 +256,21 @@ class QueryEngine:
         }
         return sorted(present | sugg)
 
-    @staticmethod
-    def _offset_page(df: DataFrame, order: list, page: int, size: int) -> DataFrame:
+    def _offset_page(self, df: DataFrame, order: list, page: int, size: int) -> DataFrame:
         """LIMIT size OFFSET page·size with a scale-safe plan: top
         (page+1)·size via TakeOrderedAndProject, then a row_number
-        filter over that bounded set (store.go:85-98 semantics)."""
-        top = df.orderBy(*order).limit((page + 1) * size)
+        filter over that bounded set (store.go:85-98 semantics).
+
+        Guard: TakeOrderedAndProject sizes per-partition heaps by the
+        limit, so an ask ≥ the corpus size (e.g. "give me everything,
+        ranked") degenerates to a plain sort with no limit instead of
+        allocating corpus-sized heaps per task."""
+        want = (page + 1) * size
+        n_docs = int(self.stats["n_docs"])
+        if 0 < n_docs <= want:
+            top = df.orderBy(*order)
+        else:
+            top = df.orderBy(*order).limit(want)
         if page == 0:
             return top
         w = Window.orderBy(*order)

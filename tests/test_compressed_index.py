@@ -267,3 +267,15 @@ def test_facets_match_exhaustive_scores(spark, engine, fixture_queries):
 
 def test_facets_empty_query(engine):
     assert engine.facets("zzzunknownzzz").collect() == []
+
+
+def test_huge_k_does_not_allocate_huge_heaps(engine, fixture_queries):
+    """k >= corpus size must degrade to a plain sort (no limit), not a
+    TakeOrderedAndProject with a k-sized per-partition heap — and the
+    results must equal the bounded top-k on the shared prefix."""
+    q = fixture_queries[0]
+    big = engine.bm25(q, k=10**9, wand=False).collect()
+    small = engine.bm25(q, k=10, wand=False).collect()
+    assert [r["doc_id"] for r in big[:10]] == [r["doc_id"] for r in small]
+    plan = engine.bm25(q, k=10**9, wand=False)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
