@@ -258,7 +258,10 @@ def _kmeans(qe: DataFrame, k: int, iters: int) -> DataFrame:
                 ).alias("newvec")
             )
         )
-        cent = cent.join(upd, "cid", "left").select(
+        # both sides are K rows, but only the optimizer's statistics
+        # know that — an explicit broadcast stops the K×K update join
+        # from planning as a SortMergeJoin with its two exchanges
+        cent = cent.join(F.broadcast(upd), "cid", "left").select(
             "cid", F.coalesce("newvec", "cvec").alias("cvec")
         )
     return cent
