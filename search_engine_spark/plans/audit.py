@@ -131,12 +131,28 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         bad("C7", None,
             f"stats.json n_docs {stats.get('n_docs')} != landed {n_docs_landed}")
 
+    # C8: opt-in sidecars (positions/trigrams) must reference only
+    # indexed docs — an orphan sidecar row means a doc was dropped
+    # from docs without its sidecar partitions being rewritten
+    for name in ("positions", "trigrams"):
+        try:
+            side = spark.read.parquet(f"{index_dir}/{name}")
+        except Exception:  # noqa: BLE001 - sidecar not built (opt-in)
+            continue
+        n_orph = (
+            side.select("doc_id").distinct()
+            .join(docs.select("doc_id").distinct(), "doc_id", "left_anti")
+            .count()
+        )
+        if n_orph:
+            bad("C8", name, f"{n_orph} {name} doc_ids missing from docs")
+
     failed = sorted({m["check"] for m in mismatches})
     return {
         "ok": not mismatches,
         "partitions_audited": len(lineage),
         "n_docs": n_docs_landed,
         "checks": {c: (c not in failed)
-                   for c in ["C1", "C2", "C3", "C4", "C5", "C6", "C7"]},
+                   for c in ["C1", "C2", "C3", "C4", "C5", "C6", "C7", "C8"]},
         "mismatches": mismatches,
     }

@@ -663,7 +663,8 @@ def compact_index(
         # tombstoned docs (full-table rewrite — compaction is the
         # designated moment to pay it), then drop the tombstones
         for name, key in (("postings", "doc_id"), ("docs", "doc_id"),
-                          ("refs", "src_doc_id"), ("positions", "doc_id")):
+                          ("refs", "src_doc_id"), ("positions", "doc_id"),
+                          ("trigrams", "doc_id")):
             path = f"{index_dir}/{name}"
             try:
                 tbl = spark.read.parquet(path)

@@ -78,6 +78,42 @@ def test_delete_then_compact_stays_verified(spark, ix):
     assert report2["n_docs"] == 195
 
 
+def test_sidecar_orphans_detected_and_compact_cleans(spark, fixture_dir, tmp_path):
+    from search_engine_spark.config import EngineConfig
+
+    index_dir = str(tmp_path / "ix3")
+    cfg = EngineConfig(store_positions=True, store_trigrams=True)
+    build_index(spark, str(fixture_dir / "corpus.parquet"), index_dir, cfg)
+    report = verify_index(spark, index_dir)
+    assert report["ok"], report["mismatches"]
+    assert report["checks"]["C8"]
+
+    # delete + compact must physically rewrite BOTH sidecars: a
+    # compaction that drops docs but leaves positions/trigrams rows for
+    # the deleted doc_ids is exactly the orphan state C8 exists to catch
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    victims = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    delete_docs(spark, index_dir, victims)
+    compact_index(spark, index_dir, cfg)
+    report2 = verify_index(spark, index_dir)
+    assert report2["ok"], report2["mismatches"]
+    assert report2["n_docs"] == 197
+
+    # tamper: append a trigram row for a doc_id no docs row has
+    orphan = spark.createDataFrame(
+        [(10**12, "zzz", 0, 0)], "doc_id long, tri string, gen int, part_id int"
+    )
+    (
+        orphan.write.mode("append").partitionBy("gen", "part_id")
+        .parquet(f"{index_dir}/trigrams")
+    )
+    report3 = verify_index(spark, index_dir)
+    assert not report3["ok"]
+    assert not report3["checks"]["C8"]
+    assert any(m["check"] == "C8" and m["gen_part"] == "trigrams"
+               for m in report3["mismatches"])
+
+
 def test_extended_index_verifies_clean(spark, fixture_dir, tmp_path):
     index_dir = str(tmp_path / "ix2")
     full = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
