@@ -102,6 +102,15 @@ class EngineConfig:
     # QueryEngine.substring() answers cross-token substring queries from
     # it (candidate = trigram AND, verify = contains on survivors).
     store_trigrams: bool = False
+    # link-prior refresh policy for extends: "always" reruns the full
+    # edge-resolve + PageRank after every delta (exact, but the graph
+    # pass is O(corpus) — per-micro-batch it dominates streaming ingest
+    # at scale); "defer" skips it, leaving the landed prior stale-but-
+    # valid: queries left-join the prior and floor missing docs at 0.0,
+    # so new docs simply carry no link signal until the next
+    # plans.build.refresh_prior() / compact_index(). Base builds always
+    # compute the prior regardless (a query engine needs the table).
+    prior_refresh: str = "always"
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS

@@ -583,11 +583,14 @@ def extend_index_df(
         spark, index_dir, cfg, ckpt, metrics, build_id, attempt,
         encode_gen=generation,
     )
-    _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
+    deferred = cfg.prior_refresh == "defer"
+    if not deferred:
+        _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
 
     wall = time.time() - t0
     metrics.emit("extend", {"secs": wall, "generation": generation,
-                            "docs_added": rows_processed})
+                            "docs_added": rows_processed,
+                            "prior_deferred": int(deferred)})
     return {
         "build_id": build_id,
         "generation": generation,
@@ -598,6 +601,23 @@ def extend_index_df(
         "partitions_skipped": n_done,
         "wall_secs": wall,
     }
+
+
+def refresh_prior(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig | None = None
+) -> dict:
+    """Standalone link-prior rebuild over everything currently landed —
+    the catch-up pass for ``prior_refresh='defer'`` extends (streaming
+    ingest runs many O(delta) generations, then pays the O(corpus)
+    graph pass once here, or on the next ``compact_index``)."""
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")
+    metrics = MetricsLog(spark, f"{index_dir}/_metrics", uuid.uuid4().hex[:12])
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    _prior_stage(spark, index_dir, cfg, ckpt, metrics,
+                 ckpt.next_attempt("prior"), docs)
+    return {"n_docs": docs.count(), "wall_secs": time.time() - t0}
 
 
 def delete_docs(

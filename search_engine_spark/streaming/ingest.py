@@ -28,6 +28,8 @@ refresh lands.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, SparkSession
 
 from search_engine_spark.checkpoint import CheckpointLog
@@ -73,6 +75,7 @@ def stream_ingest(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     processing_interval: str = "30 seconds",
+    prior_every_n_batches: int = 1,
 ):
     """Start the ingest stream; returns the ``StreamingQuery``.
 
@@ -82,6 +85,16 @@ def stream_ingest(
     processing-time trigger. Either way the stream checkpoint under
     ``checkpoint_dir`` (default ``{index_dir}/_stream``) makes re-runs
     pick up only files not yet ingested.
+
+    ``prior_every_n_batches``: the link-prior rebuild is O(corpus) per
+    run (full edge-resolve + PageRank), so recomputing it inside every
+    micro-batch makes the graph pass — not the O(delta) tokenize/encode
+    — the streaming bottleneck at scale. n>1 defers it (see
+    ``EngineConfig.prior_refresh``) on all but every n-th epoch; epoch
+    replays keep the same epoch_id, so the schedule is stable across
+    stream restarts. The drain can end on a deferred epoch — run
+    ``plans.build.refresh_prior`` (or ``compact_index``) afterwards if
+    an exact prior matters before the next refresh epoch.
     """
     reader = spark.readStream.schema(CORPUS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -89,7 +102,10 @@ def stream_ingest(
     stream = reader.parquet(corpus_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        ingest_batch(spark, batch, index_dir, cfg)
+        c = cfg or EngineConfig()
+        if prior_every_n_batches > 1 and (epoch_id + 1) % prior_every_n_batches:
+            c = replace(c, prior_refresh="defer")
+        ingest_batch(spark, batch, index_dir, c)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir or f"{index_dir}/_stream"

@@ -25,7 +25,7 @@ def _drop_file(spark, df, tmp: Path, corpus_dir: Path, name: str) -> None:
     """Write df as ONE parquet file named ``name`` inside corpus_dir
     (file-source streams watch files, not Spark output directories)."""
     staging = tmp / f"_staging_{name}"
-    df.coalesce(1).write.parquet(str(staging))
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
     part = next(staging.glob("part-*.parquet"))
     shutil.copy(part, corpus_dir / name)
 
@@ -103,6 +103,74 @@ def test_ingest_batch_replay_is_idempotent(spark, stream_env):
     assert read_stats(spark, ix)["n_docs"] == 120
     docs = spark.read.parquet(f"{ix}/docs")
     assert docs.count() == docs.select("doc_id").distinct().count() == 120
+
+
+def _prior_map(spark, ix):
+    return {r["doc_id"]: r["score"]
+            for r in spark.read.parquet(f"{ix}/prior").collect()}
+
+
+def test_deferred_prior_extend_and_refresh(spark, stream_env, fixture_queries):
+    """prior_refresh='defer' keeps extends O(delta): the landed prior is
+    byte-identical to before the extend (stale-but-valid — queries
+    left-join it and floor missing docs at 0.0), and refresh_prior()
+    then converges to exactly what an always-refresh extend computes."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.build import refresh_prior
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix_defer")
+    ingest_batch(spark, base, ix)  # bootstrap always builds the prior
+    prior_before = _prior_map(spark, ix)
+    assert prior_before
+
+    s = ingest_batch(spark, delta, ix, EngineConfig(prior_refresh="defer"))
+    assert s["docs_added"] == 80
+    assert _prior_map(spark, ix) == prior_before  # untouched by the extend
+
+    # queries still serve across all 200 docs while the prior is stale
+    es = QueryEngine(spark, ix)
+    assert es.bm25(fixture_queries[0], k=5).count() > 0
+
+    out = refresh_prior(spark, ix)
+    assert out["n_docs"] == 200
+    caught_up = _prior_map(spark, ix)
+
+    # ground truth: the same two batches with always-refresh extends
+    ix_a = str(root / "ix_always")
+    ingest_batch(spark, base, ix_a)
+    ingest_batch(spark, delta, ix_a)
+    expected = _prior_map(spark, ix_a)
+    assert set(caught_up) == set(expected)
+    for d, score in expected.items():
+        assert caught_up[d] == pytest.approx(score, rel=REL_TOL)
+
+
+def test_stream_prior_schedule(spark, stream_env):
+    """prior_every_n_batches=3: the epoch-1 extend defers the graph pass
+    (metrics record it; prior stays the bootstrap one)."""
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix_sched")
+    cdir = root / "corpus_sched"
+    cdir.mkdir()
+    _drop_file(spark, base, root, cdir, "b0.parquet")
+    q = stream_ingest(spark, str(cdir), ix, prior_every_n_batches=3)
+    assert q.awaitTermination(TIMEOUT_S)
+    prior_boot = _prior_map(spark, ix)
+    assert prior_boot  # bootstrap computes the prior regardless
+
+    _drop_file(spark, delta, root, cdir, "b1.parquet")
+    q = stream_ingest(spark, str(cdir), ix, prior_every_n_batches=3)
+    assert q.awaitTermination(TIMEOUT_S)
+    assert read_stats(spark, ix)["n_docs"] == 200
+    assert _prior_map(spark, ix) == prior_boot  # epoch 1 deferred
+    deferred = (
+        spark.read.parquet(f"{ix}/_metrics")
+        .where("stage = 'extend' and key = 'prior_deferred'")
+        .collect()
+    )
+    assert [r["value"] for r in deferred] == [1.0]
 
 
 def test_stream_ingest_dedupes_across_batches(spark, stream_env):

@@ -82,11 +82,22 @@ def main() -> int:
         build_index(spark, union, str(work / "ix_full"), cfg=cfg)
         t_full = time.perf_counter() - t0
 
+        # deferred-prior extend: skips the O(corpus) graph pass, leaving
+        # a stale-but-valid prior (streaming ingest's per-batch mode)
+        from dataclasses import replace
+
+        build_index(spark, base, str(work / "ix_d"), cfg=cfg)
+        t0 = time.perf_counter()
+        extend_index(spark, delta, str(work / "ix_d"),
+                     cfg=replace(cfg, prior_refresh="defer"))
+        t_defer = time.perf_counter() - t0
+
         print(json.dumps({
             "n_base": n_base, "n_delta": n_delta,
             "docs_added": s["docs_added"],
             "base_build_secs": round(t_base, 2),
             "extend_secs": round(t_extend, 2),
+            "extend_deferred_prior_secs": round(t_defer, 2),
             "full_rebuild_secs": round(t_full, 2),
             "extend_vs_rebuild": round(t_extend / t_full, 3),
             "delta_share_of_docs": round(n_delta / (n_base + n_delta), 3),
