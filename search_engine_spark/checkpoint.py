@@ -35,15 +35,29 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (any scheme). Probing BEFORE reading a
+    maybe-absent table matters cosmetically: ``spark.read.parquet`` on a
+    missing path logs a full FileNotFoundException stack at ERROR on the
+    JVM side even when Python catches it, which reads as a crash in CLI
+    output."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(hpath))
+
+
 class CheckpointLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     def read(self) -> DataFrame:
+        if not fs_exists(self.spark, self.path):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         try:
             return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
-        except Exception:
+        except Exception:  # noqa: BLE001 - torn dir (no files yet)
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
 
     def latest(self) -> DataFrame:

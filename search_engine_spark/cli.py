@@ -12,7 +12,7 @@ Usage:
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
-    python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow]
+    python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
 
 ``verify`` audits a persisted index against its per-partition lineage
@@ -162,8 +162,12 @@ def main(argv: list[str]) -> int:
         from search_engine_spark.session import get_spark
         from search_engine_spark.streaming.ingest import stream_ingest
 
+        prior_n = next((int(f.split("=", 1)[1]) for f in flags
+                        if f.startswith("--prior-every=")), 1)
         q = stream_ingest(get_spark("se-ingest"), args[2], args[3],
-                          available_now="--follow" not in flags)
+                          available_now="--follow" not in flags,
+                          prior_every_n_batches=prior_n,
+                          auto_compact="--auto-compact" in flags)
         q.awaitTermination()
         print("ingest stream drained" if "--follow" not in flags else "stopped")
     elif cmd == "substring":

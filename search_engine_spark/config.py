@@ -111,6 +111,13 @@ class EngineConfig:
     # plans.build.refresh_prior() / compact_index(). Base builds always
     # compute the prior regardless (a query engine needs the table).
     prior_refresh: str = "always"
+    # tiered-merge thresholds for plans.build.maybe_compact (the Lucene
+    # MergePolicy analogue): compact when live segment count exceeds
+    # max_generations, or the tombstoned fraction of the corpus exceeds
+    # max_tombstone_frac. Layout-only knobs — at 10^12-file scale raise
+    # max_generations to trade merge amplification for scan fan-out.
+    compact_max_generations: int = 8
+    compact_max_tombstone_frac: float = 0.2
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.checkpoint import CheckpointLog
+from search_engine_spark.checkpoint import CheckpointLog, fs_exists
 from search_engine_spark.plans.build import _sha_prefix_col, read_stats
 
 
@@ -135,10 +135,9 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
     # indexed docs — an orphan sidecar row means a doc was dropped
     # from docs without its sidecar partitions being rewritten
     for name in ("positions", "trigrams"):
-        try:
-            side = spark.read.parquet(f"{index_dir}/{name}")
-        except Exception:  # noqa: BLE001 - sidecar not built (opt-in)
-            continue
+        if not fs_exists(spark, f"{index_dir}/{name}"):
+            continue  # sidecar not built (opt-in)
+        side = spark.read.parquet(f"{index_dir}/{name}")
         n_orph = (
             side.select("doc_id").distinct()
             .join(docs.select("doc_id").distinct(), "doc_id", "left_anti")

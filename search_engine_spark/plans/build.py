@@ -48,7 +48,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.checkpoint import CheckpointLog
+from search_engine_spark.checkpoint import CheckpointLog, fs_exists
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.metrics import MetricsLog
 from search_engine_spark.operators.compress import encode_blocks, write_index_blocks
@@ -408,6 +408,8 @@ def _prior_stage(
     Content-free: refs were extracted during the stage-1 waves."""
     t3 = time.time()
     try:
+        if not fs_exists(spark, f"{index_dir}/refs"):
+            raise FileNotFoundError(f"{index_dir}/refs")
         refs = spark.read.parquet(f"{index_dir}/refs").select(
             "src_doc_id", "ref_path"
         )
@@ -646,12 +648,11 @@ def delete_docs(
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
     """Live tombstones (empty relation if none were ever written)."""
-    try:
-        return spark.read.parquet(f"{index_dir}/tombstones").select(
-            "doc_id"
-        ).distinct()
-    except Exception:  # noqa: BLE001 - no tombstones dir yet
+    if not fs_exists(spark, f"{index_dir}/tombstones"):
         return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(f"{index_dir}/tombstones").select(
+        "doc_id"
+    ).distinct()
 
 
 def compact_index(
@@ -661,11 +662,14 @@ def compact_index(
 ) -> dict:
     """Merge all generations' blocks into one segment (gen 0) — the
     Lucene-style segment merge. Re-encodes from the stored postings
-    (never re-reads content) and refreshes terms/stats in the same
-    pass. If tombstones exist, the deleted docs are physically dropped
-    from postings/docs/refs first and the link prior is rebuilt (the
-    graph changes when nodes disappear); otherwise docs/refs/prior are
-    untouched. Run after many extends/deletes to restore single-segment
+    (never re-reads content) and refreshes terms/stats AND the link
+    prior in the same pass. If tombstones exist, the deleted docs are
+    physically dropped from postings/docs/refs first; docs/refs
+    themselves are otherwise untouched. The prior always rebuilds:
+    compaction is the designated catch-up for ``prior_refresh='defer'``
+    extends (a stale prior must not survive a merge), and the graph
+    pass is content-free — small next to the block re-encode it rides
+    with. Run after many extends/deletes to restore single-segment
     block density and exact corpus stats.
     """
     cfg = cfg or EngineConfig()
@@ -710,12 +714,46 @@ def compact_index(
     n_docs, avgdl, docs = _index_stage(
         spark, index_dir, cfg, ckpt, metrics, build_id, attempt, encode_gen=None
     )
-    if n_deleted:
-        _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
+    _prior_stage(spark, index_dir, cfg, ckpt, metrics, attempt, docs)
     wall = time.time() - t0
     metrics.emit("compact", {"secs": wall, "docs_deleted": n_deleted})
     return {"build_id": build_id, "n_docs": n_docs, "avgdl": avgdl,
             "docs_deleted": n_deleted, "wall_secs": wall}
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    max_generations: int | None = None,
+    max_tombstone_frac: float | None = None,
+) -> dict | None:
+    """Tiered-merge trigger (the Lucene MergePolicy analogue): run
+    :func:`compact_index` only when the index has degraded past a
+    threshold — more than ``max_generations`` live segments (each
+    extend adds one; every generation is an extra directory branch the
+    query scan unions and an extra partial block per term), or a
+    tombstone fraction above ``max_tombstone_frac`` (deleted docs still
+    burn scan+score work until physically dropped). The probe itself is
+    O(1) data read: segment count comes from the ``gen`` partition
+    listing of ``blocks``, the tombstone count from the (tiny)
+    tombstones table, n_docs from stats.json. Returns compact_index's
+    summary when it fired, else None. Thresholds default from
+    ``EngineConfig`` so a long-running ingest loop can call this after
+    every batch."""
+    cfg = cfg or EngineConfig()
+    max_gens = (cfg.compact_max_generations
+                if max_generations is None else max_generations)
+    max_tf = (cfg.compact_max_tombstone_frac
+              if max_tombstone_frac is None else max_tombstone_frac)
+    n_gens = spark.read.parquet(f"{index_dir}/blocks").select(
+        "gen"
+    ).distinct().count()
+    n_tombs = read_tombstones(spark, index_dir).count()
+    n_docs = max(read_stats(spark, index_dir)["n_docs"], 1)
+    if n_gens <= max_gens and n_tombs / n_docs <= max_tf:
+        return None
+    return compact_index(spark, index_dir, cfg)
 
 
 def _rebaseline_lineage(

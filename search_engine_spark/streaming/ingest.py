@@ -76,6 +76,7 @@ def stream_ingest(
     max_files_per_trigger: int | None = None,
     processing_interval: str = "30 seconds",
     prior_every_n_batches: int = 1,
+    auto_compact: bool = False,
 ):
     """Start the ingest stream; returns the ``StreamingQuery``.
 
@@ -95,6 +96,14 @@ def stream_ingest(
     stream restarts. The drain can end on a deferred epoch — run
     ``plans.build.refresh_prior`` (or ``compact_index``) afterwards if
     an exact prior matters before the next refresh epoch.
+
+    ``auto_compact=True`` runs the tiered-merge check
+    (:func:`~search_engine_spark.plans.build.maybe_compact`) after each
+    ingested batch: when live segments exceed
+    ``cfg.compact_max_generations`` (or tombstones exceed
+    ``cfg.compact_max_tombstone_frac``) the generations merge back into
+    one — which also rebuilds the prior, so deferred epochs are caught
+    up on the same cadence. The probe is O(1) when it doesn't fire.
     """
     reader = spark.readStream.schema(CORPUS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -105,7 +114,12 @@ def stream_ingest(
         c = cfg or EngineConfig()
         if prior_every_n_batches > 1 and (epoch_id + 1) % prior_every_n_batches:
             c = replace(c, prior_refresh="defer")
-        ingest_batch(spark, batch, index_dir, c)
+        if ingest_batch(spark, batch, index_dir, c) is None:
+            return
+        if auto_compact:
+            from search_engine_spark.plans.build import maybe_compact
+
+            maybe_compact(batch.sparkSession, index_dir, c)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir or f"{index_dir}/_stream"

@@ -148,6 +148,44 @@ def test_compact_merges_segments(spark, extended_and_full, fixture_queries):
             assert g[1] == pytest.approx(e[1], rel=REL_TOL)
 
 
+def test_maybe_compact_policy(spark, split_corpora, extended_and_full):
+    """maybe_compact is the tiered-merge trigger: a no-op below the
+    segment/tombstone thresholds, a full compact_index above — and the
+    compact catches up a deferred-prior extend (stale prior must not
+    survive a merge)."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.build import delete_docs, maybe_compact
+
+    a, b, u, root = split_corpora
+    _, full_dir = extended_and_full
+    ix = str(root / "ix_policy")
+    build_index(spark, a, ix)
+    extend_index(spark, b, ix, cfg=EngineConfig(prior_refresh="defer"))
+    prior_stale = {r["doc_id"] for r in spark.read.parquet(f"{ix}/prior")
+                   .select("doc_id").collect()}
+
+    # 2 segments, 0 tombstones: within both thresholds -> no-op
+    assert maybe_compact(spark, ix, max_generations=2) is None
+    # over the segment threshold -> merges AND refreshes the prior
+    s = maybe_compact(spark, ix, max_generations=1)
+    assert s is not None and s["n_docs"] == 200
+    gens = {r["gen"] for r in spark.read.parquet(f"{ix}/blocks")
+            .select("gen").distinct().collect()}
+    assert gens == {0}
+    pi = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{ix}/prior").collect()}
+    pf = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{full_dir}/prior").collect()}
+    assert set(pi) == set(pf) != prior_stale  # caught up past the defer
+    assert sum(abs(pi[d] - pf[d]) for d in pf) < 1e-6
+
+    # tombstone-fraction trigger: 2/200 = 1% -> quiet at 20%, fires at 0%
+    delete_docs(spark, ix, sorted(pi)[:2])
+    assert maybe_compact(spark, ix, max_generations=1) is None
+    s = maybe_compact(spark, ix, max_generations=1, max_tombstone_frac=0.0)
+    assert s is not None and s["docs_deleted"] == 2 and s["n_docs"] == 198
+
+
 def test_delete_then_compact(spark, fixture_dir, tmp_path_factory, fixture_queries):
     """Tombstoned docs vanish from every result path immediately;
     compaction physically drops them and the index becomes identical

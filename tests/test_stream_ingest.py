@@ -173,6 +173,33 @@ def test_stream_prior_schedule(spark, stream_env):
     assert [r["value"] for r in deferred] == [1.0]
 
 
+def test_stream_auto_compact(spark, stream_env, fixture_queries):
+    """auto_compact=True keeps a long-running ingest single-digit-
+    segmented: once live generations exceed cfg.compact_max_generations
+    the epoch's sink merges them back to gen 0, and queries still
+    answer across the full corpus."""
+    from search_engine_spark.config import EngineConfig
+
+    root, corpus_dir, full, base, delta = stream_env
+    ix = str(root / "ix_ac")
+    cdir = root / "corpus_ac"
+    cdir.mkdir()
+    cfg = EngineConfig(compact_max_generations=1)
+    _drop_file(spark, base, root, cdir, "b0.parquet")
+    q = stream_ingest(spark, str(cdir), ix, cfg=cfg, auto_compact=True)
+    assert q.awaitTermination(TIMEOUT_S)
+
+    _drop_file(spark, delta, root, cdir, "b1.parquet")
+    q = stream_ingest(spark, str(cdir), ix, cfg=cfg, auto_compact=True)
+    assert q.awaitTermination(TIMEOUT_S)
+    assert read_stats(spark, ix)["n_docs"] == 200
+    gens = {r["gen"] for r in spark.read.parquet(f"{ix}/blocks")
+            .select("gen").distinct().collect()}
+    assert gens == {0}  # the extend's gen 1 was merged by the policy
+    es = QueryEngine(spark, ix)
+    assert es.bm25(fixture_queries[0], k=5).count() == 5
+
+
 def test_stream_ingest_dedupes_across_batches(spark, stream_env):
     """A later file re-delivering already-indexed docs upsert-skips them
     (the reference's ON CONFLICT DO NOTHING sink on the streaming path)."""
