@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, relational, sampling, search_sql, similarity, textstats, trigram
+from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_substring": lambda s, d: trigram.substring_search(
             s, _t(s, d, "documents"), trigram.NEEDLE_MAIN
         ),
+        "search_regex": lambda s, d: regexsearch.regex_search(
+            s, _t(s, d, "documents"), regexsearch.PATTERN_MAIN
+        ),
+        "search_regex_scan": lambda s, d: regexsearch.regex_search(
+            s, _t(s, d, "documents"), regexsearch.PATTERN_SCAN
+        ),
         # --- ingest filters (P5) + end-to-end data prep ---
         "corpus_filtered": _corpus_filtered,
         "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(
@@ -279,6 +285,7 @@ WHERE lang IN ('en', 'es')
     out.update(multimodal.ORACLE_SQL)
     out.update(pipeline.ORACLE_SQL)
     out.update(trigram.ORACLE_SQL)
+    out.update(regexsearch.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)

@@ -11,6 +11,7 @@ Usage:
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
+    python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
@@ -181,6 +182,17 @@ def main(argv: list[str]) -> int:
             print("(no hits)")
         for r in rows:
             print(f"{r['path']}: substring x{r['n_occ']}  (doc {r['doc_id']})")
+    elif cmd == "regex":
+        from search_engine_spark.plans.query import QueryEngine
+        from search_engine_spark.session import get_spark
+
+        eng = QueryEngine(get_spark("se-regex"), args[2])
+        rows = eng.regex(args[4], args[3],
+                         k=int(args[5]) if len(args) > 5 else 10).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: regex x{r['n_match']}  (doc {r['doc_id']})")
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from search_engine_spark.functions.barrier import verify_after_join
 from search_engine_spark.functions.inline import inline_table
 
 NEEDLE_MAIN = "join tab"  # crosses a token boundary — untokenizable
@@ -89,7 +90,10 @@ def substring_search(
     )
     return (
         docs.join(cand, "doc_id", "left_semi")
-        .where(lt.contains(needle))  # verify: drop trigram false positives
+        # verify: drop trigram false positives — barrier keeps the
+        # contains() ABOVE the semi-join (functions/barrier.py), so it
+        # runs on candidates only instead of being pushed to the scan
+        .where(verify_after_join(lt.contains(needle)))
         .select("doc_id", n_occ.alias("n_occ"))
     )
 

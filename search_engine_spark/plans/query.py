@@ -459,9 +459,13 @@ class QueryEngine:
                                                  F.lit(""))))
             / len(needle)
         ).cast("int")
+        from search_engine_spark.functions.barrier import verify_after_join
+
         verified = (
             content.join(cand, "doc_id", "left_semi")
-            .where(F.col("lt").contains(needle))
+            # barrier: contains() stays ABOVE the semi-join → verify
+            # touches candidate content only (functions/barrier.py)
+            .where(verify_after_join(F.col("lt").contains(needle)))
             .select("doc_id", n_occ.alias("n_occ"))
         )
         return (
@@ -470,6 +474,67 @@ class QueryEngine:
             .orderBy(F.desc("n_occ"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "n_occ", "path", *self._meta_cols)
+        )
+
+    def regex(self, pattern: str, corpus_path: str, k: int = 10) -> DataFrame:
+        """Regex search over the persisted trigram sidecar →
+        (doc_id, n_match, path, …meta) ordered by match count.
+
+        Cox's planner (`ops/regexsearch.plan_trigram_query`) compiles
+        the pattern into a CNF trigram query; the sidecar scan prunes
+        to the query's trigrams, and the regex engine runs only on CNF
+        survivors (content point-lookups from the corpus, same shape
+        as ``substring``). A pattern with no usable literals degrades
+        to a full verify scan — documented, Cox's ALL query."""
+        import re as _re
+
+        from search_engine_spark.ops.regexsearch import plan_trigram_query
+        from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+        _re.compile(pattern)
+        cnf = plan_trigram_query(pattern)
+        content = with_identity(load_corpus(self.spark, corpus_path)).select(
+            "doc_id", F.lower(F.col("content")).alias("lt")
+        )
+        if cnf is not None:
+            try:
+                tp = self.spark.read.parquet(f"{self.index_dir}/trigrams")
+            except Exception as e:  # noqa: BLE001 - missing sidecar
+                raise ValueError(
+                    "no trigram index — build with "
+                    "EngineConfig(store_trigrams=True)"
+                ) from e
+            all_tris = sorted({t for clause in cnf for t in clause})
+            from search_engine_spark.functions.inline import inline_table
+
+            rows = [(t, i) for i, clause in enumerate(cnf) for t in clause]
+            q = inline_table(self.spark, rows, "tri string, clause_id int")
+            cand = (
+                tp.where(F.col("tri").isin(all_tris))
+                .join(F.broadcast(q), "tri")
+                .select("doc_id", "clause_id")
+                .distinct()
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nc"))
+                .where(F.col("nc") == len(cnf))
+                .select("doc_id")
+            )
+            content = content.join(cand, "doc_id", "left_semi")
+        n_match = F.regexp_count(F.col("lt"), F.lit(pattern)).cast("int")
+        from search_engine_spark.functions.barrier import verify_after_join
+
+        # barrier: regex verify stays ABOVE the semi-join → evaluated
+        # on CNF survivors only (functions/barrier.py); harmless in the
+        # cnf-is-None full-scan branch
+        verified = content.select("doc_id", n_match.alias("n_match")).where(
+            verify_after_join(F.col("n_match") > 0)
+        )
+        return (
+            self._live(verified)
+            .join(self.docs, "doc_id", "left")
+            .orderBy(F.desc("n_match"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "n_match", "path", *self._meta_cols)
         )
 
     def total_hits(self, query: str) -> int:
