@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, textstats, trigram
+from search_engine_spark.ops import dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, subtoken, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,6 +112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_typo": lambda s, d: search_sql.bm25_topk_typo(
             s, _t(s, d, "documents"), search_sql.QUERY_TYPO
         ),
+        "search_bm25_prefix": lambda s, d: search_sql.bm25_topk_prefix(
+            s, _t(s, d, "documents"), search_sql.QUERY_PREFIX
+        ),
+        "search_suggest": lambda s, d: search_sql.suggest_terms(
+            s, _t(s, d, "documents")
+        ),
         "search_candidate_page": lambda s, d: search_sql.candidate_page(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
@@ -156,6 +162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "search_substring": lambda s, d: trigram.substring_search(
             s, _t(s, d, "documents"), trigram.NEEDLE_MAIN
+        ),
+        "code_subtokens": lambda s, d: subtoken.subtoken_postings(
+            _t(s, d, "documents")
+        ),
+        "code_subtoken_search": lambda s, d: subtoken.subtoken_search(
+            s, _t(s, d, "documents")
         ),
         "search_regex": lambda s, d: regexsearch.regex_search(
             s, _t(s, d, "documents"), regexsearch.PATTERN_MAIN
@@ -286,6 +298,7 @@ WHERE lang IN ('en', 'es')
     out.update(pipeline.ORACLE_SQL)
     out.update(trigram.ORACLE_SQL)
     out.update(regexsearch.ORACLE_SQL)
+    out.update(subtoken.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)

@@ -12,6 +12,7 @@ Usage:
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
+    python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
@@ -182,6 +183,17 @@ def main(argv: list[str]) -> int:
             print("(no hits)")
         for r in rows:
             print(f"{r['path']}: substring x{r['n_occ']}  (doc {r['doc_id']})")
+    elif cmd == "suggest":
+        from search_engine_spark.plans.query import QueryEngine
+        from search_engine_spark.session import get_spark
+
+        eng = QueryEngine(get_spark("se-suggest"), args[2])
+        rows = eng.suggest(args[3],
+                           k=int(args[4]) if len(args) > 4 else 5).collect()
+        if not rows:
+            print("(no suggestions)")
+        for r in rows:
+            print(f"{r['term']}  (df {r['df']})")
     elif cmd == "regex":
         from search_engine_spark.plans.query import QueryEngine
         from search_engine_spark.session import get_spark

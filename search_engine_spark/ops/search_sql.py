@@ -49,6 +49,10 @@ BLOCK_SIZE = 128
 TOPK = 10
 CANDIDATE_K = 20
 MAX_SUGGESTIONS = 3  # reference keeps ≤3 speller suggestions per word
+MAX_EXPANSIONS = 4  # prefix-query expansion cap (Lucene maxExpansions)
+QUERY_PREFIX = ["window", "s*"]  # one literal + one wildcard prefix
+SUGGEST_PREFIX = "s"  # typeahead probe
+SUGGEST_K = 5
 
 
 def postings(docs: DataFrame) -> DataFrame:
@@ -277,6 +281,66 @@ def bm25_topk_typo(
     """BM25 top-k with query-side spell correction (VERDICT r01 item 4):
     misspelled terms retrieve via their ED-1 vocabulary expansion."""
     return bm25_topk(spark, docs, expand_terms(spark, docs, terms), k)
+
+
+def prefix_expand(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str],
+    max_exp: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Wildcard (trailing ``*``) query expansion — Lucene
+    PrefixQuery/MultiTermQuery semantics: ``foo*`` rewrites to the
+    ``max_exp`` strongest vocabulary terms with that prefix (df DESC,
+    term ASC — the boolean-rewrite expansion cap), literals pass
+    through; output is the deduped union, fed to the ordinary BM25.
+
+    Scale shape: the prefix condition is a contiguous RANGE of the
+    sorted term dictionary (term >= pfx AND term < pfx⊕1), so against
+    the persisted index it prunes to a dictionary range scan; here the
+    tiny prefix list is broadcast."""
+    literals = sorted({t for t in raw_terms if not t.endswith("*")})
+    prefixes = sorted({t[:-1] for t in raw_terms if t.endswith("*") and len(t) > 1})
+    vocab = (
+        postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    lit_df = inline_table(spark, [(t,) for t in literals], "term string")
+    if not prefixes:
+        return lit_df
+    p = inline_table(spark, [(x,) for x in prefixes], "pfx string")
+    w = Window.partitionBy("pfx").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        vocab.join(F.broadcast(p), F.col("term").startswith(F.col("pfx")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_exp)
+        .select("term")
+    )
+    return lit_df.union(exp).distinct()
+
+
+def bm25_topk_prefix(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """BM25 top-k where trailing-``*`` terms retrieve via their
+    capped prefix expansion (Lucene PrefixQuery → BooleanQuery
+    rewrite)."""
+    return bm25_topk(spark, docs, prefix_expand(spark, docs, raw_terms), k)
+
+
+def suggest_terms(
+    spark: SparkSession, docs: DataFrame, prefix: str = SUGGEST_PREFIX,
+    k: int = SUGGEST_K,
+) -> DataFrame:
+    """Typeahead suggestions: top-``k`` vocabulary terms with
+    ``prefix``, ranked by document frequency (df DESC, term ASC) →
+    (term, df). Same dictionary-range shape as :func:`prefix_expand`;
+    the engine twin serves it from the persisted terms table."""
+    vocab = (
+        postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    return (
+        vocab.where(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
 
 
 def candidate_page(
@@ -639,10 +703,32 @@ sugg AS (
 q AS (SELECT DISTINCT term FROM (SELECT term FROM kept UNION ALL SELECT term FROM sugg))"""
 
 
-def _scores_cte(terms: list[str], spell: bool = False) -> str:
-    q_cte = (
-        _spell_q_cte(terms) if spell else f"q(term) AS (VALUES {_q_values(terms)})"
-    )
+def _prefix_q_cte(raw_terms: list[str], max_exp: int = MAX_EXPANSIONS) -> str:
+    """DuckDB twin of :func:`prefix_expand`: literal pass-through +
+    per-prefix top-``max_exp`` expansion by (df DESC, term ASC)."""
+    literals = sorted({t for t in raw_terms if not t.endswith("*")})
+    prefixes = sorted({t[:-1] for t in raw_terms if t.endswith("*") and len(t) > 1})
+    lit_vals = ", ".join(f"('{t}')" for t in literals)
+    pfx_vals = ", ".join(f"('{x}')" for x in prefixes)
+    return f"""lit(term) AS (VALUES {lit_vals}),
+pfx(pfx) AS (VALUES {pfx_vals}),
+exp AS (
+  SELECT term FROM (
+    SELECT v.term,
+           row_number() OVER (PARTITION BY p.pfx
+                              ORDER BY v.df DESC, v.term ASC) AS rk
+    FROM pfx p JOIN dfq v ON starts_with(v.term, p.pfx)
+  ) WHERE rk <= {max_exp}
+),
+q AS (SELECT DISTINCT term FROM (SELECT term FROM lit UNION ALL SELECT term FROM exp))"""
+
+
+def _scores_cte(terms: list[str], spell: bool = False,
+                q_cte: str | None = None) -> str:
+    if q_cte is None:
+        q_cte = (
+            _spell_q_cte(terms) if spell else f"q(term) AS (VALUES {_q_values(terms)})"
+        )
     return f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -722,6 +808,15 @@ FROM anch
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_prefix": _scores_cte([], q_cte=_prefix_q_cte(QUERY_PREFIX))
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_suggest": f"""
+WITH {_POST},
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term)
+SELECT term, df FROM dfq
+WHERE starts_with(term, '{SUGGEST_PREFIX}')
+ORDER BY df DESC, term ASC LIMIT {SUGGEST_K}
+""",
     "search_bm25_topk_batch": f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),

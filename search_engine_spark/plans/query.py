@@ -256,6 +256,44 @@ class QueryEngine:
         }
         return sorted(present | sugg)
 
+    # ---- wildcard prefix expansion + typeahead (Lucene PrefixQuery) ----
+    def expand_prefix_terms(self, query: str, max_exp: int = 4) -> tuple[str, list[str]]:
+        """Split a raw query into (literal remainder, expansion list):
+        each trailing-``*`` token rewrites to its ``max_exp`` strongest
+        dictionary terms (df DESC, term ASC — Lucene's boolean-rewrite
+        expansion cap). The prefix condition is a contiguous range of
+        the sorted terms table; the collect is bounded by
+        ``max_exp × n_prefixes``."""
+        words = query.split()
+        prefixes = sorted({w[:-1].lower() for w in words
+                           if w.endswith("*") and len(w) > 1})
+        rest = " ".join(w for w in words if not w.endswith("*"))
+        if not prefixes:
+            return rest, []
+        p = inline_table(self.spark, [(x,) for x in prefixes], "pfx string")
+        w = Window.partitionBy("pfx").orderBy(F.desc("df"), F.asc("term"))
+        rows = (
+            self.terms.join(
+                F.broadcast(p), F.col("term").startswith(F.col("pfx"))
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= max_exp)
+            .select("term")
+            .collect()
+        )
+        return rest, sorted({r["term"] for r in rows})
+
+    def suggest(self, prefix: str, k: int = 5) -> DataFrame:
+        """Typeahead: top-``k`` dictionary terms with ``prefix`` by
+        (df DESC, term ASC) → (term, df). Pure terms-table range scan —
+        no postings, no content."""
+        return (
+            self.terms.where(F.col("term").startswith(prefix.lower()))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def _offset_page(self, df: DataFrame, order: list, page: int, size: int) -> DataFrame:
         """LIMIT size OFFSET page·size with a scale-safe plan: top
         (page+1)·size via TakeOrderedAndProject, then a row_number
@@ -287,8 +325,13 @@ class QueryEngine:
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
         above (both exact — same results, property-tested). True/False
-        force a path."""
-        terms = query_terms(query)
+        force a path. Trailing-``*`` tokens expand against the term
+        dictionary (``expand_prefix_terms``) before scoring."""
+        if "*" in query:
+            query, expansions = self.expand_prefix_terms(query)
+            terms = sorted({*query_terms(query), *expansions})
+        else:
+            terms = query_terms(query)
         if spell:
             terms = self.expand_query_terms(terms)
         idf_map, sum_df = self._term_info(terms)
@@ -592,8 +635,13 @@ class QueryEngine:
         """``mode="bm25"`` (frozen-spec primary) or ``mode="cosine"``
         (reference-compat TF-IDF-cosine per tf-idf.go:24-86 /
         ranking.go:23-38, flag-gated as SURVEY §8.2 promises): only the
-        relevance score feeding the min-max + 0.5-blend changes."""
-        terms = query_terms(query)
+        relevance score feeding the min-max + 0.5-blend changes.
+        Trailing-``*`` tokens expand like :meth:`bm25`."""
+        if "*" in query:
+            query, expansions = self.expand_prefix_terms(query)
+            terms = sorted({*query_terms(query), *expansions})
+        else:
+            terms = query_terms(query)
         if spell:
             terms = self.expand_query_terms(terms)
         idf_map = self._idf_map(terms)

@@ -1,0 +1,100 @@
+"""Wildcard prefix queries + typeahead suggestions: ops-level
+expansion semantics and the engine path over the persisted terms
+table (gate parity for both lives in test_ops_parity via
+search_bm25_prefix / search_suggest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.search_sql import prefix_expand, suggest_terms
+from search_engine_spark.plans.build import build_index
+from search_engine_spark.plans.query import QueryEngine
+from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, fixture_dir):
+    return (
+        with_identity(load_corpus(spark, str(fixture_dir / "corpus.parquet")))
+        .select("doc_id", F.col("content").alias("text"))
+    )
+
+
+@pytest.fixture(scope="module")
+def ix(spark, fixture_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pfx") / "ix"
+    build_index(spark, str(fixture_dir / "corpus.parquet"), str(out))
+    return str(out)
+
+
+def test_prefix_expand_caps_by_df(spark, docs):
+    got = sorted(
+        r["term"] for r in prefix_expand(spark, docs, ["sort", "me*"],
+                                         max_exp=3).collect()
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .where(F.col("t").startswith("me"))
+        .groupBy("t").count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(3)
+        .collect()
+    )
+    want = sorted({"sort", *(r["t"] for r in vocab)})
+    # frozen tokenizer == whitespace split on this all-alpha fixture
+    assert got == want and "merge" in got
+
+
+def test_prefix_expand_no_wildcards_passthrough(spark, docs):
+    got = {r["term"] for r in prefix_expand(spark, docs, ["merge", "sort"]).collect()}
+    assert got == {"merge", "sort"}
+
+
+def test_suggest_orders_by_df(spark, docs):
+    rows = suggest_terms(spark, docs, "s", k=4).collect()
+    assert 0 < len(rows) <= 4
+    assert all(r["term"].startswith("s") for r in rows)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+
+
+def test_engine_prefix_query_equals_manual_expansion(spark, ix):
+    eng = QueryEngine(spark, ix)
+    _, exp = eng.expand_prefix_terms("merg*", max_exp=4)
+    assert exp and all(t.startswith("merg") for t in exp)
+    got = [(r["doc_id"], r["score"])
+           for r in eng.bm25("sort merg*", k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in eng.bm25("sort " + " ".join(exp), k=10).collect()]
+    assert got == want and got
+
+
+def test_engine_suggest_matches_terms_table(spark, ix):
+    eng = QueryEngine(spark, ix)
+    rows = eng.suggest("me", k=3).collect()
+    want = (
+        eng.terms.where(F.col("term").startswith("me"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(3)
+        .select("term", "df").collect()
+    )
+    assert [(r["term"], r["df"]) for r in rows] == [
+        (r["term"], r["df"]) for r in want
+    ] and rows
+
+
+def test_engine_search_prefix_equals_literal(spark, ix):
+    """The blended search() path expands trailing-* like bm25()."""
+    eng = QueryEngine(spark, ix)
+    _, exp = eng.expand_prefix_terms("merg*")
+    got = [(r["doc_id"], r["global_score"])
+           for r in eng.search("sort merg*", k=5).collect()]
+    want = [(r["doc_id"], r["global_score"])
+            for r in eng.search("sort " + " ".join(exp), k=5).collect()]
+    assert got == want and got
+
+
+def test_engine_prefix_no_match_empty(spark, ix):
+    eng = QueryEngine(spark, ix)
+    assert eng.bm25("zzqx*", k=5).collect() == []
