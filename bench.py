@@ -125,12 +125,21 @@ def main() -> int:
         # ---- pipeline ops at sf scale ----
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        from search_engine_spark.ops import regexsearch, search_sql, subtoken, trigram
+
         for name, df_fn in [
             ("dedup_lsh_pairs", lambda: dedup.lsh_candidate_pairs(docs)),
             ("dedup_simhash", lambda: dedup.simhash(docs)),
             ("text_fingerprint", lambda: textstats.fingerprint(docs)),
             ("sim_cosine_topk", lambda: similarity.cosine_topk(emb)),
             ("rel_pricing_summary", lambda: relational.pricing_summary(li)),
+            ("search_substring", lambda: trigram.substring_search(
+                spark, docs, trigram.NEEDLE_MAIN)),
+            ("search_regex", lambda: regexsearch.regex_search(
+                spark, docs, regexsearch.PATTERN_MAIN)),
+            ("search_bm25_prefix", lambda: search_sql.bm25_topk_prefix(
+                spark, docs, search_sql.QUERY_PREFIX)),
+            ("code_subtokens", lambda: subtoken.subtoken_postings(docs)),
         ]:
             t0 = time.perf_counter()
             df_fn().count()

@@ -8,7 +8,7 @@ from __future__ import annotations
 import re
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -54,10 +54,36 @@ def test_plan_unprunable_returns_none():
     assert plan_trigram_query("[xyz]+") is None
 
 
-def test_plan_optional_contributes_nothing():
-    # "xy(abc)?z" may match "xyz" — abc must not be required
+def test_plan_optional_not_required():
+    # "xy(abcdef)?z" may match plain "xyz" — abc must not be required
+    # alone, but every clause must hold for BOTH possible matches
     cnf = plan_trigram_query("xy(abcdef)?z")
-    assert cnf is None
+    for m in ("xyz", "xyabcdefz"):
+        tris = {m[i:i + 3] for i in range(len(m) - 2)}
+        for clause in cnf:
+            assert any(t in tris for t in clause), (m, clause)
+
+
+def test_plan_junction_trigrams():
+    # trigrams spanning node boundaries — the part a naive literal-run
+    # scanner misses (Cox's suffix·prefix junction)
+    assert plan_trigram_query("ab(c|d)") == [["abc", "abd"]]
+    cnf = plan_trigram_query("->(next|prev)")
+    assert ["->n", "->p"] in cnf and ["nex", "pre"] in cnf
+
+
+def test_plan_exact_class():
+    # small all-literal class is an exact one-char set
+    cnf = plan_trigram_query("ta[bs]")
+    assert cnf == [["tab", "tas"]]
+
+
+def test_plan_subsumption():
+    # a singleton clause implies any superset clause containing it
+    cnf = plan_trigram_query(PATTERN_MAIN)
+    flat = [frozenset(c) for c in cnf]
+    for c in flat:
+        assert not any(o < c for o in flat)
 
 
 def test_plan_invalid_pattern_raises():
@@ -81,6 +107,10 @@ _pattern_st = st.recursive(
         # optional / plus wrappers
         inner.map(lambda p: f"({p})?x"),
         inner.map(lambda p: f"({p})+"),
+        # small exact class + junction-heavy shapes
+        inner.map(lambda p: f"{p}[bs]"),
+        inner.map(lambda p: f"x({p})"),
+        inner.map(lambda p: f"{p}{{2}}"),
     ),
     max_leaves=4,
 )
@@ -91,6 +121,10 @@ _pattern_st = st.recursive(
 def test_cnf_is_necessary_for_match(pattern, text):
     """If the regex matches `text`, `text` must satisfy the planned CNF
     — the property that makes trigram pruning lossless."""
+    try:
+        re.compile(pattern)
+    except re.error:
+        assume(False)  # grammar can compose invalid repeats like (x)+{2}
     cnf = plan_trigram_query(pattern)
     if cnf is None or not re.search(pattern, text):
         return
