@@ -326,7 +326,8 @@ def regex_search(
             docs.select("doc_id", n_match.alias("n_match"))
             .where(F.col("n_match") > 0)
         )
-    cand = _candidates(trigram_postings(docs), cnf, spark)
+    all_tris = sorted({t for clause in cnf for t in clause})
+    cand = _candidates(trigram_postings(docs, only=all_tris), cnf, spark)
     return (
         docs.join(cand, "doc_id", "left_semi")
         .select("doc_id", n_match.alias("n_match"))

@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.barrier import verify_after_join
-from search_engine_spark.functions.inline import inline_table
 
 NEEDLE_MAIN = "join tab"  # crosses a token boundary — untokenizable
 
@@ -44,21 +43,37 @@ def _trigrams(s: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)})
 
 
-def trigram_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def trigram_postings(
+    docs: DataFrame, text_col: str = "text", only: list[str] | None = None
+) -> DataFrame:
     """(doc_id, tri): distinct character 3-grams of ``lower(text)`` —
     one narrow JVM pass (sequence/transform/explode), per-doc distinct
-    collapses before any shuffle."""
+    collapses before any shuffle.
+
+    ``only``: restrict to a known trigram set (a query's needle/CNF
+    trigrams). ``array_intersect`` against the tiny literal array
+    replaces the full array_distinct + explode — the explode emits
+    ≤len(only) rows per doc instead of ~n_chars, which is what makes
+    the INLINE ops cheap; the persisted sidecar build passes None."""
     # substring with a column-valued start needs the SQL expression
     # form; the length guard matters because Spark's sequence(1, 0)
-    # DESCENDS ([1, 0]) instead of being empty
+    # DESCENDS ([1, 0]) instead of being empty. lower() is hoisted into
+    # its own projection — inside the transform lambda it would be
+    # re-evaluated per element (~n_chars times per row, measured 2×)
+    lowered = docs.select("doc_id", F.lower(F.col(text_col)).alias("__lt"))
     tris = F.expr(
-        f"CASE WHEN length({text_col}) >= 3 THEN "
-        f"transform(sequence(1, length({text_col}) - 2), "
-        f"i -> substring(lower({text_col}), i, 3)) "
+        "CASE WHEN length(__lt) >= 3 THEN "
+        "transform(sequence(1, length(__lt) - 2), "
+        "i -> substring(__lt, i, 3)) "
         "ELSE array() END"
     )
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(tris)).alias("tri"))
+    if only is not None:
+        keep = F.array_intersect(  # distinct by construction
+            tris, F.array(*[F.lit(t) for t in sorted(set(only))])
+        )
+        return lowered.select("doc_id", F.explode(keep).alias("tri"))
+    return lowered.select(
+        "doc_id", F.explode(F.array_distinct(tris)).alias("tri")
     )
 
 
@@ -79,10 +94,8 @@ def substring_search(
             "doc_id", n_occ.alias("n_occ")
         )
     tris = _trigrams(needle)
-    q = inline_table(spark, [(t,) for t in tris], "tri string")
     cand = (
-        trigram_postings(docs)
-        .join(F.broadcast(q), "tri", "left_semi")
+        trigram_postings(docs, only=tris)
         .groupBy("doc_id")
         .agg(F.count("*").alias("ntri"))
         .where(F.col("ntri") == len(tris))
