@@ -81,6 +81,15 @@ def _pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_e12(_graph_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _hits_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS in ×10^6 integer fixed-point over the same
+    deterministic lineitem-derived graph — bit-exact vs the chained-CTE
+    DuckDB twin (operators/hits.py)."""
+    from search_engine_spark.operators.hits import hits_fixed_e6
+
+    return hits_fixed_e6(_graph_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def _pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine PageRank (frozen spec §8.3) over a deterministic graph
     derived from lineitem keys. Iterative fixpoint — not expressible in
@@ -189,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "text_pii_scrub": lambda s, d: textstats.pii_scrub(_t(s, d, "documents")),
+        "text_unigram_ll": lambda s, d: textstats.unigram_loglik(
+            _t(s, d, "documents")
+        ),
         # --- deterministic sampling (training-data curation) ---
         "samp_bernoulli": lambda s, d: sampling.bernoulli_sample(
             _t(s, d, "documents")
@@ -272,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- graph: SQL-twinned fixed-point + rows-only fixpoint ---
         "graph_pagerank_5iter": _pagerank_5iter,
+        "graph_hits_5iter": _hits_5iter,
         "graph_pagerank_prior": _pagerank_prior,
     }
     return q
@@ -302,5 +315,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
+    from search_engine_spark.operators.hits import oracle_sql_hits_e6
+
+    out["graph_hits_5iter"] = oracle_sql_hits_e6(_GRAPH_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out

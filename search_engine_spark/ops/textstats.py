@@ -241,6 +241,53 @@ _T = duck_tokens("text")
 _STOP = {lg: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lg, ws in STOPWORDS.items()}
 
 
+def unigram_loglik(docs: DataFrame) -> DataFrame:
+    """Per-doc average token log-likelihood under the corpus unigram
+    LM — the CCNet-style fluency/quality signal (docs scoring far from
+    the corpus mode are boilerplate or noise). Two aggregations:
+    corpus term frequencies (one term-keyed shuffle, the same key
+    family as the postings build so at scale it co-partitions with the
+    index pipeline), then a per-doc weighted sum over the postings.
+
+    Output (doc_id, dl, avg_ll): avg_ll = Σ_t tf_t·ln(ctf_t/T) / dl
+    rounded 4dp — identical float path on both engines."""
+    post = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    ctf = post.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").cast("double").alias("t_tokens"))
+    per = post.join(ctf, "term").crossJoin(F.broadcast(total))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("t_tokens")))
+                / F.sum("tf"),
+                4,
+            ).alias("avg_ll"),
+        )
+    )
+
+
+_UNIGRAM_SQL = f"""
+WITH post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM post GROUP BY term),
+tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS t_tokens FROM ctf)
+SELECT p.doc_id,
+       CAST(sum(p.tf) AS BIGINT) AS dl,
+       round(sum(p.tf * ln(ctf.ctf / tot.t_tokens)) / sum(p.tf), 4) AS avg_ll
+FROM post p JOIN ctf USING (term) CROSS JOIN tot
+GROUP BY p.doc_id
+"""
+
+
 def _duck_stop_ratio(toks: str, lst: str) -> str:
     return (
         f"(CASE WHEN len({toks}) > 0 THEN "
@@ -250,6 +297,7 @@ def _duck_stop_ratio(toks: str, lst: str) -> str:
 
 
 ORACLE_SQL = {
+    "text_unigram_ll": _UNIGRAM_SQL,
     "text_token_stats": f"""
 WITH d AS (SELECT doc_id, text, {_T} AS toks FROM documents)
 SELECT doc_id,
