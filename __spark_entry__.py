@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_typo": lambda s, d: search_sql.bm25_topk_typo(
             s, _t(s, d, "documents"), search_sql.QUERY_TYPO
         ),
+        "search_bm25_lang": lambda s, d: search_sql.bm25_topk_filtered(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         "search_bm25_prefix": lambda s, d: search_sql.bm25_topk_prefix(
             s, _t(s, d, "documents"), search_sql.QUERY_PREFIX
         ),

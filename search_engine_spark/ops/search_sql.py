@@ -325,6 +325,19 @@ def bm25_topk_prefix(
     return bm25_topk(spark, docs, prefix_expand(spark, docs, raw_terms), k)
 
 
+def bm25_topk_filtered(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    lang: str = "en", k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k restricted to one language — the filtered-retrieval
+    composition (GitHub's `lang:` qualifier). The filter lands in the
+    corpus scan (PushedFilters) BEFORE tokenize/score, so df/idf/avgdl
+    are those of the filtered subcorpus: a per-lang index shard, not a
+    post-filtered global ranking (both are legitimate; this is the
+    shard semantics, and the one with the cheaper plan at scale)."""
+    return bm25_topk(spark, docs.where(F.col("lang") == lang), terms, k)
+
+
 def suggest_terms(
     spark: SparkSession, docs: DataFrame, prefix: str = SUGGEST_PREFIX,
     k: int = SUGGEST_K,
@@ -808,6 +821,36 @@ FROM anch
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_lang": f"""
+WITH fdocs AS (SELECT * FROM documents WHERE lang = 'en'),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM fdocs)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM fdocs) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM fdocs) AS avgdl
+),
+q(term) AS (VALUES {_q_values(QUERY_MAIN)}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+""",
     "search_bm25_prefix": _scores_cte([], q_cte=_prefix_q_cte(QUERY_PREFIX))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_suggest": f"""
