@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_near_topk": lambda s, d: phrase.near_topk(
             s, _t(s, d, "documents"), *phrase.NEAR_PAIR
         ),
+        "search_near_ordered_topk": lambda s, d: phrase.near_topk(
+            s, _t(s, d, "documents"), *phrase.NEAR_PAIR, ordered=True
+        ),
         "search_substring": lambda s, d: trigram.substring_search(
             s, _t(s, d, "documents"), trigram.NEEDLE_MAIN
         ),

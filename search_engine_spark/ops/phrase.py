@@ -122,11 +122,15 @@ def phrase_topk(
 
 
 def near_pair_counts(
-    docs: DataFrame, a: str, b: str, window: int = NEAR_WINDOW
+    docs: DataFrame, a: str, b: str, window: int = NEAR_WINDOW,
+    ordered: bool = False,
 ) -> DataFrame:
-    """Unordered proximity: per doc, the number of position pairs
+    """Proximity pair counts: per doc, the number of position pairs
     (pa, pb) of two DISTINCT terms with |pa − pb| ≤ window — the
-    Lucene SpanNearQuery (unordered) counting shape.
+    Lucene SpanNearQuery counting shape. ``ordered=True`` keeps only
+    pairs with a strictly BEFORE b (0 < pb − pa ≤ window, Lucene
+    inOrder); the banded join is unchanged — the 3-bucket replication
+    already covers the one-sided window, only the pair filter narrows.
 
     Scale shape — banded range join, never a per-doc cross join: band
     positions into width-`window` buckets; a's rows replicate into
@@ -154,9 +158,14 @@ def near_pair_counts(
         F.col("pos").alias("pb"),
         F.floor(F.col("pos") / window).alias("bucket"),
     )
+    prox = (
+        ((F.col("pb") - F.col("pa")) > 0) & ((F.col("pb") - F.col("pa")) <= window)
+        if ordered
+        else F.abs(F.col("pa") - F.col("pb")) <= window
+    )
     return (
         pa.join(pb, ["doc_id", "bucket"])
-        .where(F.abs(F.col("pa") - F.col("pb")) <= window)
+        .where(prox)
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("pf"))
     )
@@ -164,11 +173,11 @@ def near_pair_counts(
 
 def near_topk(
     spark: SparkSession, docs: DataFrame, a: str, b: str,
-    window: int = NEAR_WINDOW, k: int = TOPK,
+    window: int = NEAR_WINDOW, k: int = TOPK, ordered: bool = False,
 ) -> DataFrame:
     """Proximity BM25 top-k: NEAR(a, b, window) scores as one virtual
-    term with tf = pair count."""
-    return _virtual_term_topk(docs, near_pair_counts(docs, a, b, window), k)
+    term with tf = pair count; ``ordered`` = a-before-b only."""
+    return _virtual_term_topk(docs, near_pair_counts(docs, a, b, window, ordered), k)
 
 
 # --------------------------------------------------------------- oracle SQL
@@ -212,13 +221,16 @@ LIMIT {k}
 """
 
 
-def _near_topk_sql(a: str, b: str, w: int = NEAR_WINDOW, k: int = TOPK) -> str:
+def _near_topk_sql(a: str, b: str, w: int = NEAR_WINDOW, k: int = TOPK,
+                   ordered: bool = False) -> str:
     """Closed-form per-doc pair count (every a-position × b-positions
-    inside the window) — independent of the banded-join plan."""
+    inside the window; ordered keeps only q > p) — independent of the
+    banded-join plan."""
+    lo = "p + 1" if ordered else f"greatest(1, p - {w})"
     pf = (
         f"list_sum(list_transform(range(1, len(toks) + 1), p -> "
         f"CASE WHEN toks[p] = '{a}' THEN "
-        f"len(list_filter(range(greatest(1, p - {w}), "
+        f"len(list_filter(range({lo}, "
         f"least(len(toks), p + {w}) + 1), q -> toks[q] = '{b}')) "
         f"ELSE 0 END))"
     )
@@ -247,6 +259,7 @@ LIMIT {k}
 
 ORACLE_SQL = {
     "search_near_topk": _near_topk_sql(*NEAR_PAIR),
+    "search_near_ordered_topk": _near_topk_sql(*NEAR_PAIR, ordered=True),
     "search_phrase_positions": f"""
 WITH d AS (SELECT doc_id, {_T} AS toks FROM documents)
 SELECT doc_id,

@@ -104,3 +104,29 @@ def test_near_requires_distinct_terms(spark):
     df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         near_pair_counts(df, "a", "a")
+
+
+def test_near_ordered_counts_exact(spark):
+    from search_engine_spark.ops.phrase import near_pair_counts
+
+    w = 3
+    docs = [
+        (1, "a x b"),        # a before b -> counted
+        (2, "b x a"),        # b before a -> ordered drops it
+        (3, "a b a b"),      # mixed: ordered pairs (0,1),(0,3),(2,3)
+        (4, "a x x x x b"),  # gap > w
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["pf"]
+           for r in near_pair_counts(df, "a", "b", w, ordered=True).collect()}
+
+    def brute(text):
+        toks = text.split()
+        return sum(
+            1
+            for i, t in enumerate(toks) if t == "a"
+            for j, u in enumerate(toks) if u == "b" and 0 < j - i <= w
+        )
+
+    want = {i: brute(t) for i, t in docs if brute(t) > 0}
+    assert got == want and got[1] == 1 and 2 not in got and got[3] == 3
