@@ -9,7 +9,7 @@ Usage:
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
-    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [flags]
+    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --near=W [--ordered]]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
@@ -38,6 +38,8 @@ Query flags (reference-parity surface):
     --total         also print the total-hits count (GetTotalPages)
     --phrase        exact-phrase retrieval (needs an index built with
                     store_positions; build flag: --positions)
+    --near=W        proximity NEAR(a, b, W) over the first two query
+                    words (positional index); --ordered = a before b
 """
 
 from __future__ import annotations
@@ -96,12 +98,21 @@ def _extend(corpus_path: str, index_dir: str) -> None:
 
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
            page: int = 0, mode: str = "bm25", total: bool = False,
-           phrase: bool = False) -> None:
+           phrase: bool = False, near: int = 0, ordered: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
+    if near:
+        a, b = query.split()[:2]
+        rows = eng.near(a, b, window=near, k=k, ordered=ordered).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (near x{r['pf']}, "
+                  f"doc {r['doc_id']})")
+        return
     if phrase:
         rows = eng.phrase(query, k=k).collect()
         if not rows:
@@ -210,7 +221,10 @@ def main(argv: list[str]) -> int:
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
         _query(args[2], args[3], int(args[4]) if len(args) > 4 else 10,
                spell="--spell" in flags, page=page, mode=mode,
-               total="--total" in flags, phrase="--phrase" in flags)
+               total="--total" in flags, phrase="--phrase" in flags,
+               near=next((int(f.split("=", 1)[1]) for f in flags
+                          if f.startswith("--near=")), 0),
+               ordered="--ordered" in flags)
     else:
         print(__doc__)
         return 2

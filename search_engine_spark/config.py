@@ -73,8 +73,11 @@ class EngineConfig:
     # already driver-known from the idf lookup) is below this — decoding
     # everything in one narrow vectorized pass beats the WAND fan-out's
     # extra exchange + per-salt Python groups until decode cost
-    # dominates (measured crossover ~10^6 postings on local[32]; at
-    # 100 TB any real query is far past it and routes to WAND)
+    # dominates. Two-point measurement (tools/bench_wand.py, rank-
+    # identical both ways): 120k docs / Σdf≈0.4M → exhaustive wins
+    # (WAND 0.82× as fast); 1M docs / Σdf≈3.5M → WAND wins (1.24× p50,
+    # up to 2.5×). Crossover sits right at this default; at 100 TB any
+    # real query is far past it and routes to WAND.
     wand_min_postings: int = 1_000_000
     # cap on concurrent Python-worker tasks for grouped pandas stages
     # (block encode). On hosts where kernel memcg accounting throttles

@@ -142,6 +142,17 @@ def near_pair_counts(
     if a == b:
         raise ValueError("near_pair_counts requires two distinct terms")
     pp = positional_postings(docs).where(F.col("term").isin([a, b]))
+    return pair_counts_from_positions(pp, a, b, window, ordered)
+
+
+def pair_counts_from_positions(
+    pp: DataFrame, a: str, b: str, window: int = NEAR_WINDOW,
+    ordered: bool = False,
+) -> DataFrame:
+    """Banded-range-join pair count over a (doc_id, pos, term) relation
+    — the shared core of the SQL-checkable flavor above and the
+    persisted-positional-index path (plans/query.py::QueryEngine.near),
+    mirroring how occurrences_from_positions is shared for phrases."""
     pa = pp.where(F.col("term") == a).select(
         "doc_id",
         F.col("pos").alias("pa"),

@@ -443,6 +443,11 @@ class QueryEngine:
             .agg(F.count("*").cast("int").alias("pf"))
         )
         dl = pp.select("doc_id", "dl").distinct()
+        return self._rank_virtual_term(pf, dl, k)
+
+    def _rank_virtual_term(self, pf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
+        """Score a (doc_id, pf) virtual-term relation with BM25 (df =
+        matching docs) and rank — shared by ``phrase`` and ``near``."""
         n = float(self.stats["n_docs"])
         avgdl = float(self.stats["avgdl"])
         k1, b = self.stats["k1"], self.stats["b"]
@@ -459,6 +464,38 @@ class QueryEngine:
             .limit(k)
             .select("doc_id", "pf", "score", "path", *self._meta_cols)
         )
+
+    def near(self, a: str, b: str, window: int = 4, k: int = 10,
+             ordered: bool = False) -> DataFrame:
+        """Proximity search NEAR(a, b, window) over the persisted
+        positional index (requires ``store_positions=True``):
+        tf = in-window pair count via the same banded range join as the
+        SQL-checkable flavor (ops/phrase.py::pair_counts_from_positions),
+        scored as one virtual term like ``phrase``. ``ordered`` keeps
+        only a-before-b pairs (Lucene SpanNearQuery inOrder)."""
+        from search_engine_spark.ops.phrase import pair_counts_from_positions
+
+        a, b = a.lower(), b.lower()
+        out_schema = ("doc_id long, pf int, score double, path string"
+                      + "".join(f", {c} string" for c in self._meta_cols))
+        if a == b or not a or not b:
+            raise ValueError("near() requires two distinct non-empty terms")
+        try:
+            positions = self.spark.read.parquet(f"{self.index_dir}/positions")
+        except Exception as e:  # noqa: BLE001 - missing sidecar
+            raise ValueError(
+                "no positional index — build with "
+                "EngineConfig(store_positions=True)"
+            ) from e
+        hit = positions.where(F.col("term").isin([a, b]))
+        pp = hit.select(
+            "doc_id", "dl", "term", F.explode("positions").alias("pos")
+        )
+        pf = pair_counts_from_positions(
+            pp.select("doc_id", "pos", "term"), a, b, window, ordered
+        )
+        dl = pp.select("doc_id", "dl").distinct()
+        return self._rank_virtual_term(pf, dl, k)
 
     def substring(self, needle: str, corpus_path: str, k: int = 10) -> DataFrame:
         """Substring search across token boundaries over the persisted

@@ -102,3 +102,30 @@ def test_phrase_empty_query(spark, pos_index):
     ix, _ = pos_index
     eng = QueryEngine(spark, ix)
     assert eng.phrase("123 ,,, ':::'").collect() == []
+
+
+def test_engine_near_matches_ops_flavor(spark, pos_index):
+    """QueryEngine.near over the positional sidecar == the
+    SQL-checkable banded-join flavor on the same corpus, both modes."""
+    from search_engine_spark.ops.phrase import near_pair_counts
+
+    ix, corpus = pos_index
+    eng = QueryEngine(spark, ix, cfg=EngineConfig(store_positions=True))
+    docs = with_identity(corpus).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    for ordered in (False, True):
+        got = {r["doc_id"]: r["pf"]
+               for r in eng.near("merge", "sort", window=4, k=100000,
+                                 ordered=ordered).collect()}
+        want = {r["doc_id"]: r["pf"]
+                for r in near_pair_counts(docs, "merge", "sort", 4,
+                                          ordered=ordered).collect()}
+        assert got == want and got
+
+
+def test_engine_near_validates_terms(spark, pos_index):
+    ix, _ = pos_index
+    eng = QueryEngine(spark, ix)
+    with pytest.raises(ValueError):
+        eng.near("merge", "merge")
