@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings")
         ),
+        "sim_ivfpq_recall": lambda s, d: similarity.ivfpq_recall(
+            _t(s, d, "embeddings")
+        ),
         # --- relational / event-time coverage ---
         "rel_pricing_summary": lambda s, d: relational.pricing_summary(
             _t(s, d, "lineitem")

@@ -142,6 +142,27 @@ def ann_lsh_topk(
     )
 
 
+def ivfpq_recall(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Recall@k of the composed IVF-PQ path vs the exact brute-force
+    baseline — the quality ledger for the PRODUCTION ANN layout (the
+    LSH flavor below has its own). Losses decompose into the nprobe=1
+    coarse miss (true neighbor lives in an unprobed cluster) and PQ
+    quantization error; the ledger measures their combined effect."""
+    exact = cosine_topk(emb, k, n_queries).select("query_id", "vec_id")
+    ann = ivfpq_topk(emb, k, n_queries).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.col("n_exact").cast("long").alias("k_exact"),
+    )
+
+
 def ann_recall(
     emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
 ) -> DataFrame:
@@ -851,6 +872,21 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOPK}
 """,
 }
+
+ORACLE_SQL["sim_ivfpq_recall"] = f"""
+WITH exact AS ({ORACLE_SQL['sim_cosine_topk']}),
+ann AS ({ORACLE_SQL['sim_ivfpq_topk']}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT p.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_exact AS BIGINT) AS k_exact
+FROM per_q p LEFT JOIN hits h USING (query_id)
+"""
 
 ORACLE_SQL["sim_ann_recall"] = f"""
 WITH exact AS ({ORACLE_SQL['sim_cosine_topk']}),
