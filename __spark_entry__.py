@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
+        "dedup_survivors_quality": lambda s, d: dedup.dedup_survivors_by_quality(
+            _t(s, d, "documents")
+        ),
         "dedup_embedding_pairs": lambda s, d: similarity.embedding_dup_pairs(
             _t(s, d, "embeddings")
         ),

@@ -303,6 +303,31 @@ def near_dup_edges(docs: DataFrame) -> DataFrame:
     return exact_e.union(near_e)
 
 
+def dedup_survivors_by_quality(docs: DataFrame) -> DataFrame:
+    """One survivor per duplicate cluster, chosen by QUALITY instead of
+    min doc_id → (doc_id, cluster_id, quality_e6). The production
+    survivor rule for training data: when near-dups differ (boilerplate
+    variants, truncations), keep the best-scoring copy, not the
+    accidental id-order winner. Composes :func:`dedup_clusters` with
+    ``textstats.quality_score`` — one extra broadcast-scale join and a
+    per-cluster window; ties break on doc_id asc so the pick is total."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.ops.textstats import quality_score
+
+    cl = dedup_clusters(docs)
+    q = quality_score(docs).select("doc_id", "quality_e6")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_e6"), F.asc("doc_id")
+    )
+    return (
+        cl.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "cluster_id", "quality_e6")
+    )
+
+
 def dedup_clusters(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for EVERY doc — transitive closure of the
     exact+near duplicate relation via
@@ -390,6 +415,27 @@ sh AS (
 
 
 _SHINGLES = _shingles_sql("documents")
+
+def _survivors_quality_sql() -> str:
+    """Composes the recursive-closure clusters oracle with the
+    textstats quality oracle (imported lazily to avoid a cycle)."""
+    from search_engine_spark.ops.textstats import ORACLE_SQL as TS
+
+    return f"""
+WITH cl AS ({ORACLE_SQL['dedup_clusters']}),
+q AS ({TS['text_quality_score']}),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, q.quality_e6
+  FROM cl JOIN q USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_e6 DESC, doc_id ASC) AS rk
+  FROM j
+)
+SELECT doc_id, cluster_id, quality_e6 FROM r WHERE rk = 1
+"""
+
 
 ORACLE_SQL = {
     "dedup_exact": """
@@ -481,3 +527,6 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """,
 }
+
+
+ORACLE_SQL["dedup_survivors_quality"] = _survivors_quality_sql()

@@ -38,3 +38,24 @@ def test_no_eval_docs_no_flags(spark):
     )
     # no doc_id % 31 == 0 -> empty eval set -> nothing contaminated
     assert contaminated_docs(docs, n=8).collect() == []
+
+
+def test_dedup_survivor_picks_quality_over_id(spark):
+    """Quality-aware survivor selection: the cleaner near-dup wins even
+    with the LARGER doc_id (min-id would pick the noisy copy)."""
+    from search_engine_spark.ops.dedup import dedup_survivors_by_quality
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    noisy = base + "!!! ??? !!! ??? !!! ??? !!! ??? !!! ???"  # punct-degraded
+    docs = spark.createDataFrame(
+        [
+            (1, noisy),   # lower id, same token set, worse quality
+            (2, base),    # should survive
+            (3, "totally unrelated content words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_survivors_by_quality(docs).collect()}
+    assert set(rows) == {2, 3}      # doc 2 survives its cluster, not doc 1
+    assert rows[2] == 1             # cluster id stays the min-id label
