@@ -203,11 +203,14 @@ def _scaling_evidence() -> dict:
     # inflates the memory-bound encode stage specifically).
     best_measured = {
         "note": "best committed run, BASELINE.md 'Measured (round 2)' "
-                "quiet interval (host spin ceiling 1.005), 1M docs",
-        "local4_secs": 333.5, "local16_secs": 107.0,
-        "whole_build_efficiency": 0.779,
-        "postings_stage_efficiency": 0.853,
-        "host_ceiling_efficiency": 1.005,
+                "near-quiet interval (host spin ceiling 0.974), 1M docs, "
+                "interleaved repeats=2",
+        "local4_secs": 394.2, "local16_secs": 125.3,
+        "whole_build_efficiency": 0.787,
+        "postings_stage_efficiency": 0.854,
+        "host_ceiling_efficiency": 0.974,
+        "vs_ceiling_whole_build": 0.808,
+        "vs_ceiling_postings": 0.877,
         "criterion": ">=0.8",
     }
 
