@@ -18,11 +18,17 @@ import numpy as np
 _POW7 = [1 << (7 * k) for k in range(1, 10)]
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints (< 2^63) to VByte bytes."""
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a 1-D array of non-negative ints (< 2^63) to VByte bytes,
+    returning ``(buf, per_value_byte_lengths)``.
+
+    The lengths array lets a caller encode MANY runs in one vectorized
+    call and slice out each run's byte range afterwards (the batch block
+    encoder does exactly this — one encode per Arrow batch instead of
+    one per posting-list block)."""
     arr = np.asarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return b"", np.array([], dtype=np.int64)
     if arr.ndim != 1:
         raise ValueError("vbyte_encode expects a 1-D array")
     nb = np.ones(arr.size, dtype=np.int64)
@@ -39,7 +45,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         vals = (arr[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = ((nb[sel] - 1) > k).astype(np.uint8) << np.uint8(7)
         out[pos] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints (< 2^63) to VByte bytes."""
+    return vbyte_encode_with_lengths(values)[0]
 
 
 def vbyte_decode(buf: bytes) -> np.ndarray:

@@ -52,6 +52,7 @@ from search_engine_spark.functions.vbyte import (
     encode_doc_gaps,
     vbyte_decode,
     vbyte_encode,
+    vbyte_encode_with_lengths,
 )
 
 BLOCKS_SCHEMA = (
@@ -110,6 +111,110 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _encode_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Vectorized many-groups encoder: a chunk of postings rows sorted by
+    (term, salt, doc_id) and covering only COMPLETE (term, salt) groups
+    → block rows, with ONE VByte call per column for the whole chunk.
+
+    Produces byte-identical blocks to ``_encode_group`` (same sort, same
+    block splits, same codecs) — property-tested in
+    tests/test_compressed_index.py. The win over per-group
+    ``applyInPandas`` is purely mechanical: group count ≈ vocabulary, so
+    per-group Python/pandas overhead dominates the grouped path on Zipf
+    vocabularies, while here the per-chunk cost is O(rows) NumPy plus a
+    byte-slice loop over blocks (rows / block_size, ~1% of rows).
+    """
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=d) for k, d in _EMPTY_BLOCK_DTYPES}
+        )
+    term = pdf["term"].to_numpy(dtype=object)
+    salt = pdf["salt"].to_numpy(dtype=np.int32)
+    bucket = pdf["bucket"].to_numpy(dtype=np.int32)
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    dl = pdf["dl"].to_numpy(dtype=np.int64)
+
+    # group starts: (term, salt) change points (rows pre-sorted)
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    if n > 1:
+        start[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    gstarts = np.flatnonzero(start)
+    gidx = np.cumsum(start) - 1  # group index per row
+    roff = np.arange(n, dtype=np.int64) - gstarts[gidx]  # offset in group
+
+    # block boundaries: every block_size-th row of each group. Group
+    # starts are always block starts, so consecutive bstarts delimit
+    # blocks globally (no group spans a gap between bstarts).
+    bmask = (roff % block_size) == 0
+    bstarts = np.flatnonzero(bmask)
+    bends = np.append(bstarts[1:], n)
+    nper = (bends - bstarts).astype(np.int32)
+    block_id = (roff[bstarts] // block_size).astype(np.int32)
+
+    # delta gaps in bias-shifted unsigned space; one VByte pass for all
+    # blocks' gaps, then slice per block by cumulative byte offsets
+    biased = doc.astype(np.uint64) + np.uint64(1 << 63)
+    is_gap = ~bmask  # row carries gap (biased[i] - biased[i-1])
+    gap_vals = (biased[1:] - biased[:-1])[is_gap[1:]]
+    gaps_per_block = nper.astype(np.int64) - 1
+    gap_off = np.zeros(len(bstarts) + 1, dtype=np.int64)
+    np.cumsum(gaps_per_block, out=gap_off[1:])
+    gap_buf, gap_nb = vbyte_encode_with_lengths(gap_vals)
+    gap_boff = np.zeros(gap_vals.size + 1, dtype=np.int64)
+    np.cumsum(gap_nb, out=gap_boff[1:])
+
+    tf_buf, tf_nb = vbyte_encode_with_lengths(tf.astype(np.uint64))
+    tf_boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_nb, out=tf_boff[1:])
+    dl_buf, dl_nb = vbyte_encode_with_lengths(dl.astype(np.uint64))
+    dl_boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_nb, out=dl_boff[1:])
+
+    gap_mv, tf_mv, dl_mv = (
+        memoryview(gap_buf), memoryview(tf_buf), memoryview(dl_buf)
+    )
+    doc_gaps = [
+        bytes(gap_mv[gap_boff[gap_off[i]]:gap_boff[gap_off[i + 1]]])
+        for i in range(len(bstarts))
+    ]
+    tfs = [
+        bytes(tf_mv[tf_boff[s]:tf_boff[e]])
+        for s, e in zip(bstarts, bends)
+    ]
+    dls = [
+        bytes(dl_mv[dl_boff[s]:dl_boff[e]])
+        for s, e in zip(bstarts, bends)
+    ]
+
+    return pd.DataFrame(
+        {
+            "bucket": bucket[bstarts],
+            "term": term[bstarts],
+            "salt": salt[bstarts],
+            "block_id": block_id,
+            "n": nper,
+            "first_doc": doc[bstarts],
+            "last_doc": doc[bends - 1],
+            "doc_gaps": doc_gaps,
+            "tfs": tfs,
+            "dls": dls,
+            "max_tf": np.maximum.reduceat(tf, bstarts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int32),
+        }
+    )
+
+
+_EMPTY_BLOCK_DTYPES = [
+    ("bucket", "int32"), ("term", "object"), ("salt", "int32"),
+    ("block_id", "int32"), ("n", "int32"), ("first_doc", "int64"),
+    ("last_doc", "int64"), ("doc_gaps", "object"), ("tfs", "object"),
+    ("dls", "object"), ("max_tf", "int32"), ("min_dl", "int32"),
+]
+
+
 def block_max_partial(max_tf, min_dl, avgdl: float,
                       k1: float = BM25_K1, b: float = BM25_B):
     """Per-block BM25 term-partial upper bound from the stored
@@ -166,24 +271,76 @@ def encode_blocks(postings: DataFrame,
         "bucket", bucket_col(F.col("term"), cfg.term_buckets)
     )
 
-    # pre-partition on exactly the grouping keys: applyInPandas needs a
-    # ClusteredDistribution on them, so this single exchange doubles as
-    # (a) the salted repartition-by-term and (b) an explicit cap on how
-    # many Python workers run concurrently (cfg.python_parallelism).
-    if cfg.python_parallelism:
-        with_keys = with_keys.repartition(
-            cfg.python_parallelism, "bucket", "term", "salt"
+    if cfg.encode_kernel == "grouped":
+        # pre-partition on exactly the grouping keys: applyInPandas
+        # needs a ClusteredDistribution on them, so this single exchange
+        # doubles as (a) the salted repartition-by-term and (b) an
+        # explicit cap on concurrent Python workers.
+        if cfg.python_parallelism:
+            with_keys = with_keys.repartition(
+                cfg.python_parallelism, "bucket", "term", "salt"
+            )
+
+        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+            from search_engine_spark.functions.runtime import disable_thp
+
+            disable_thp()
+            return _encode_group(pdf, bs)
+
+        return with_keys.groupBy("bucket", "term", "salt").applyInPandas(
+            encode, schema=BLOCKS_SCHEMA
         )
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    # "batch" kernel: hash-exchange on (term, salt) — the SAME salted
+    # repartition-by-term, a group never splits across partitions —
+    # then sort within partitions so groups are contiguous AND doc_id-
+    # sorted, and stream Arrow batches through the vectorized many-
+    # groups encoder. A (term, salt) group that spans Arrow batches is
+    # carried forward until its end is seen, so memory is bounded by
+    # the largest single group (≤ df / 2^salt_bits postings for salted
+    # terms, < rare-threshold for unsalted ones), not the partition.
+    # unlike the grouped path, no python_parallelism cap: the streaming
+    # kernel touches each page once (no per-group fault storms), so one
+    # partition per shuffle slot is the right width at every core count
+    n_parts = int(
+        with_keys.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        )
+    )
+    sorted_parts = with_keys.repartition(
+        n_parts, "term", "salt"
+    ).sortWithinPartitions("term", "salt", "doc_id")
+
+    def encode_stream(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         from search_engine_spark.functions.runtime import disable_thp
 
         disable_thp()
-        return _encode_group(pdf, bs)
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                pending = None
+                continue
+            term = pdf["term"].to_numpy(dtype=object)
+            salt = pdf["salt"].to_numpy()
+            # start index of the LAST group in this chunk — that group
+            # may continue into the next Arrow batch, so hold it back
+            change = np.flatnonzero(
+                (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+            )
+            last_start = int(change[-1]) + 1 if change.size else 0
+            if last_start == 0:
+                pending = pdf  # single (possibly still open) group
+                continue
+            yield _encode_runs(pdf.iloc[:last_start], bs)
+            pending = pdf.iloc[last_start:]
+        if pending is not None and len(pending):
+            yield _encode_runs(pending, bs)
 
-    return with_keys.groupBy("bucket", "term", "salt").applyInPandas(
-        encode, schema=BLOCKS_SCHEMA
-    )
+    return sorted_parts.mapInPandas(encode_stream, schema=BLOCKS_SCHEMA)
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:

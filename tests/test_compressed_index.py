@@ -279,3 +279,69 @@ def test_huge_k_does_not_allocate_huge_heaps(engine, fixture_queries):
     assert [r["doc_id"] for r in big[:10]] == [r["doc_id"] for r in small]
     plan = engine.bm25(q, k=10**9, wand=False)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_batch_encoder_identical_to_grouped(spark):
+    """The vectorized mapInPandas encoder must produce byte-identical
+    block rows to the per-group applyInPandas spec kernel — same blocks,
+    same delta+VByte bytes, same (max_tf, min_dl) metadata — on a
+    synthetic corpus with hot salted terms (groups spanning many blocks
+    AND many Arrow batches), rare unsalted terms (salt = -1), and
+    singleton posting lists."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.compress import encode_blocks
+
+    rng = random.Random(7)
+    rows = []
+    # hot term: 5000 postings (spans Arrow batches at the shrunken size)
+    for i in range(5000):
+        rows.append((rng.getrandbits(63) - (1 << 62), "hot", 1 + i % 7, 40))
+    # mid terms
+    for t in range(20):
+        for i in range(rng.randint(2, 300)):
+            rows.append(
+                (rng.getrandbits(63) - (1 << 62), f"mid{t}", 1 + i % 5, 30)
+            )
+    # rare terms incl. singletons
+    for t in range(50):
+        for i in range(rng.randint(1, 3)):
+            rows.append((rng.getrandbits(63) - (1 << 62), f"rare{t}", 1, 10))
+    postings = spark.createDataFrame(
+        rows, "doc_id long, term string, tf int, dl int"
+    )
+    term_df = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        cfg_b = EngineConfig(encode_kernel="batch", rare_salt_df_threshold=64)
+        cfg_g = EngineConfig(encode_kernel="grouped", rare_salt_df_threshold=64)
+        key = ["bucket", "term", "salt", "block_id"]
+        got = {
+            tuple(r[k] for k in key): r.asDict()
+            for r in encode_blocks(postings, cfg_b, term_df=term_df).collect()
+        }
+        want = {
+            tuple(r[k] for k in key): r.asDict()
+            for r in encode_blocks(postings, cfg_g, term_df=term_df).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g == w, f"block mismatch at {k}: {g} vs {w}"
+    # sanity: the hot term actually fanned out salted and multi-block,
+    # and rare terms actually packed unsalted
+    assert any(k[1] == "hot" and k[2] >= 0 and k[3] > 0 for k in got)
+    assert any(k[1].startswith("rare") and k[2] == -1 for k in got)
