@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import decontam, dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, subtoken, textstats, trigram
+from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, subtoken, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters_cms": lambda s, d: sketch.heavy_hitters_cms(
             _t(s, d, "documents")
         ),
+        "text_distinct_hll": lambda s, d: cardinality.distinct_tokens_hll(
+            _t(s, d, "documents")
+        ),
         # --- deterministic sampling (training-data curation) ---
         "samp_bernoulli": lambda s, d: sampling.bernoulli_sample(
             _t(s, d, "documents")
@@ -332,6 +335,7 @@ WHERE lang IN ('en', 'es')
     out.update(subtoken.ORACLE_SQL)
     out.update(decontam.ORACLE_SQL)
     out.update(sketch.ORACLE_SQL)
+    out.update(cardinality.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
