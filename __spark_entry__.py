@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, subtoken, textstats, trigram
+from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, packing, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, subtoken, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -216,6 +216,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinct_hll": lambda s, d: cardinality.distinct_tokens_hll(
             _t(s, d, "documents")
         ),
+        # --- training-sequence packing (concat-and-chunk) ---
+        "pack_sequences": lambda s, d: packing.pack_sequences(
+            _t(s, d, "documents")
+        ),
+        "pack_occupancy": lambda s, d: packing.sequence_occupancy(
+            _t(s, d, "documents")
+        ),
         # --- deterministic sampling (training-data curation) ---
         "samp_bernoulli": lambda s, d: sampling.bernoulli_sample(
             _t(s, d, "documents")
@@ -336,6 +343,7 @@ WHERE lang IN ('en', 'es')
     out.update(decontam.ORACLE_SQL)
     out.update(sketch.ORACLE_SQL)
     out.update(cardinality.ORACLE_SQL)
+    out.update(packing.ORACLE_SQL)
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
