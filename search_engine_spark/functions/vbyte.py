@@ -96,8 +96,176 @@ def delta_decode(first: int, gaps: np.ndarray) -> np.ndarray:
     return (out - np.uint64(1 << 63)).view(np.int64).astype(np.int64)
 
 
-def encode_doc_gaps(sorted_doc_ids: np.ndarray) -> tuple[int, bytes]:
-    """Delta+VByte a sorted doc_id run → (first_doc, gap_bytes).
+# --------------------------------------------------------- framed dual codec
+#
+# A 1-byte frame header in front of each encoded run lets VByte and
+# fixed-width bit-packing coexist per value run (per block, per column)
+# with no schema change and no segment-wide codec flag: header 0x00 =
+# VByte payload, 0x01..0x40 = bit-packed payload of that width. "auto"
+# picks whichever is smaller for the run — Zipf tf runs (tiny ints)
+# pack to 1-3 bits, random-hash doc gaps pack to ~(64 - log2 df) bits,
+# and VByte keeps winning only when the value distribution is very
+# skewed inside one run (one huge outlier forces the packed width up,
+# cf. the patched exceptions of PForDelta — Zukowski et al., ICDE 2006;
+# Lemire & Boytsov, SPE 2015. We deliberately skip exception patching:
+# the auto pick already falls back to VByte exactly where exceptions
+# would pay).
+
+_VBYTE_FRAME = 0x00
+
+
+def _bit_width(values: np.ndarray) -> int:
+    """Max bit length over a non-empty uint64 array (≥1)."""
+    m = int(values.max())
+    return max(m.bit_length(), 1)
+
+
+def packed_encode(values: np.ndarray, width: int | None = None) -> bytes:
+    """Bit-pack a uint64 array at a fixed width (default: minimal),
+    framed with the width header byte. Little-endian bit order."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    w = width or _bit_width(arr)
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    payload = np.packbits(bits.ravel(), bitorder="little")
+    return bytes([w]) + payload.tobytes()
+
+
+def _packed_decode_payload(buf: np.ndarray, w: int, n: int) -> np.ndarray:
+    bits = np.unpackbits(buf, bitorder="little", count=n * w)
+    shifts = np.arange(w, dtype=np.uint64)
+    return (bits.reshape(n, w).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def encode_ints(values: np.ndarray, codec: str = "auto") -> bytes:
+    """Encode a uint64 run as a framed byte string.
+
+    codec: "vbyte" | "packed" | "auto" (pick the smaller of the two —
+    the sizes are computed analytically, nothing is encoded twice).
+    """
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    if codec == "packed":
+        return packed_encode(arr)
+    if codec == "vbyte":
+        return bytes([_VBYTE_FRAME]) + vbyte_encode(arr)
+    nb = np.ones(arr.size, dtype=np.int64)
+    for p in _POW7:
+        nb += arr >= np.uint64(p)
+    vb_size = int(nb.sum())
+    w = _bit_width(arr)
+    packed_size = (arr.size * w + 7) // 8
+    if packed_size < vb_size:
+        return packed_encode(arr, w)
+    return bytes([_VBYTE_FRAME]) + vbyte_encode(arr)
+
+
+def decode_ints(buf: bytes, n: int) -> np.ndarray:
+    """Decode a framed run back to uint64; ``n`` = expected count."""
+    if len(buf) == 0:
+        return np.array([], dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[0])
+    if w == _VBYTE_FRAME:
+        out = vbyte_decode(b[1:].tobytes())
+    else:
+        out = _packed_decode_payload(b[1:], w, n)
+    if out.size != n:
+        raise ValueError(f"corrupt run: expected {n} values, got {out.size}")
+    return out
+
+
+def encode_runs_framed(values: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, codec: str = "auto") -> list[bytes]:
+    """Encode MANY value runs (``values[starts[i]:ends[i]]``) to framed
+    byte strings in vectorized passes — the many-groups twin of
+    :func:`encode_ints`, guaranteed to produce byte-identical output
+    run-for-run (the per-run codec pick uses the same analytic rule).
+
+    VByte payloads come from ONE whole-array VByte pass sliced per run;
+    packed payloads are built per *width class* (one bit-matrix +
+    packbits call per distinct width, runs padded to byte boundaries so
+    slices stay aligned). Python-level work is O(runs) slicing only.
+    """
+    arr = np.asarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_runs = starts.size
+    out: list[bytes] = [b""] * n_runs
+    lens = ends - starts
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size == 0:
+        return out
+
+    # per-run VByte size (exact, nothing encoded yet)
+    nb = np.ones(arr.size, dtype=np.int64)
+    for p in _POW7:
+        nb += arr >= np.uint64(p)
+    cum_nb = np.zeros(arr.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum_nb[1:])
+    vb_size = cum_nb[ends] - cum_nb[starts]
+
+    # per-run width → packed size (+1 header byte on both sides cancels)
+    widths = np.zeros(n_runs, dtype=np.int64)
+    run_max = np.maximum.reduceat(arr, starts[nonempty])
+    # exact bit length (no float log2 — must match encode_ints'
+    # int.bit_length rule bit-for-bit): 1 + #{k : max >= 2^k}
+    bl = np.ones(nonempty.size, dtype=np.int64)
+    for k in range(1, 64):
+        bl += run_max >= np.uint64(1 << k)
+    widths[nonempty] = bl
+    packed_size = (lens * widths + 7) // 8
+
+    if codec == "vbyte":
+        use_packed = np.zeros(n_runs, dtype=bool)
+    elif codec == "packed":
+        use_packed = lens > 0
+    else:
+        use_packed = (packed_size < vb_size) & (lens > 0)
+
+    vb_runs = np.flatnonzero(~use_packed & (lens > 0))
+    if vb_runs.size:
+        buf, _ = vbyte_encode_with_lengths(arr)
+        mv = memoryview(buf)
+        hdr = bytes([_VBYTE_FRAME])
+        for i in vb_runs:
+            out[i] = hdr + bytes(mv[cum_nb[starts[i]]:cum_nb[ends[i]]])
+
+    pk_runs = np.flatnonzero(use_packed)
+    for w in np.unique(widths[pk_runs]) if pk_runs.size else []:
+        w = int(w)
+        sel = pk_runs[widths[pk_runs] == w]
+        pb = (lens[sel] * w + 7) // 8  # padded bytes per run
+        byte_off = np.zeros(sel.size + 1, dtype=np.int64)
+        np.cumsum(pb, out=byte_off[1:])
+        idx = np.concatenate(
+            [np.arange(starts[i], ends[i]) for i in sel]
+        )
+        vals = arr[idx]
+        j = np.concatenate([np.arange(lens[i]) for i in sel])
+        base_bits = np.repeat(byte_off[:-1] * 8, lens[sel])
+        bitpos = base_bits + j * w
+        flat = np.zeros(int(byte_off[-1]) * 8, dtype=np.uint8)
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        positions = bitpos[:, None] + np.arange(w, dtype=np.int64)
+        flat[positions.ravel()] = bits.ravel()
+        packed = np.packbits(flat, bitorder="little")
+        pmv = memoryview(packed.tobytes())
+        hdr = bytes([w])
+        for k, i in enumerate(sel):
+            out[i] = hdr + bytes(pmv[byte_off[k]:byte_off[k + 1]])
+    return out
+
+
+def encode_doc_gaps(sorted_doc_ids: np.ndarray,
+                    codec: str = "auto") -> tuple[int, bytes]:
+    """Delta-encode a sorted doc_id run → (first_doc, framed gap_bytes).
 
     ``first_doc`` is the original SIGNED first doc_id, stored out-of-band
     (a BIGINT column — it doubles as the block's min for pruning); every
@@ -105,12 +273,12 @@ def encode_doc_gaps(sorted_doc_ids: np.ndarray) -> tuple[int, bytes]:
     """
     a = np.asarray(sorted_doc_ids, dtype=np.int64)
     _, gaps = delta_encode(a)
-    return int(a[0]), vbyte_encode(gaps)
+    return int(a[0]), encode_ints(gaps, codec)
 
 
 def decode_doc_gaps(first: int, gap_bytes: bytes, n: int) -> np.ndarray:
     """Inverse of encode_doc_gaps; ``n`` = number of doc_ids in the run."""
-    gaps = vbyte_decode(gap_bytes)
+    gaps = decode_ints(gap_bytes, max(n - 1, 0))
     if gaps.size != max(n - 1, 0):
         raise ValueError(f"corrupt block: expected {n - 1} gaps, got {gaps.size}")
     if n == 0:

@@ -49,10 +49,10 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import BM25_B, BM25_K1, EngineConfig
 from search_engine_spark.functions.vbyte import (
     decode_doc_gaps,
+    decode_ints,
     encode_doc_gaps,
-    vbyte_decode,
-    vbyte_encode,
-    vbyte_encode_with_lengths,
+    encode_ints,
+    encode_runs_framed,
 )
 
 BLOCKS_SCHEMA = (
@@ -79,7 +79,8 @@ def bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, block_size: int,
+                  codec: str = "auto") -> pd.DataFrame:
     """One (bucket, term, salt) group of postings → block rows."""
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -91,7 +92,7 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     out = []
     for bi, s in enumerate(range(0, len(doc), block_size)):
         e = min(s + block_size, len(doc))
-        first, gap_bytes = encode_doc_gaps(doc[s:e])
+        first, gap_bytes = encode_doc_gaps(doc[s:e], codec=codec)
         out.append(
             {
                 "bucket": bucket,
@@ -102,8 +103,8 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
                 "first_doc": int(doc[s]),
                 "last_doc": int(doc[e - 1]),
                 "doc_gaps": gap_bytes,
-                "tfs": vbyte_encode(tf[s:e].astype(np.uint64)),
-                "dls": vbyte_encode(dl[s:e].astype(np.uint64)),
+                "tfs": encode_ints(tf[s:e].astype(np.uint64), codec),
+                "dls": encode_ints(dl[s:e].astype(np.uint64), codec),
                 "max_tf": int(tf[s:e].max()),
                 "min_dl": int(dl[s:e].min()),
             }
@@ -111,7 +112,8 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def _encode_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _encode_runs(pdf: pd.DataFrame, block_size: int,
+                 codec: str = "auto") -> pd.DataFrame:
     """Vectorized many-groups encoder: a chunk of postings rows sorted by
     (term, salt, doc_id) and covering only COMPLETE (term, salt) groups
     → block rows, with ONE VByte call per column for the whole chunk.
@@ -162,32 +164,15 @@ def _encode_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     gaps_per_block = nper.astype(np.int64) - 1
     gap_off = np.zeros(len(bstarts) + 1, dtype=np.int64)
     np.cumsum(gaps_per_block, out=gap_off[1:])
-    gap_buf, gap_nb = vbyte_encode_with_lengths(gap_vals)
-    gap_boff = np.zeros(gap_vals.size + 1, dtype=np.int64)
-    np.cumsum(gap_nb, out=gap_boff[1:])
-
-    tf_buf, tf_nb = vbyte_encode_with_lengths(tf.astype(np.uint64))
-    tf_boff = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(tf_nb, out=tf_boff[1:])
-    dl_buf, dl_nb = vbyte_encode_with_lengths(dl.astype(np.uint64))
-    dl_boff = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(dl_nb, out=dl_boff[1:])
-
-    gap_mv, tf_mv, dl_mv = (
-        memoryview(gap_buf), memoryview(tf_buf), memoryview(dl_buf)
-    )
-    doc_gaps = [
-        bytes(gap_mv[gap_boff[gap_off[i]]:gap_boff[gap_off[i + 1]]])
-        for i in range(len(bstarts))
-    ]
-    tfs = [
-        bytes(tf_mv[tf_boff[s]:tf_boff[e]])
-        for s, e in zip(bstarts, bends)
-    ]
-    dls = [
-        bytes(dl_mv[dl_boff[s]:dl_boff[e]])
-        for s, e in zip(bstarts, bends)
-    ]
+    # framed dual-codec runs (VByte or bit-packed, per-run pick) — one
+    # vectorized many-runs pass per column, byte-identical to the
+    # grouped kernel's per-block encode_ints
+    doc_gaps = encode_runs_framed(gap_vals, gap_off[:-1], gap_off[1:],
+                                  codec=codec)
+    tfs = encode_runs_framed(tf.astype(np.uint64), bstarts, bends,
+                             codec=codec)
+    dls = encode_runs_framed(dl.astype(np.uint64), bstarts, bends,
+                             codec=codec)
 
     return pd.DataFrame(
         {
@@ -244,6 +229,7 @@ def encode_blocks(postings: DataFrame,
     """
     cfg = cfg or EngineConfig()
     bs = cfg.block_size
+    codec = cfg.codec
     thr = (
         cfg.block_size
         if cfg.rare_salt_df_threshold is None
@@ -285,7 +271,7 @@ def encode_blocks(postings: DataFrame,
             from search_engine_spark.functions.runtime import disable_thp
 
             disable_thp()
-            return _encode_group(pdf, bs)
+            return _encode_group(pdf, bs, codec=cfg.codec)
 
         return with_keys.groupBy("bucket", "term", "salt").applyInPandas(
             encode, schema=BLOCKS_SCHEMA
@@ -335,10 +321,10 @@ def encode_blocks(postings: DataFrame,
             if last_start == 0:
                 pending = pdf  # single (possibly still open) group
                 continue
-            yield _encode_runs(pdf.iloc[:last_start], bs)
+            yield _encode_runs(pdf.iloc[:last_start], bs, codec=codec)
             pending = pdf.iloc[last_start:]
         if pending is not None and len(pending):
-            yield _encode_runs(pending, bs)
+            yield _encode_runs(pending, bs, codec=codec)
 
     return sorted_parts.mapInPandas(encode_stream, schema=BLOCKS_SCHEMA)
 
@@ -348,8 +334,8 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     terms, docs, tfs, dls = [], [], [], []
     for r in pdf.itertuples(index=False):
         d = decode_doc_gaps(r.first_doc, bytes(r.doc_gaps), r.n)
-        t = vbyte_decode(bytes(r.tfs))
-        ln = vbyte_decode(bytes(r.dls))
+        t = decode_ints(bytes(r.tfs), r.n)
+        ln = decode_ints(bytes(r.dls), r.n)
         docs.append(d)
         tfs.append(t)
         dls.append(ln)

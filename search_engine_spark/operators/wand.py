@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from search_engine_spark.config import BM25_B, BM25_K1
-from search_engine_spark.functions.vbyte import decode_doc_gaps, vbyte_decode
+from search_engine_spark.functions.vbyte import decode_doc_gaps, decode_ints
 from search_engine_spark.operators.compress import block_max_partial
 
 _UB_SAFETY = 1.0 + 1e-9
@@ -106,8 +106,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             docs = decode_doc_gaps(
                 int(r["first_doc"]), bytes(r["doc_gaps"]), int(r["n"])
             )
-            tf = vbyte_decode(bytes(r["tfs"])).astype(np.float64)
-            dl = vbyte_decode(bytes(r["dls"])).astype(np.float64)
+            tf = decode_ints(bytes(r["tfs"]), r["n"]).astype(np.float64)
+            dl = decode_ints(bytes(r["dls"]), r["n"]).astype(np.float64)
             part = idfs[bi] * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )

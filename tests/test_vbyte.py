@@ -56,3 +56,58 @@ def test_delta_monotone_bias():
     first, gaps = delta_encode(a)
     assert (gaps >= 0).all()
     assert list(delta_decode(first, gaps)) == list(a)
+
+
+# ---------------------------------------------------- framed dual codec
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.vbyte import (
+    decode_ints,
+    encode_ints,
+    encode_runs_framed,
+    packed_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1),
+                max_size=300),
+       st.sampled_from(["auto", "vbyte", "packed"]))
+@settings(max_examples=60, deadline=None)
+def test_framed_roundtrip(vals, codec):
+    arr = np.array(vals, dtype=np.uint64)
+    buf = encode_ints(arr, codec)
+    assert list(decode_ints(buf, len(vals))) == vals
+    if vals and codec == "auto":
+        # auto is never larger than either explicit codec
+        assert len(buf) <= len(encode_ints(arr, "vbyte"))
+        assert len(buf) <= len(encode_ints(arr, "packed"))
+
+
+def test_packed_width_boundaries():
+    for w in (1, 7, 8, 9, 31, 32, 33, 63, 64):
+        vals = np.array([0, 1, (1 << w) - 1, (1 << (w - 1))],
+                        dtype=np.uint64)
+        buf = packed_encode(vals)
+        assert buf[0] == w
+        assert list(decode_ints(buf, 4)) == [int(v) for v in vals]
+
+
+@given(st.lists(st.lists(st.integers(min_value=0,
+                                     max_value=(1 << 63) - 1),
+                         max_size=40),
+                max_size=25),
+       st.sampled_from(["auto", "vbyte", "packed"]))
+@settings(max_examples=60, deadline=None)
+def test_runs_framed_identical_to_per_run(runs, codec):
+    """Many-runs vectorized encoder ≡ per-run encode_ints, byte for
+    byte — the invariant that keeps the grouped and batch block
+    kernels producing identical indexes."""
+    flat = np.array([v for r in runs for v in r], dtype=np.uint64)
+    lens = np.array([len(r) for r in runs], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    got = encode_runs_framed(flat, starts, ends, codec)
+    want = [encode_ints(np.array(r, dtype=np.uint64), codec) for r in runs]
+    assert got == want

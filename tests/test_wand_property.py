@@ -11,7 +11,7 @@ import pytest
 
 from search_engine_spark.config import BM25_B, BM25_K1
 from search_engine_spark.operators.wand import wand_topk_group
-from search_engine_spark.functions.vbyte import encode_doc_gaps, vbyte_encode
+from search_engine_spark.functions.vbyte import encode_doc_gaps, encode_ints
 
 
 def _blocks_from_postings(postings: dict[str, list[tuple[int, int, int]]],
@@ -29,8 +29,8 @@ def _blocks_from_postings(postings: dict[str, list[tuple[int, int, int]]],
                 {
                     "term": term, "block_id": bi, "n": len(chunk),
                     "first_doc": int(doc[0]), "last_doc": int(doc[-1]),
-                    "doc_gaps": gaps, "tfs": vbyte_encode(tf),
-                    "dls": vbyte_encode(dl),
+                    "doc_gaps": gaps, "tfs": encode_ints(tf),
+                    "dls": encode_ints(dl),
                     "max_tf": int(tf.max()), "min_dl": int(dl.min()),
                 }
             )
