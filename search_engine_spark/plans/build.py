@@ -567,6 +567,14 @@ def extend_index_df(
     delta = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
+    # Re-ingesting a tombstoned identity clears the tombstone (Lucene
+    # semantics: an add after a delete makes the doc visible again).
+    # doc_id = xxhash64(repo, path, commit), so the same identity IS the
+    # same content — when its rows still exist in an older generation,
+    # clearing the tombstone alone resurrects it (no re-encode); when
+    # they don't (never indexed, or compacted away), the doc indexes
+    # fresh below and a stale tombstone must not keep masking it.
+    resurrected = _clear_tombstones(spark, index_dir, delta)
     # upsert: skip docs already indexed by OLDER generations (the gen
     # currently being written is excluded so its own resume still sees
     # the delta rows)
@@ -592,12 +600,14 @@ def extend_index_df(
     wall = time.time() - t0
     metrics.emit("extend", {"secs": wall, "generation": generation,
                             "docs_added": rows_processed,
+                            "docs_resurrected": resurrected,
                             "prior_deferred": int(deferred)})
     return {
         "build_id": build_id,
         "generation": generation,
         "n_docs": n_docs,
         "docs_added": rows_processed,
+        "docs_resurrected": resurrected,
         "avgdl": avgdl,
         "partitions_built": n_pending,
         "partitions_skipped": n_done,
@@ -640,10 +650,40 @@ def delete_docs(
             spark, [(int(d),) for d in doc_ids], "doc_id long"
         )
     df.coalesce(1).write.mode("append").parquet(f"{index_dir}/tombstones")
+    spark.catalog.refreshByPath(f"{index_dir}/tombstones")
     return (
         spark.read.parquet(f"{index_dir}/tombstones")
         .select("doc_id").distinct().count()
     )
+
+
+def _clear_tombstones(spark: SparkSession, index_dir: str,
+                      delta: DataFrame) -> int:
+    """Drop tombstones whose doc_id appears in ``delta`` (re-ingest =
+    un-delete). Returns how many were cleared. The tombstone table is
+    rewritten via tmp+rename so a crash mid-clear leaves either the old
+    or the new table, never a partial one; re-running is idempotent."""
+    tombs_path = f"{index_dir}/tombstones"
+    if not fs_exists(spark, tombs_path):
+        return 0
+    tombs = spark.read.parquet(tombs_path).select("doc_id").distinct()
+    survivors = tombs.join(
+        delta.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    n_before = tombs.count()
+    tmp = f"{tombs_path}_tmp"
+    survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    if n_after == n_before:
+        _delete_path(spark, tmp)
+        return 0
+    _delete_path(spark, tombs_path)
+    _rename_path(spark, tmp, tombs_path)
+    # drop any cached relation over the old table (QueryEngine caches
+    # tombstones; Spark's cache manager matches by logical plan, so a
+    # later identical read would silently serve the stale rows)
+    spark.catalog.refreshByPath(tombs_path)
+    return n_before - n_after
 
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
