@@ -68,11 +68,12 @@ class EngineConfig:
     # "jvm" (identical rules as whole-stage-codegen expressions; no
     # Python workers — see functions/tokenize.py::extract_postings_jvm)
     tokenizer: str = "pandas"
-    # posting-run codec: "vbyte", "packed" (fixed-width bit-packing), or
-    # "auto" (per-run analytic pick of whichever is smaller — framed
-    # with a 1-byte header so mixed codecs coexist per block with no
-    # schema or segment flag; see functions/vbyte.py). Zipf tf runs
-    # pack to 1-3 bits; random-hash doc gaps to ~(64 - log2 df) bits.
+    # posting-run codec: "vbyte", "packed" (word-aligned fixed-width,
+    # k=64//w values per uint64 word), or "auto" (per-run analytic pick
+    # of whichever is smaller — framed with a 1-byte header so mixed
+    # codecs coexist per block with no schema or segment flag; see
+    # functions/vbyte.py). Zipf tf/dl runs pack to 1-3 bits; wide
+    # doc-gap runs fall back to VByte.
     codec: str = "auto"
     # cost-based bm25 routing (wand=None): force the exhaustive path
     # when the query's candidate posting volume (Σ df over query terms,

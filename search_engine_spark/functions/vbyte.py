@@ -99,17 +99,21 @@ def delta_decode(first: int, gaps: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------- framed dual codec
 #
 # A 1-byte frame header in front of each encoded run lets VByte and
-# fixed-width bit-packing coexist per value run (per block, per column)
+# fixed-width packing coexist per value run (per block, per column)
 # with no schema change and no segment-wide codec flag: header 0x00 =
-# VByte payload, 0x01..0x40 = bit-packed payload of that width. "auto"
-# picks whichever is smaller for the run — Zipf tf runs (tiny ints)
-# pack to 1-3 bits, random-hash doc gaps pack to ~(64 - log2 df) bits,
-# and VByte keeps winning only when the value distribution is very
-# skewed inside one run (one huge outlier forces the packed width up,
-# cf. the patched exceptions of PForDelta — Zukowski et al., ICDE 2006;
-# Lemire & Boytsov, SPE 2015. We deliberately skip exception patching:
-# the auto pick already falls back to VByte exactly where exceptions
-# would pay).
+# VByte payload, 0x01..0x40 = WORD-ALIGNED packed payload of that bit
+# width — k = 64//w values per little-endian uint64 word, LSB-first
+# (the PackedInts/Simple-8b family: Anh & Moffat, Inf. Retr. 2010;
+# Lemire & Boytsov, SPE 2015). Word alignment wastes 64 mod w bits per
+# word (≤6%) vs tight packing but keeps BOTH codecs O(n) in scratch
+# memory: tight packing needs an n×w bit matrix (a 40× blowup for wide
+# runs) which measurably collapses scaling on memory-bandwidth-bound
+# hosts, while word packing is one reshape + shift + OR-reduce. "auto"
+# picks whichever is analytically smaller per run — Zipf tf runs pack
+# to 1-3 bits, dense doc-gap runs to ~log2(gap) bits, and VByte keeps
+# winning where the run is wide or skewed (one huge outlier forces the
+# packed width up, exactly where PForDelta would patch exceptions —
+# Zukowski et al., ICDE 2006; the auto pick IS the exception fallback).
 
 _VBYTE_FRAME = 0x00
 
@@ -120,25 +124,37 @@ def _bit_width(values: np.ndarray) -> int:
     return max(m.bit_length(), 1)
 
 
+def _packed_nbytes(n, w):
+    """Payload bytes for word-aligned packing: ceil(n / (64//w)) words.
+    Works elementwise on arrays (int64) and on Python ints."""
+    k = 64 // w
+    return ((n + k - 1) // k) * 8
+
+
 def packed_encode(values: np.ndarray, width: int | None = None) -> bytes:
-    """Bit-pack a uint64 array at a fixed width (default: minimal),
-    framed with the width header byte. Little-endian bit order."""
+    """Word-aligned-pack a uint64 array at a fixed bit width (default:
+    minimal), framed with the width header byte: k = 64//w values per
+    little-endian uint64 word, LSB-first; the last word zero-padded."""
     arr = np.asarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b""
     w = width or _bit_width(arr)
-    shifts = np.arange(w, dtype=np.uint64)
-    bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    payload = np.packbits(bits.ravel(), bitorder="little")
-    return bytes([w]) + payload.tobytes()
+    k = 64 // w
+    m = (arr.size + k - 1) // k
+    padded = np.zeros(m * k, dtype=np.uint64)
+    padded[: arr.size] = arr
+    shifts = (np.uint64(w) * np.arange(k, dtype=np.uint64))
+    words = np.bitwise_or.reduce(padded.reshape(m, k) << shifts, axis=1)
+    return bytes([w]) + words.astype("<u8").tobytes()
 
 
 def _packed_decode_payload(buf: np.ndarray, w: int, n: int) -> np.ndarray:
-    bits = np.unpackbits(buf, bitorder="little", count=n * w)
-    shifts = np.arange(w, dtype=np.uint64)
-    return (bits.reshape(n, w).astype(np.uint64) << shifts).sum(
-        axis=1, dtype=np.uint64
-    )
+    words = np.frombuffer(buf.tobytes(), dtype="<u8").astype(np.uint64)
+    k = 64 // w
+    mask = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    shifts = (np.uint64(w) * np.arange(k, dtype=np.uint64))
+    vals = (words[:, None] >> shifts) & mask
+    return vals.reshape(-1)[:n].copy()
 
 
 def encode_ints(values: np.ndarray, codec: str = "auto") -> bytes:
@@ -159,7 +175,7 @@ def encode_ints(values: np.ndarray, codec: str = "auto") -> bytes:
         nb += arr >= np.uint64(p)
     vb_size = int(nb.sum())
     w = _bit_width(arr)
-    packed_size = (arr.size * w + 7) // 8
+    packed_size = _packed_nbytes(arr.size, w)
     if packed_size < vb_size:
         return packed_encode(arr, w)
     return bytes([_VBYTE_FRAME]) + vbyte_encode(arr)
@@ -188,9 +204,11 @@ def encode_runs_framed(values: np.ndarray, starts: np.ndarray,
     run-for-run (the per-run codec pick uses the same analytic rule).
 
     VByte payloads come from ONE whole-array VByte pass sliced per run;
-    packed payloads are built per *width class* (one bit-matrix +
-    packbits call per distinct width, runs padded to byte boundaries so
-    slices stay aligned). Python-level work is O(runs) slicing only.
+    packed payloads are built per *width class* (one scatter + reshape
+    + OR-reduce per distinct width, each run padded to its own word
+    boundary so slices stay aligned and match the single-run encoder
+    byte-for-byte). Python-level work is O(runs) slicing only; scratch
+    memory is O(values), never O(values × width).
     """
     arr = np.asarray(values, dtype=np.uint64)
     starts = np.asarray(starts, dtype=np.int64)
@@ -219,7 +237,8 @@ def encode_runs_framed(values: np.ndarray, starts: np.ndarray,
     for k in range(1, 64):
         bl += run_max >= np.uint64(1 << k)
     widths[nonempty] = bl
-    packed_size = (lens * widths + 7) // 8
+    packed_size = np.zeros(n_runs, dtype=np.int64)
+    packed_size[nonempty] = _packed_nbytes(lens[nonempty], widths[nonempty])
 
     if codec == "vbyte":
         use_packed = np.zeros(n_runs, dtype=bool)
@@ -239,27 +258,28 @@ def encode_runs_framed(values: np.ndarray, starts: np.ndarray,
     pk_runs = np.flatnonzero(use_packed)
     for w in np.unique(widths[pk_runs]) if pk_runs.size else []:
         w = int(w)
+        k = 64 // w
         sel = pk_runs[widths[pk_runs] == w]
-        pb = (lens[sel] * w + 7) // 8  # padded bytes per run
-        byte_off = np.zeros(sel.size + 1, dtype=np.int64)
-        np.cumsum(pb, out=byte_off[1:])
-        idx = np.concatenate(
-            [np.arange(starts[i], ends[i]) for i in sel]
-        )
-        vals = arr[idx]
-        j = np.concatenate([np.arange(lens[i]) for i in sel])
-        base_bits = np.repeat(byte_off[:-1] * 8, lens[sel])
-        bitpos = base_bits + j * w
-        flat = np.zeros(int(byte_off[-1]) * 8, dtype=np.uint8)
-        shifts = np.arange(w, dtype=np.uint64)
-        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-        positions = bitpos[:, None] + np.arange(w, dtype=np.int64)
-        flat[positions.ravel()] = bits.ravel()
-        packed = np.packbits(flat, bitorder="little")
-        pmv = memoryview(packed.tobytes())
+        ls = lens[sel]
+        wpr = (ls + k - 1) // k  # words per run (each run word-padded)
+        word_off = np.zeros(sel.size + 1, dtype=np.int64)
+        np.cumsum(wpr, out=word_off[1:])
+        # vectorized gather: value index + within-run position per value
+        cum = np.zeros(sel.size + 1, dtype=np.int64)
+        np.cumsum(ls, out=cum[1:])
+        j = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum[:-1], ls)
+        idx = np.repeat(starts[sel], ls) + j
+        # scatter into word-aligned slots, then one shift + OR-reduce
+        slots = np.repeat(word_off[:-1] * k, ls) + j
+        m = int(word_off[-1])
+        padded = np.zeros(m * k, dtype=np.uint64)
+        padded[slots] = arr[idx]
+        shifts = np.uint64(w) * np.arange(k, dtype=np.uint64)
+        words = np.bitwise_or.reduce(padded.reshape(m, k) << shifts, axis=1)
+        pmv = memoryview(words.astype("<u8").tobytes())
         hdr = bytes([w])
-        for k, i in enumerate(sel):
-            out[i] = hdr + bytes(pmv[byte_off[k]:byte_off[k + 1]])
+        for t, i in enumerate(sel):
+            out[i] = hdr + bytes(pmv[word_off[t] * 8:word_off[t + 1] * 8])
     return out
 
 
