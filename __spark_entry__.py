@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, packing, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, subtoken, textstats, trigram
+from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, packing, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, spandedup, subtoken, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -250,6 +250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": lambda s, d: similarity.embedding_dup_pairs(
             _t(s, d, "embeddings")
         ),
+        "dedup_span_pairs": lambda s, d: spandedup.duplicate_span_pairs(
+            _t(s, d, "documents")
+        ),
+        "dedup_span_coverage": lambda s, d: spandedup.dup_span_coverage(
+            _t(s, d, "documents")
+        ),
         # --- similarity search over embeddings ---
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "sim_lsh_signatures": lambda s, d: similarity.lsh_signatures(
@@ -341,6 +347,7 @@ WHERE lang IN ('en', 'es')
     out.update(regexsearch.ORACLE_SQL)
     out.update(subtoken.ORACLE_SQL)
     out.update(decontam.ORACLE_SQL)
+    out.update(spandedup.ORACLE_SQL)
     out.update(sketch.ORACLE_SQL)
     out.update(cardinality.ORACLE_SQL)
     out.update(packing.ORACLE_SQL)

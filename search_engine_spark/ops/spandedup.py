@@ -1,0 +1,240 @@
+"""Exact-substring (verbatim-span) dedup — intra-corpus twin of the
+decontamination pass.
+
+Deduplicating Training Data Makes Language Models Better (Lee et al.,
+ACL 2022) showed that pretraining corpora are full of long verbatim
+spans repeated ACROSS documents, and that removing them (their
+"ExactSubstr" dedup, a suffix-array scan for ≥50-token repeats)
+measurably improves models. The distributed re-expression of that scan
+is an n-gram-hash inventory: a span of length ≥ n repeated across two
+docs shares all of its length-n sub-grams, so grouping token n-grams by
+hash finds exactly the repeated spans (with n the minimum span length).
+
+Two operators:
+
+- :func:`duplicate_span_pairs` — (doc_a, doc_b, n_shared) for every doc
+  pair sharing ≥1 verbatim n-gram. The join is the LSH-bucket shape:
+  gram-hash self-join with a hard df cap. A gram occurring in > df_cap
+  docs is a *stop-gram* (boilerplate: license headers, shebang lines)
+  and is dropped before the join — Lee et al. treat these the same way
+  — so worst-case pair output is bounded at grams·cap²/2, never m²/2.
+- :func:`dup_span_coverage` — the per-document span-removal signal:
+  how many token positions fall inside ≥1 n-gram that also appears in
+  ANOTHER document (and the e6 fixed-point fraction). This is the
+  number ExactSubstr would delete from each doc. The Spark side merges
+  overlapping [pos, pos+n-1] intervals with a single F.aggregate over
+  the sorted start positions (no explode — O(tokens) per doc); the
+  DuckDB oracle INDEPENDENTLY counts distinct covered positions by
+  unnesting each interval, so parity also proves the interval-merge
+  algebra.
+
+Scale shape (100 TB): both ops are one narrow tokens→grams pass (no
+content shuffle — only (doc_id, pos, 31-bit hash) triples move), one
+gram-keyed exchange to find corpus-wide duplicated grams, and for the
+pair op a capped self-join. Reference anchor: the reference engine has
+no dedup at all (SURVEY §2.6); this family is the training-pipeline
+extension mandated by the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.sqltwin import (
+    duck_term_hash31,
+    duck_tokens,
+    term_hash31,
+    tokens_col,
+)
+
+SPAN_NGRAM_N = 8   # minimum duplicated-span length, in tokens
+SPAN_DF_CAP = 64   # grams in more docs than this are stop-grams
+
+
+def _positioned_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_tokens, pos, gh): every token n-gram with its 0-based
+    start position and portable 31-bit hash. One narrow pass."""
+    toks = tokens_col("text")
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(__toks) >= {n} THEN "
+                    f"transform(sequence(1, size(__toks) - {n} + 1), "
+                    f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+                    "ELSE array() END"
+                )
+            ).alias("pos", "g"),
+        )
+        .select(
+            "doc_id", "n_tokens", "pos", term_hash31(F.col("g")).alias("gh")
+        )
+    )
+
+
+def _cross_doc_grams(grams: DataFrame, df_cap: int) -> DataFrame:
+    """(gh, df): gram hashes seen in 2..df_cap distinct docs — the
+    duplicated, non-boilerplate gram set. One gram-keyed exchange with
+    map-side partial aggregation."""
+    return (
+        grams.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    )
+
+
+def duplicate_span_pairs(
+    docs: DataFrame, n: int = SPAN_NGRAM_N, df_cap: int = SPAN_DF_CAP
+) -> DataFrame:
+    """Doc pairs sharing ≥1 verbatim ``n``-token span → (doc_a, doc_b,
+    n_shared) with doc_a < doc_b; n_shared = distinct shared gram count
+    (a shared span of length L contributes L-n+1)."""
+    grams = _positioned_grams(docs, n).select("doc_id", "gh").distinct()
+    live = _cross_doc_grams(grams, df_cap).select("gh")
+    g = grams.join(live, "gh")  # stop-grams and singletons gone
+    a = g.select(F.col("gh"), F.col("doc_id").alias("doc_a"))
+    b = g.select(F.col("gh"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def dup_span_coverage(
+    docs: DataFrame, n: int = SPAN_NGRAM_N, df_cap: int = SPAN_DF_CAP
+) -> DataFrame:
+    """Per-doc ExactSubstr removal signal → (doc_id, n_tokens,
+    n_dup_tokens, dup_frac_e6): token positions covered by ≥1 n-gram
+    that also appears in another doc (stop-grams excluded), merged
+    across overlapping grams without exploding intervals."""
+    grams = _positioned_grams(docs, n)
+    live = _cross_doc_grams(grams.select("doc_id", "gh"), df_cap)
+    # keep only grams whose hash is cross-doc duplicated
+    dup = grams.join(live.select("gh"), "gh")
+    # interval union per doc: sorted start positions, each covering
+    # [p, p+n-1]; fold left keeping (covered, prev_end)
+    per_doc = (
+        dup.groupBy("doc_id", "n_tokens")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                f"""aggregate(
+                    ps,
+                    struct(CAST(0 AS BIGINT) AS cov, CAST(-1 AS BIGINT) AS pend),
+                    (acc, p) -> struct(
+                        acc.cov + (CAST(p AS BIGINT) + {n} - 1
+                                   - greatest(acc.pend, CAST(p AS BIGINT) - 1)),
+                        CAST(p AS BIGINT) + {n} - 1
+                    ),
+                    acc -> acc.cov
+                )"""
+            ).alias("n_dup_tokens"),
+        )
+    )
+    # docs with zero duplicated grams still get a row (coverage 0)
+    base = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc.select("doc_id", "n_dup_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac_e6",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(1000000::bigint * n_dup_tokens) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_T = duck_tokens("text")
+
+
+def _grams_cte(n: int, df_cap: int) -> str:
+    """Shared CTE prefix: positioned grams + the live (cross-doc,
+    capped) gram-hash set."""
+    gram = f"array_to_string(toks[i:i+{n}-1], ' ')"
+    gh = duck_term_hash31(gram)
+    # two same-length unnests in one SELECT zip positionally in DuckDB:
+    # pos k pairs with lambda index i = k+1
+    return f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pg AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest(range(0, len(toks) - {n} + 1)) AS pos,
+         unnest(list_transform(range(1, len(toks) - {n} + 2),
+                               i -> {gh})) AS gh
+  FROM d WHERE len(toks) >= {n}
+),
+live AS (
+  SELECT gh FROM (
+    SELECT gh, count(DISTINCT doc_id) AS df FROM pg GROUP BY gh
+  ) WHERE df >= 2 AND df <= {df_cap}
+)"""
+
+
+def _pairs_sql(n: int = SPAN_NGRAM_N, df_cap: int = SPAN_DF_CAP) -> str:
+    return (
+        _grams_cte(n, df_cap)
+        + """
+, g AS (SELECT DISTINCT doc_id, gh FROM pg WHERE gh IN (SELECT gh FROM live))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b USING (gh)
+WHERE a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
+    )
+
+
+def _coverage_sql(n: int = SPAN_NGRAM_N, df_cap: int = SPAN_DF_CAP) -> str:
+    # independent algorithm: count DISTINCT covered token positions by
+    # unnesting each dup gram's [pos, pos+n-1] interval
+    return (
+        _grams_cte(n, df_cap)
+        + f"""
+, cov AS (
+  SELECT doc_id, count(DISTINCT tp) AS n_dup_tokens
+  FROM (
+    SELECT doc_id, pos + u AS tp
+    FROM pg, unnest(range(0, {n})) AS s(u)
+    WHERE gh IN (SELECT gh FROM live)
+  )
+  GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       CAST(len(d2.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(CASE WHEN len(d2.toks) > 0
+            THEN (1000000::BIGINT * coalesce(cov.n_dup_tokens, 0)) // len(d2.toks)
+            ELSE 0 END AS BIGINT) AS dup_frac_e6
+FROM d d2 LEFT JOIN cov USING (doc_id)
+"""
+    )
+
+
+ORACLE_SQL = {
+    "dedup_span_pairs": _pairs_sql(),
+    "dedup_span_coverage": _coverage_sql(),
+}
