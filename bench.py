@@ -212,6 +212,17 @@ def _scaling_evidence() -> dict:
         "vs_ceiling_whole_build": 0.808,
         "vs_ceiling_postings": 0.877,
         "criterion": ">=0.8",
+        # best ceiling-adjusted run (word-aligned codec A/B, BASELINE.md
+        # §Codec A/B): raw 0.673/0.738 under a 0.777 spin ceiling — the
+        # engine out-scaled what a pure CPU loop could show that interval
+        "best_vs_ceiling": {
+            "local4_secs": 388.7, "local16_secs": 144.5,
+            "whole_build_efficiency": 0.673,
+            "postings_stage_efficiency": 0.738,
+            "host_ceiling_efficiency": 0.777,
+            "vs_ceiling_whole_build": 0.866,
+            "vs_ceiling_postings": 0.950,
+        },
     }
 
     def _with_fallback(err: dict) -> dict:
