@@ -296,6 +296,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rel_events_hourly": lambda s, d: relational.events_hourly(_t(s, d, "events")),
         "rel_sessionize": lambda s, d: relational.sessionize(_t(s, d, "events")),
+        "rel_asof_join": lambda s, d: relational.asof_join(_t(s, d, "events")),
+        "rel_events_rollup": lambda s, d: relational.events_rollup(
+            _t(s, d, "events")
+        ),
+        "rel_value_quantiles": lambda s, d: relational.value_quantiles(
+            _t(s, d, "events")
+        ),
         # --- multimodal plumbing ---
         "mm_blob_metadata": lambda s, d: multimodal.blob_metadata(_t(s, d, "documents")),
         "mm_extract_features": lambda s, d: multimodal.extract_features(

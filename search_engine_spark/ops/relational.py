@@ -117,9 +117,143 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     )
 
 
+def asof_join(
+    events: DataFrame, probe_type: str = "click", ref_type: str = "purchase"
+) -> DataFrame:
+    """As-of join without a join: each ``probe_type`` event picks the
+    latest STRICTLY-earlier ``ref_type`` event of the same user (ties
+    among refs broken by max event_id; no prior ref → nulls, LEFT
+    semantics).
+
+    Scale shape: the classic union-and-window as-of — tag both sides,
+    sort within user by (ts, is_ref, event_id) so same-ts refs land
+    AFTER probes (strict <), and carry the last non-null ref columns
+    forward. ONE shuffle (the window partition), no join, no state
+    proportional to ref-side size — this is how an as-of over two
+    100 TB streams stays a single exchange, where a per-probe lateral
+    lookup (the oracle's formulation) would be quadratic.
+    """
+    probe = events.where(F.col("event_type") == probe_type).select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("__is_ref"),
+        F.lit(None).cast("long").alias("__ref_event"),
+        F.lit(None).cast("double").alias("__ref_value"),
+    )
+    ref = events.where(F.col("event_type") == ref_type).select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("__is_ref"),
+        F.col("event_id").alias("__ref_event"),
+        F.col("value").alias("__ref_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            "__is_ref", "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        probe.unionByName(ref)
+        .withColumn(
+            "ref_event", F.last("__ref_event", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "ref_value", F.last("__ref_value", ignorenulls=True).over(w)
+        )
+        .where(F.col("__is_ref") == 0)
+        .select("event_id", "user_id", "ref_event", "ref_value")
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) in one
+    GROUPING-SETS pass — the hypertable-rollup shape: Catalyst expands
+    the rollup into one aggregate with a grouping-id column, one
+    shuffle total instead of three passes. Money sums are integer cents
+    so every level is engine-exact."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    return (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"),
+            cents.alias("__cents"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("__cents").cast("long").alias("sum_value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("1900-01-01").cast("date")).alias("day"),
+            "n_events", "sum_value_cents",
+        )
+    )
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact per-type p50/p90/p99 of ``value`` with a deterministic
+    discrete rule: the element at 1-indexed rank ceil(p·n) of the
+    (value, event_id)-sorted list — integer rank arithmetic, no
+    interpolation, so both engines pick the identical input double.
+    One window pass + one aggregate; at scale the sort is per-type
+    within the exchange, never global."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        events.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+
+    def at(num: int, den: int):  # rank = ceil(num/den * n), integers only
+        target = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.max(F.when(F.col("rn") == target, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        at(1, 2).alias("p50"), at(9, 10).alias("p90"), at(99, 100).alias("p99")
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 ORACLE_SQL = {
+    "rel_asof_join": """
+SELECT p.event_id, p.user_id, r.ref_event, r.ref_value
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+LEFT JOIN LATERAL (
+  SELECT e.event_id AS ref_event, e.value AS ref_value
+  FROM events e
+  WHERE e.event_type = 'purchase' AND e.user_id = p.user_id
+    AND e.ts < p.ts
+  ORDER BY e.ts DESC, e.event_id DESC
+  LIMIT 1
+) r ON TRUE
+""",
+    "rel_events_rollup": """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(ts AS DATE), DATE '1900-01-01') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""",
+    "rel_value_quantiles": """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN value END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+""",
     "rel_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

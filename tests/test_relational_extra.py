@@ -1,0 +1,71 @@
+"""As-of join / rollup / quantile edge semantics (ops/relational.py).
+Oracle parity at sf scale runs in test_ops_parity; these pin the
+boundary rules on hand-built rows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from search_engine_spark.ops.relational import (
+    asof_join,
+    events_rollup,
+    value_quantiles,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+
+
+def test_asof_strict_before_and_tiebreak(spark):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 0, 1)
+    rows = [
+        # user 1: ref at SAME ts as probe must be invisible (strict <)
+        (10, t, 1, "purchase", 5.0),
+        (11, t, 1, "click", 0.0),
+        # user 1: later probe sees it
+        (12, t1, 1, "click", 0.0),
+        # user 2: two refs at the same earlier ts -> max event_id wins
+        (20, t, 2, "purchase", 1.0),
+        (21, t, 2, "purchase", 2.0),
+        (22, t1, 2, "click", 0.0),
+        # user 3: probe with no prior ref -> nulls (LEFT semantics)
+        (30, t, 3, "click", 0.0),
+    ]
+    got = {r.event_id: (r.ref_event, r.ref_value)
+           for r in asof_join(_ev(spark, rows)).collect()}
+    assert got == {
+        11: (None, None),     # same-ts ref invisible
+        12: (10, 5.0),
+        22: (21, 2.0),        # tie among refs -> larger event_id
+        30: (None, None),
+    }
+
+
+def test_rollup_levels_are_consistent(spark):
+    t = datetime(2024, 1, 1, 6, 0, 0)
+    t2 = datetime(2024, 1, 2, 6, 0, 0)
+    rows = [
+        (1, t, 1, "click", 1.00),
+        (2, t, 1, "click", 2.50),
+        (3, t2, 1, "view", 0.25),
+    ]
+    out = {(r.event_type, str(r.day)): (r.n_events, r.sum_value_cents)
+           for r in events_rollup(_ev(spark, rows)).collect()}
+    assert out[("click", "2024-01-01")] == (2, 350)
+    assert out[("view", "2024-01-02")] == (1, 25)
+    assert out[("click", "1900-01-01")] == (2, 350)   # per-type subtotal
+    assert out[("(all)", "1900-01-01")] == (3, 375)   # grand total
+    assert len(out) == 5
+
+
+def test_quantiles_discrete_rank_rule(spark):
+    t = datetime(2024, 1, 1)
+    # n = 10 values 1..10 -> ranks: p50 = ceil(5) = 5, p90 = 9, p99 = 10
+    rows = [(i, t, 1, "click", float(i)) for i in range(1, 11)]
+    r = value_quantiles(_ev(spark, rows)).collect()[0]
+    assert (r.p50, r.p90, r.p99) == (5.0, 9.0, 10.0)
