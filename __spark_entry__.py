@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samp_stratified_quota": lambda s, d: sampling.stratified_quota(
             _t(s, d, "documents")
         ),
+        "samp_stratified_split": lambda s, d: sampling.stratified_split(
+            _t(s, d, "documents")
+        ),
         "samp_mixture": lambda s, d: sampling.mixture_sample(
             _t(s, d, "documents")
         ),

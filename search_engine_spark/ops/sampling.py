@@ -148,6 +148,52 @@ def mixture_sample(
     )
 
 
+TRAIN_PCT = 80
+VAL_PCT = 10
+
+
+def stratified_split(
+    docs: DataFrame, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> DataFrame:
+    """Deterministic exact-quota train/val/test assignment, stratified
+    by lang — the split you freeze before training so eval rows never
+    leak across reruns or corpus growth *within a stratum snapshot*.
+
+    Within each lang, docs are ranked by (hash bucket, doc_id) — the
+    same namespaced hash as the other sampling ops, so splits from
+    different SEEDs are independent — and the first floor(n·train%)
+    become train, the next floor(n·val%) val, the rest test. Exact
+    integer quotas (no binomial wobble): a 1000-doc lang at 80/10
+    yields exactly 800/100/100.
+
+    Plan: row_number + count share ONE lang-keyed exchange. Same
+    escape hatch as stratified_quota for a mega-stratum: pre-thin with
+    bernoulli_sample, then split the survivors.
+    """
+    w = Window.partitionBy("lang").orderBy(F.asc("bucket"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("rk") <= F.expr(f"(n * {train_pct}) div 100"),
+                F.lit("train"),
+            )
+            .when(
+                F.col("rk")
+                <= F.expr(f"(n * {train_pct}) div 100 + (n * {val_pct}) div 100"),
+                F.lit("val"),
+            )
+            .otherwise(F.lit("test")),
+        )
+        .select("doc_id", "lang", "split")
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _BKT = _duck_bucket("doc_id")
@@ -185,5 +231,20 @@ rates AS (
 SELECT g.doc_id, g.lang, g.bucket, r.rate_e6
 FROM tagged g JOIN rates r USING (lang)
 WHERE g.bucket < r.rate_e6
+""",
+    "samp_stratified_split": f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_BKT}, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= (n * {TRAIN_PCT}) // 100 THEN 'train'
+            WHEN rk <= (n * {TRAIN_PCT}) // 100 + (n * {VAL_PCT}) // 100
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
 """,
 }

@@ -80,3 +80,27 @@ def test_mixture_is_subset_of_corpus_and_deterministic(spark):
     assert a == b
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert set(a) <= all_ids
+
+
+def test_stratified_split_exact_quotas_and_stability(spark):
+    docs = _docs(spark)
+    out = sampling.stratified_split(docs).collect()
+    n_by = {}
+    for r in out:
+        n_by.setdefault(r["lang"], {}).setdefault(r["split"], 0)
+        n_by[r["lang"]][r["split"]] += 1
+    sizes = {
+        r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    for lang, n in sizes.items():
+        got = n_by[lang]
+        want_train = (n * sampling.TRAIN_PCT) // 100
+        want_val = (n * sampling.VAL_PCT) // 100
+        assert got.get("train", 0) == want_train, lang
+        assert got.get("val", 0) == want_val, lang
+        assert got.get("test", 0) == n - want_train - want_val, lang
+    # every doc appears exactly once, and the split is deterministic
+    assert len(out) == sum(sizes.values())
+    again = {(r["doc_id"], r["split"])
+             for r in sampling.stratified_split(docs).collect()}
+    assert {(r["doc_id"], r["split"]) for r in out} == again
