@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters_cms": lambda s, d: sketch.heavy_hitters_cms(
             _t(s, d, "documents")
         ),
+        "sketch_quantiles_bottomk": lambda s, d: sketch.quantile_sketch_bottomk(
+            _t(s, d, "events")
+        ),
         "text_distinct_hll": lambda s, d: cardinality.distinct_tokens_hll(
             _t(s, d, "documents")
         ),

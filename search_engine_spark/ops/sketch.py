@@ -27,7 +27,7 @@ properties plus the ε bound on the fixture corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.ops.sqltwin import (
@@ -157,3 +157,94 @@ ORDER BY exact_cnt DESC, term ASC
 ORACLE_SQL = {
     "text_heavy_hitters_cms": _duck_cms(CMS_DEPTH, CMS_WIDTH, TOPK),
 }
+
+
+# --------------------------------------------- bottom-k quantile sketch
+
+QSK_K = 256        # sample size per group
+QSK_SEED = "qsk1"  # hash namespace (independent of the sampling ops)
+
+
+def _qsk_hash(event_id_col):
+    """Deterministic 31-bit rank hash of an event id under the sketch's
+    own namespace — the bottom-k ORDER, not a threshold."""
+    key = F.concat(event_id_col.cast("string"), F.lit(":" + QSK_SEED))
+    return term_hash31(key)
+
+
+def quantile_sketch_bottomk(events: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Per-type approximate p50/p90/p99 of ``value`` from a bottom-k
+    hash sample → (event_type, n_sample, q50, q90, q99).
+
+    The third member of the mergeable-sketch family (with CMS counts
+    and HLL cardinalities): keep the k rows whose rank hash is SMALLEST
+    per group (Cohen & Kaplan's bottom-k sketches, PODC 2007). Bottom-k
+    is a uniform sample that merges exactly — bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — so at 10^12 rows each
+    partition keeps its local k and only k rows per partition ever
+    reach the exchange, never the column. Quantiles over the sample use
+    the same deterministic discrete rule as rel_value_quantiles (rank
+    ceil(p·m) of the value-sorted sample), so the whole sketch is a
+    pure function of the input and the DuckDB twin is exact, not
+    approximate-vs-approximate.
+
+    Plan: the rank-hash window and the value window share one
+    event_type exchange; with AQE the second sort sees ≤ k rows/group.
+    """
+    ranked = (
+        events.select(
+            "event_type", "value", "event_id",
+            _qsk_hash(F.col("event_id")).alias("hrank"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hrank", "event_id")
+            ),
+        )
+        .where(F.col("rn") <= k)
+    )
+    vw = Window.partitionBy("event_type").orderBy("value", "event_id")
+    sampled = ranked.withColumn("vrn", F.row_number().over(vw)).withColumn(
+        "m", F.count("*").over(Window.partitionBy("event_type"))
+    )
+
+    def at(num: int, den: int):
+        target = F.expr(f"({num} * m + {den} - 1) div {den}")
+        return F.max(F.when(F.col("vrn") == target, F.col("value")))
+
+    return sampled.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("n_sample"),
+        at(1, 2).alias("q50"),
+        at(9, 10).alias("q90"),
+        at(99, 100).alias("q99"),
+    )
+
+
+def _duck_qsk(k: int = QSK_K) -> str:
+    h = duck_term_hash31(f"concat(CAST(event_id AS VARCHAR), ':{QSK_SEED}')")
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {h}, event_id) AS rn
+  FROM events
+),
+sampled AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS vrn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM ranked WHERE rn <= {k}
+)
+SELECT event_type,
+       CAST(max(m) AS BIGINT) AS n_sample,
+       max(CASE WHEN vrn = (1 * m + 1) // 2 THEN value END) AS q50,
+       max(CASE WHEN vrn = (9 * m + 9) // 10 THEN value END) AS q90,
+       max(CASE WHEN vrn = (99 * m + 99) // 100 THEN value END) AS q99
+FROM sampled
+GROUP BY event_type
+"""
+
+
+ORACLE_SQL["sketch_quantiles_bottomk"] = _duck_qsk()

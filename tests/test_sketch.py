@@ -74,3 +74,61 @@ def test_cms_matches_duckdb_twin(spark, docs):
         for r in sketch.heavy_hitters_cms(docs).collect()
     ]
     assert got == [tuple(w) for w in want]
+
+
+# --------------------------------------------- bottom-k quantile sketch
+
+from search_engine_spark.ops.sketch import (  # noqa: E402
+    QSK_K,
+    quantile_sketch_bottomk,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+
+def test_bottomk_merge_identity(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    sketch-mergeability property that lets each partition keep only k
+    rows. Verified through the full quantile output."""
+    rows = [(i, "t", float((i * 37) % 101)) for i in range(2000)]
+    a, b = rows[:1100], rows[1100:]
+    k = 64
+
+    def sketch_vals(df):
+        r = quantile_sketch_bottomk(df, k=k).collect()[0]
+        return (r.n_sample, r.q50, r.q90, r.q99)
+
+    whole = sketch_vals(_events(spark, rows))
+    # merge path: keep each half's bottom-k ROWS, union, re-sketch
+    from search_engine_spark.ops.sketch import _qsk_hash
+    from pyspark.sql import Window, functions as F
+
+    def bottomk_rows(df):
+        w = Window.partitionBy("event_type").orderBy(
+            _qsk_hash(F.col("event_id")), "event_id"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    merged = bottomk_rows(_events(spark, a)).unionByName(
+        bottomk_rows(_events(spark, b))
+    )
+    assert sketch_vals(merged) == whole
+
+
+def test_bottomk_quantiles_near_exact(spark):
+    """On a uniform 0..999 population the k=256 sample's quantile
+    estimates must land within a few percentage points of truth
+    (deterministic draw — this pins accuracy, not luck)."""
+    rows = [(i, "t", float(i % 1000)) for i in range(10000)]
+    r = quantile_sketch_bottomk(_events(spark, rows), k=QSK_K).collect()[0]
+    assert r.n_sample == QSK_K
+    for est, true_q in ((r.q50, 500), (r.q90, 900), (r.q99, 990)):
+        assert abs(est - true_q) <= 60, (est, true_q)
