@@ -94,15 +94,31 @@ def duplicate_span_pairs(
 ) -> DataFrame:
     """Doc pairs sharing ≥1 verbatim ``n``-token span → (doc_a, doc_b,
     n_shared) with doc_a < doc_b; n_shared = distinct shared gram count
-    (a shared span of length L contributes L-n+1)."""
+    (a shared span of length L contributes L-n+1).
+
+    The df filter is a window count over the SAME gh partitioning the
+    self-join needs (the lsh_candidate_pairs pattern): the tokenize →
+    grams → distinct pipeline is planned once and the cap, both join
+    sides, and the pair agg all hang off a single gh exchange (AQE
+    ReusedExchange) — no second content scan, no groupBy+semi-join
+    round-trip. grams is distinct (doc_id, gh), so the per-partition
+    count IS the document frequency."""
+    from pyspark.sql import Window
+
     grams = _positioned_grams(docs, n).select("doc_id", "gh").distinct()
-    live = _cross_doc_grams(grams, df_cap).select("gh")
-    g = grams.join(live, "gh")  # stop-grams and singletons gone
-    a = g.select(F.col("gh"), F.col("doc_id").alias("doc_a"))
-    b = g.select(F.col("gh"), F.col("doc_id").alias("doc_b"))
+    keys = (
+        grams.withColumn("df", F.count("*").over(Window.partitionBy("gh")))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .drop("df")
+    )
     return (
-        a.join(b, "gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        keys.alias("a")
+        .join(keys.alias("b"), "gh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
@@ -114,7 +130,13 @@ def dup_span_coverage(
     """Per-doc ExactSubstr removal signal → (doc_id, n_tokens,
     n_dup_tokens, dup_frac_e6): token positions covered by ≥1 n-gram
     that also appears in another doc (stop-grams excluded), merged
-    across overlapping grams without exploding intervals."""
+    across overlapping grams without exploding intervals.
+
+    Unlike the pairs op, the live-gram set here needs DISTINCT-doc
+    frequency while the probe side keeps per-position rows, so the two
+    legs genuinely differ and the gram pass is planned twice; at
+    production scale persist the narrow ``_positioned_grams`` output
+    (or reuse the pairs op's survivors) to make it one content scan."""
     grams = _positioned_grams(docs, n)
     live = _cross_doc_grams(grams.select("doc_id", "gh"), df_cap)
     # keep only grams whose hash is cross-doc duplicated
