@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": lambda s, d: multimodal.sample_video_frames(
             multimodal.with_video_blob(_t(s, d, "documents"))
         ),
+        "mm_jpeg_pixels": lambda s, d: multimodal.extract_jpeg_pixel_features(
+            multimodal.with_jpeg_pixel_blob(_t(s, d, "documents"))
+        ),
         "mm_jpeg_dims": lambda s, d: multimodal.extract_jpeg_dims(
             multimodal.with_jpeg_blob(_t(s, d, "documents"))
         ),

@@ -794,6 +794,99 @@ def extract_jpeg_dims(blobs: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=JPEG_DIMS_SCHEMA)
 
 
+JPEG_PIXEL_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "n_blocks int, px_mean_e4 long"
+)
+
+_JPEG_PX_W, _JPEG_PX_H = 32, 16  # 4×2 = 8 blocks per fixture image
+
+
+def with_jpeg_pixel_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic FULL baseline-JPEG payload per doc
+    (entropy-coded scan included, ops/jpegcodec.py encoder): 32×16
+    grayscale, 8 piecewise-constant blocks with per-block intensity
+    g_b = 8 + (doc_id·7 + 13·b) % 240. Constant blocks are DC-only, so
+    the decoded pixels have an integer closed form (px_b =
+    2·round((g_b−128)/2) + 128 at Annex-K q00=16) the DuckDB oracle
+    computes independently of both the encoder and the decoder."""
+    from search_engine_spark.ops.jpegcodec import make_jpeg_gray_blocks
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_jpeg_gray_blocks(
+                    _JPEG_PX_W, _JPEG_PX_H,
+                    [int(8 + (i * 7 + 13 * b) % 240) for b in range(8)],
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "media_type": ["image/jpeg"] * len(ids)}
+            )
+
+    synth = docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary, media_type string"
+    )
+    return synth.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"),
+            F.length("payload").cast("int").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def extract_jpeg_pixel_features(blobs: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG pixel decode over the binary column
+    (ops/jpegcodec.py: stream-parsed DQT/DHT tables, canonical Huffman
+    with byte-unstuffing, differential DC, AC run-length, dequantize,
+    inverse zigzag, IDCT, level shift) → per-image pixel stats. Same
+    pruned (doc_id, payload, media_type) Arrow contract as the other
+    extractors; non-JPEG rows raise the documented stub."""
+    from search_engine_spark.ops.jpegcodec import decode_jpeg_gray
+
+    pruned = blobs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "media_type": [], "width": [], "height": [],
+                "n_blocks": [], "px_mean_e4": [],
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "image/jpeg":
+                    _decode_stub(bytes(payload))  # NotImplementedError
+                d = decode_jpeg_gray(bytes(payload))
+                px = d["pixels"]
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_blocks"].append((d["width"] // 8) * (d["height"] // 8))
+                out["px_mean_e4"].append(
+                    int(10000 * int(px.sum(dtype=np.int64)) // px.size)
+                )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "n_blocks": "int32", "px_mean_e4": "int64"}
+            )
+
+    return pruned.mapInPandas(kernel, schema=JPEG_PIXEL_SCHEMA)
+
+
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Batch feature extraction over the binary column via mapInPandas.
 
@@ -911,6 +1004,22 @@ FROM documents d,
      UNNEST(range(0, 3)) uy(y),
      UNNEST(range(0, 4)) ux(x)
 GROUP BY d.doc_id
+""",
+    # Closed-form twin of the REAL pixel decode (with_jpeg_pixel_blob →
+    # extract_jpeg_pixel_features): constant 8×8 blocks are DC-only, so
+    # decoded px_b = 2·floor((g_b−128+1)/2) + 128 with g_b =
+    # 8 + (doc_id·7+13b) % 240; image mean·1e4 = 1250·Σ px_b. The oracle
+    # never runs the codec — a shared encoder/decoder bug cannot hide.
+    "mm_jpeg_pixels": """
+SELECT doc_id,
+       'image/jpeg' AS media_type,
+       CAST(32 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS n_blocks,
+       CAST(1250 * list_sum(list_transform(range(0, 8), b ->
+            2 * CAST(floor(((8 + (doc_id * 7 + 13 * b) % 240) - 127) / 2.0)
+                     AS BIGINT) + 128)) AS BIGINT) AS px_mean_e4
+FROM documents
 """,
     # The oracle predicts what the REAL marker-segment walk must pull
     # out of the synthesized SOF0 headers (with_jpeg_blob).
