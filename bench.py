@@ -140,6 +140,12 @@ def main() -> int:
             ("search_bm25_prefix", lambda: search_sql.bm25_topk_prefix(
                 spark, docs, search_sql.QUERY_PREFIX)),
             ("code_subtokens", lambda: subtoken.subtoken_postings(docs)),
+            ("dedup_span_pairs", lambda: __import__(
+                "search_engine_spark.ops.spandedup", fromlist=["x"]
+            ).duplicate_span_pairs(docs)),
+            ("mm_jpeg_pixels", lambda: (lambda mm: mm.extract_jpeg_pixel_features(
+                mm.with_jpeg_pixel_blob(docs)))(__import__(
+                    "search_engine_spark.ops.multimodal", fromlist=["x"]))),
         ]:
             t0 = time.perf_counter()
             df_fn().count()
