@@ -148,6 +148,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_conj": lambda s, d: search_sql.bm25_topk_conj(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
+        "search_bm25_msm": lambda s, d: search_sql.bm25_topk_msm(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
+        "search_bm25_not": lambda s, d: search_sql.bm25_topk_not(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
+        "search_bm25_syn": lambda s, d: search_sql.bm25_topk_syn(
+            s, _t(s, d, "documents")
+        ),
+        "search_bm25_explain": lambda s, d: search_sql.bm25_explain(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         "search_mlt": lambda s, d: search_sql.more_like_this(
             s, _t(s, d, "documents")
         ),

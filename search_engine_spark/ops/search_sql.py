@@ -483,6 +483,163 @@ def bm25_topk_conj(
     )
 
 
+MSM_MIN = 2  # min-should-match threshold for the gate query
+QUERY_EXCLUDE = ["hash"]  # MUST_NOT term for the gate query
+# synonym groups for the gate query: {join, merge} blended as one
+# pseudo-term, plus a plain single-variant group
+SYN_GROUPS: list[list[str]] = [["join", "merge"], ["window"]]
+
+
+def bm25_topk_msm(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    min_match: int = MSM_MIN, k: int = TOPK,
+) -> DataFrame:
+    """Min-should-match BM25 top-k: docs matching at least ``min_match``
+    of the query terms qualify (Lucene BooleanQuery
+    ``minimumNumberShouldMatch`` — the dial between the reference's
+    disjunctive OR surface, `store.go:66-83`, and full AND).
+
+    Free relative to OR: the matched count is already computed by the
+    scoring aggregate, so this is a post-agg HAVING — no extra shuffle,
+    and at scale the filter runs map-side of the top-k."""
+    scored = bm25_scores(spark, docs, terms).where(
+        F.col("matched") >= min_match
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+def bm25_topk_not(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    exclude: list[str] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k with MUST_NOT exclusion: disjunctive scoring over
+    ``terms``, then docs containing ANY ``exclude`` term are dropped
+    (Lucene BooleanQuery MUST_NOT / GitHub code search ``NOT``; the
+    reference has no negation surface).
+
+    Plan shape: the exclusion set is a left-anti join against the
+    postings rows of the excluded terms — the excluded-term posting
+    lists are the ONLY extra rows read (broadcast the tiny term list,
+    never a content scan), and the anti-join keys on doc_id so it
+    rides the same exchange as the scoring aggregate."""
+    exclude = QUERY_EXCLUDE if exclude is None else exclude
+    post = postings(docs)
+    ex_q = inline_table(
+        spark, [(t,) for t in sorted(set(exclude))], "term string"
+    )
+    ex_docs = post.join(F.broadcast(ex_q), "term").select("doc_id").distinct()
+    scored = bm25_scores(spark, docs, terms).join(ex_docs, "doc_id", "left_anti")
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+def bm25_topk_syn(
+    spark: SparkSession, docs: DataFrame,
+    groups: list[list[str]] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """Synonym-blended BM25 top-k (Lucene SynonymQuery analogue): each
+    group of variant terms scores as ONE pseudo-term — per-doc tf is
+    the sum of variant tfs, and the pseudo-term's df is the number of
+    docs matching ANY variant. Lucene approximates the blended df as
+    max(docFreq) because a union-df is expensive in its per-segment
+    model; as one distributed aggregate the exact union-df is free
+    here, so we use it (strictly better idf estimate, and a pure
+    function of the input, so the DuckDB twin is exact).
+
+    Plan shape: variant→group mapping is a broadcast join on the
+    postings rows of the variant terms only, then one (doc_id, gid)
+    aggregate; the group-df table is #groups rows. Same single wide
+    exchange class as plain :func:`bm25_scores`."""
+    groups = SYN_GROUPS if groups is None else groups
+    post = postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    pairs = [
+        (t, gi) for gi, g in enumerate(groups) for t in sorted(set(g))
+    ]
+    q = inline_table(spark, pairs, "term string, gid int")
+    gtf = (
+        post.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "gid")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    gdf = gtf.groupBy("gid").agg(F.count("*").cast("long").alias("df"))
+    stats = _corpus_stats(docs)
+    m = (
+        gtf.join(F.broadcast(gdf), "gid")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
+def bm25_explain(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK,
+) -> DataFrame:
+    """Per-term score breakdown for the top-k hits (Lucene
+    ``explain()``): one row per (doc, matched term) carrying the raw
+    statistics (tf, df, dl) and the derived factors (idf, saturated
+    tf, partial score) whose sum is the hit's BM25 score. The
+    relevance-debugging surface every search engine ships; the
+    reference exposes only the final score (`store.go:66-83`).
+
+    Content is never touched: the breakdown is k·|q| posting rows
+    joined against the (broadcast) top-k doc_id set."""
+    post = postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
+    stats = _corpus_stats(docs)
+    top = (
+        bm25_topk(spark, docs, terms, k)
+        .select("doc_id", "score")
+    )
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(top), "doc_id")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return m.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        "df",
+        "dl",
+        F.round(idf, 4).alias("idf"),
+        F.round(tfn, 4).alias("tfn"),
+        F.round(idf * tfn, 4).alias("partial"),
+        "score",
+    )
+
+
 def search_facets(
     spark: SparkSession, docs: DataFrame, terms: list[str],
     facet_cols: tuple[str, ...] = ("lang", "source"),
@@ -943,6 +1100,68 @@ LIMIT {TOPK}
     + f"\nSELECT doc_id, score, matched FROM scored"
     + f" WHERE matched = {len(set(QUERY_MAIN))}"
     + f" ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_msm": _scores_cte(QUERY_MAIN)
+    + f"\nSELECT doc_id, score, matched FROM scored"
+    + f" WHERE matched >= {MSM_MIN}"
+    + f" ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_not": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT doc_id, score, matched FROM scored
+WHERE doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM post
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(QUERY_EXCLUDE)))})
+)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
+    "search_bm25_syn": f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(term, gid) AS (VALUES {", ".join(
+    f"('{t}', {gi})"
+    for gi, g in enumerate(SYN_GROUPS) for t in sorted(set(g))
+)}),
+gtf AS (
+  SELECT p.doc_id, q.gid, CAST(sum(p.tf) AS BIGINT) AS tf
+  FROM post p JOIN q USING (term) GROUP BY p.doc_id, q.gid
+),
+gdf AS (SELECT gid, CAST(count(*) AS BIGINT) AS df FROM gtf GROUP BY gid),
+scored AS (
+  SELECT g.doc_id,
+         round(sum(ln((stats.n - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+               * (g.tf * ({BM25_K1} + 1)) /
+                 (g.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM gtf g
+  JOIN gdf USING (gid)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY g.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
+    "search_bm25_explain": _scores_cte(QUERY_MAIN)
+    + f""",
+topk AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+)
+SELECT p.doc_id, p.term, CAST(p.tf AS INTEGER) AS tf, dfq.df, dl.dl,
+       round(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 4) AS idf,
+       round((p.tf * ({BM25_K1} + 1)) /
+             (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)), 4) AS tfn,
+       round(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (p.tf * ({BM25_K1} + 1)) /
+               (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)), 4) AS partial,
+       t.score
+FROM post p
+JOIN q USING (term)
+JOIN topk t ON t.doc_id = p.doc_id
+JOIN dfq ON dfq.term = p.term
+JOIN dl ON dl.doc_id = p.doc_id
+CROSS JOIN stats""",
     "search_mlt": f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),

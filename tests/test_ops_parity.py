@@ -96,3 +96,72 @@ def test_ann_subset_of_bruteforce_universe(spark):
         key = (r["query_id"], r["vec_id"])
         assert key in brute
         assert brute[key] == pytest.approx(r["cosine"], abs=1e-9)
+
+
+def test_retrieval_mode_invariants(spark):
+    """Boolean-mode algebra over the same scored set (Lucene BooleanQuery
+    semantics): conj ⊆ msm ⊆ disjunctive; MUST_NOT output is disjoint
+    from the excluded-term posting list; synonym-blended matches are
+    exactly the docs matching any variant; explain partials sum to the
+    hit's score."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    scored = {
+        r["doc_id"]: (r["score"], r["matched"])
+        for r in ss.bm25_scores(spark, docs, ss.QUERY_MAIN).collect()
+    }
+
+    # min-should-match: every hit has matched >= threshold, scores are
+    # the unchanged disjunctive scores, and full-AND hits all qualify
+    msm = ss.bm25_topk_msm(spark, docs, ss.QUERY_MAIN).collect()
+    assert len(msm) > 0
+    for r in msm:
+        assert r["matched"] >= ss.MSM_MIN
+        assert scored[r["doc_id"]][0] == pytest.approx(r["score"])
+    conj_ids = {
+        r["doc_id"] for r in ss.bm25_topk_conj(spark, docs, ss.QUERY_MAIN).collect()
+    }
+    msm_eligible = {d for d, (_, m) in scored.items() if m >= ss.MSM_MIN}
+    assert conj_ids <= msm_eligible
+
+    # MUST_NOT: no hit contains an excluded term
+    post = ss.postings(docs)
+    ex_ids = {
+        r["doc_id"]
+        for r in post.where(
+            F.col("term").isin(sorted(set(ss.QUERY_EXCLUDE)))
+        ).select("doc_id").distinct().collect()
+    }
+    hits_not = ss.bm25_topk_not(spark, docs, ss.QUERY_MAIN).collect()
+    assert len(hits_not) > 0
+    assert {r["doc_id"] for r in hits_not}.isdisjoint(ex_ids)
+
+    # synonyms: matched counts groups (≤ len(SYN_GROUPS)) and every hit
+    # contains at least one variant of some group
+    variants = sorted({t for g in ss.SYN_GROUPS for t in g})
+    var_ids = {
+        r["doc_id"]
+        for r in post.where(F.col("term").isin(variants))
+        .select("doc_id").distinct().collect()
+    }
+    syn = ss.bm25_topk_syn(spark, docs).collect()
+    assert len(syn) > 0
+    for r in syn:
+        assert 1 <= r["matched"] <= len(ss.SYN_GROUPS)
+        assert r["doc_id"] in var_ids
+
+    # explain: per-doc sum of partials reconstructs the BM25 score
+    # (both sides rounded at 4dp, so agree within stacked rounding)
+    exp = ss.bm25_explain(spark, docs, ss.QUERY_MAIN).collect()
+    assert len(exp) > 0
+    by_doc: dict[int, list] = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        total = sum(r["partial"] for r in rows)
+        assert total == pytest.approx(rows[0]["score"], abs=1e-3)
+        assert rows[0]["score"] == pytest.approx(scored[doc_id][0])
