@@ -40,6 +40,14 @@ Query flags (reference-parity surface):
                     store_positions; build flag: --positions)
     --near=W        proximity NEAR(a, b, W) over the first two query
                     words (positional index); --ordered = a before b
+    --min-match=M   keep only docs matching ≥ M query terms (Lucene
+                    minimumNumberShouldMatch; M = #terms is AND)
+    --not=a,b       MUST_NOT: drop docs containing any listed term
+    --syn=a|b,c     synonym groups — variants separated by '|', groups
+                    by ','; each group scores as one blended pseudo-term
+                    (SynonymQuery, exact union-df)
+    --explain       per-term score breakdown for the top-k hits
+                    (Lucene explain(): tf, df, dl, idf, tfnorm, partial)
 """
 
 from __future__ import annotations
@@ -98,12 +106,42 @@ def _extend(corpus_path: str, index_dir: str) -> None:
 
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
            page: int = 0, mode: str = "bm25", total: bool = False,
-           phrase: bool = False, near: int = 0, ordered: bool = False) -> None:
+           phrase: bool = False, near: int = 0, ordered: bool = False,
+           min_match: int = 1, exclude: list[str] | None = None,
+           syn: str = "", explain: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
+    if explain:
+        rows = eng.explain(query, k=k).collect()
+        if not rows:
+            print("(no hits)")
+        for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"], r["term"])):
+            print(f"doc {r['doc_id']} score {r['score']:.4f} <- "
+                  f"'{r['term']}' partial {r['partial']:.4f} "
+                  f"(tf {r['tf']}, df {r['df']}, dl {r['dl']}, "
+                  f"idf {r['idf']:.4f}, tfnorm {r['tfn']:.4f})")
+        return
+    if syn:
+        groups = [g.split("|") for g in syn.split(",") if g]
+        rows = eng.bm25_syn(groups, k=k, page=page).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (syn-bm25, matched "
+                  f"{r['matched']} of {len(groups)} groups, doc {r['doc_id']})")
+        return
+    if min_match > 1 or exclude:
+        rows = eng.bm25(query, k=k, page=page, min_match=min_match,
+                        exclude=exclude).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (bool-bm25, matched "
+                  f"{r['matched']}, doc {r['doc_id']})")
+        return
     if near:
         a, b = query.split()[:2]
         rows = eng.near(a, b, window=near, k=k, ordered=ordered).collect()
@@ -224,7 +262,14 @@ def main(argv: list[str]) -> int:
                total="--total" in flags, phrase="--phrase" in flags,
                near=next((int(f.split("=", 1)[1]) for f in flags
                           if f.startswith("--near=")), 0),
-               ordered="--ordered" in flags)
+               ordered="--ordered" in flags,
+               min_match=next((int(f.split("=", 1)[1]) for f in flags
+                               if f.startswith("--min-match=")), 1),
+               exclude=next((f.split("=", 1)[1].split(",") for f in flags
+                             if f.startswith("--not=")), None),
+               syn=next((f.split("=", 1)[1] for f in flags
+                         if f.startswith("--syn=")), ""),
+               explain="--explain" in flags)
     else:
         print(__doc__)
         return 2

@@ -320,13 +320,28 @@ class QueryEngine:
 
     # ---- primary: pure BM25 top-k ----
     def bm25(self, query: str, k: int = 10, wand: bool | None = None,
-             spell: bool = False, page: int = 0) -> DataFrame:
+             spell: bool = False, page: int = 0, min_match: int = 1,
+             exclude: list[str] | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
         above (both exact — same results, property-tested). True/False
         force a path. Trailing-``*`` tokens expand against the term
-        dictionary (``expand_prefix_terms``) before scoring."""
+        dictionary (``expand_prefix_terms``) before scoring.
+
+        Boolean modes (Lucene BooleanQuery):
+
+        - ``min_match`` ≥ 2 keeps only docs matching that many query
+          terms (minimumNumberShouldMatch; len(terms) = AND).
+        - ``exclude`` drops docs containing ANY of those terms
+          (MUST_NOT): their posting lists are decoded (bucket+term
+          pruned scan — never a content read) into a doc_id anti-join.
+
+        Either filter must apply BEFORE the top-k cut to stay exact, so
+        boolean queries route through the exhaustive-decode path (a
+        per-salt WAND top-k could evict a doc that the filter would
+        have promoted). The ``matched``-aware θ-tightening that would
+        let WAND prune under min_match is documented future work."""
         if "*" in query:
             query, expansions = self.expand_prefix_terms(query)
             terms = sorted({*query_terms(query), *expansions})
@@ -334,8 +349,11 @@ class QueryEngine:
             terms = query_terms(query)
         if spell:
             terms = self.expand_query_terms(terms)
+        exclude = sorted(set(exclude or []))
         idf_map, sum_df = self._term_info(terms)
-        if wand is None:
+        if min_match > 1 or exclude:
+            wand = False  # filters are pre-top-k: exactness > pruning
+        elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
         if not idf_map:
             scored = self._empty_scored()
@@ -351,10 +369,103 @@ class QueryEngine:
             ))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
+        if min_match > 1:
+            scored = scored.where(F.col("matched") >= min_match)
+        if exclude and idf_map:
+            ex_ids = (
+                decode_blocks(self._query_blocks(exclude))
+                .select("doc_id").distinct()
+            )
+            scored = scored.join(ex_ids, "doc_id", "left_anti")
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
         return self._offset_page(
             with_path, rank_order(with_path), page, k
         ).select("doc_id", "score", "matched", "path", *self._meta_cols)
+
+    def bm25_syn(self, groups: list[list[str]], k: int = 10,
+                 page: int = 0) -> DataFrame:
+        """Synonym-blended BM25 top-k over the compressed index (Lucene
+        SynonymQuery): each variant group scores as one pseudo-term —
+        per-doc tf = Σ variant tf, df = exact union-df (docs matching
+        ANY variant), computed from the already-decoded candidate
+        postings in the same job, so the blend costs one extra tiny
+        aggregate over candidate rows (≤ Σ df), not a second scan.
+        Lucene approximates this df as max(docFreq) because union-df is
+        expensive per-segment; distributed, the exact count is free.
+
+        Union-df counts tombstoned docs until compaction, matching the
+        engine's frozen-df idf convention for plain terms."""
+        variants = sorted({t for g in groups for t in g})
+        gmap = inline_table(
+            self.spark,
+            [(t, gi) for gi, g in enumerate(groups) for t in sorted(set(g))],
+            "term string, gid int",
+        )
+        decoded = decode_blocks(self._query_blocks(variants))
+        gtf = (
+            decoded.join(F.broadcast(gmap), "term")
+            .groupBy("doc_id", "gid")
+            .agg(F.sum("tf").cast("long").alias("tf"),
+                 F.max("dl").alias("dl"))
+        )
+        gdf = gtf.groupBy("gid").agg(F.count("*").cast("long").alias("df"))
+        n = float(self.stats["n_docs"])
+        k1, b = self.stats["k1"], self.stats["b"]
+        avgdl = self.stats["avgdl"]
+        idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        scored = (
+            gtf.join(F.broadcast(gdf), "gid")
+            .withColumn("partial", idf * (F.col("tf") * (k1 + 1.0)) / denom)
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"),
+                 F.count("*").cast("int").alias("matched"))
+        )
+        with_path = self._live(scored).join(self.docs, "doc_id", "left")
+        return self._offset_page(
+            with_path, rank_order(with_path), page, k
+        ).select("doc_id", "score", "matched", "path", *self._meta_cols)
+
+    def explain(self, query: str, k: int = 10) -> DataFrame:
+        """Per-term score breakdown for the top-k hits (Lucene
+        ``explain()``): one row per (hit, matched term) with the raw
+        statistics (tf, dl, df) and derived factors (idf, saturated tf,
+        partial) whose sum reconstructs the hit's BM25 score.
+
+        Cost: the query terms' blocks are decoded once (same pruned
+        scan as scoring) and joined to the broadcast k-row top-k —
+        k·|q| output rows, content never read."""
+        terms = query_terms(query)
+        idf_map, _ = self._term_info(terms)
+        if not idf_map:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, term string, tf int, dl long, df long, "
+                "idf double, tfn double, partial double, score double",
+            )
+        top = self.bm25(query, k=k).select("doc_id", "score")
+        df_rows = self.terms.where(
+            F.col("term").isin(list(idf_map))
+        ).select("term", "df", "idf")
+        decoded = decode_blocks(self._query_blocks(list(idf_map)))
+        k1, b = self.stats["k1"], self.stats["b"]
+        avgdl = float(self.stats["avgdl"])
+        denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        tfn = (F.col("tf") * (k1 + 1.0)) / denom
+        return (
+            decoded.join(F.broadcast(top), "doc_id")
+            .join(F.broadcast(df_rows), "term")
+            .select(
+                "doc_id", "term",
+                F.col("tf").cast("int").alias("tf"),
+                F.col("dl").cast("long").alias("dl"),
+                F.col("df").cast("long").alias("df"),
+                "idf",
+                tfn.alias("tfn"),
+                (F.col("idf") * tfn).alias("partial"),
+                "score",
+            )
+        )
 
     def bm25_batch(self, queries: dict[str, str], k: int = 10,
                    spell: bool = False) -> DataFrame:

@@ -1,0 +1,161 @@
+"""Engine-level boolean retrieval modes over the persisted compressed
+index — min-should-match, MUST_NOT, synonym blending, explain — each
+rank-identical to an independent in-memory oracle over the raw corpus
+(tests/oracle.py tokenize path, §8.4 total order).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.plans.build import build_index_df
+from search_engine_spark.plans.query import QueryEngine
+from tests.oracle import _desc_str, bm25_score, build_oracle_index
+
+QUERY = "binary search tree"
+EXCLUDE = ["merge"]
+SYN_GROUPS = [["merge", "join"], ["sort"]]
+MIN_MATCH = 2
+K = 10
+
+
+@pytest.fixture(scope="module")
+def booly(spark, fixture_dir, oracle_docs, tmp_path_factory):
+    ix = str(tmp_path_factory.mktemp("engine_boolean") / "ix")
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    build_index_df(spark, corpus, ix)
+    return QueryEngine(spark, ix), build_oracle_index(oracle_docs)
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(fixture_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(fixture_dir / "corpus.parquet").to_pylist()
+    expected = json.loads((fixture_dir / "expected.json").read_text())
+    by_path = {d["path"]: d["doc_id"] for d in expected["docs"]}
+    return [
+        {"doc_id": by_path[r["path"]], "path": r["path"], "content": r["content"]}
+        for r in tbl
+    ]
+
+
+def _rank(rows):
+    rows.sort(
+        key=lambda r: (-r["score"], -r["matched"], _desc_str(r["path"]), r["doc_id"])
+    )
+    return rows
+
+
+def _oracle_candidates(ix, terms):
+    cand = set()
+    for t in terms:
+        cand.update(ix.postings.get(t, {}).keys())
+    return [
+        {"doc_id": d, **dict(zip(("score", "matched"), bm25_score(ix, terms, d))),
+         "path": ix.path[d]}
+        for d in cand
+    ]
+
+
+def _assert_rank_identical(got, want):
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+        assert g["matched"] == w["matched"]
+
+
+def test_min_match_rank_identity(booly):
+    eng, ix = booly
+    terms = QUERY.split()
+    want = _rank(
+        [r for r in _oracle_candidates(ix, terms) if r["matched"] >= MIN_MATCH]
+    )[:K]
+    got = eng.bm25(QUERY, k=K, min_match=MIN_MATCH).collect()
+    assert len(want) > 0
+    _assert_rank_identical(got, want)
+
+
+def test_must_not_rank_identity(booly):
+    eng, ix = booly
+    terms = QUERY.split()
+    banned = set()
+    for t in EXCLUDE:
+        banned.update(ix.postings.get(t, {}).keys())
+    assert banned, "fixture must contain the excluded term"
+    want = _rank(
+        [r for r in _oracle_candidates(ix, terms) if r["doc_id"] not in banned]
+    )[:K]
+    got = eng.bm25(QUERY, k=K, exclude=EXCLUDE).collect()
+    assert len(got) > 0
+    assert {r["doc_id"] for r in got}.isdisjoint(banned)
+    _assert_rank_identical(got, want)
+
+
+def test_synonym_blend_rank_identity(booly):
+    eng, ix = booly
+    # oracle blend: per group, tf = sum of variant tfs, df = union df
+    gstats = []
+    for g in SYN_GROUPS:
+        tf: dict[int, int] = {}
+        for t in sorted(set(g)):
+            for d, f in ix.postings.get(t, {}).items():
+                tf[d] = tf.get(d, 0) + f
+        gstats.append(tf)
+    assert all(g for g in gstats), "every group must match some fixture doc"
+    cand = set().union(*[set(g) for g in gstats])
+    want = []
+    for d in cand:
+        norm = ix.dl[d] / ix.avgdl
+        score, matched = 0.0, 0
+        for tf in gstats:
+            f = tf.get(d)
+            if f is None:
+                continue
+            matched += 1
+            df = len(tf)
+            idf = math.log((ix.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            from search_engine_spark.config import BM25_B, BM25_K1
+
+            score += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * norm)
+            )
+        want.append(
+            {"doc_id": d, "score": score, "matched": matched, "path": ix.path[d]}
+        )
+    want = _rank(want)[:K]
+    got = eng.bm25_syn(SYN_GROUPS, k=K).collect()
+    _assert_rank_identical(got, want)
+
+
+def test_explain_reconstructs_scores(booly):
+    eng, ix = booly
+    rows = eng.explain(QUERY, k=K).collect()
+    assert len(rows) > 0
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top = eng.bm25(QUERY, k=K).collect()
+    assert set(by_doc) == {r["doc_id"] for r in top}
+    for doc_id, parts in by_doc.items():
+        assert sum(p["partial"] for p in parts) == pytest.approx(
+            parts[0]["score"], rel=1e-9
+        )
+        for p in parts:
+            # components match the raw corpus statistics
+            assert p["tf"] == ix.postings[p["term"]][doc_id]
+            assert p["df"] == ix.df[p["term"]]
+            assert p["dl"] == ix.dl[doc_id]
+            assert p["idf"] == pytest.approx(ix.idf(p["term"]), rel=1e-9)
+
+
+def test_oov_boolean_paths_are_empty(booly):
+    eng, _ = booly
+    assert eng.bm25("zzzunknownzzz", k=5, min_match=2).count() == 0
+    assert eng.bm25("zzzunknownzzz", k=5, exclude=["merge"]).count() == 0
+    assert eng.bm25_syn([["zzzunknownzzz"]], k=5).count() == 0
+    assert eng.explain("zzzunknownzzz", k=5).count() == 0
