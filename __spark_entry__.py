@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_total_hits": lambda s, d: search_sql.total_hits(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
+        "search_bm25_after": lambda s, d: search_sql.bm25_topk_after(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         "search_refcompat_topk": lambda s, d: search_sql.refcompat_topk(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
@@ -177,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "search_phrase_topk_tri": lambda s, d: phrase.phrase_topk(
             s, _t(s, d, "documents"), phrase.PHRASE_TRI
+        ),
+        "search_phrase_rescore": lambda s, d: phrase.phrase_rescore_topk(
+            s, _t(s, d, "documents"), phrase.PHRASE_MAIN
         ),
         "search_facets": lambda s, d: search_sql.search_facets(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN

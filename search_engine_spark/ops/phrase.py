@@ -191,6 +191,63 @@ def near_topk(
     return _virtual_term_topk(docs, near_pair_counts(docs, a, b, window, ordered), k)
 
 
+RESCORE_WINDOW = 30   # top-R BM25 candidates eligible for phase 2
+RESCORE_WEIGHT = 2.0  # phrase-bonus weight in the blended score
+
+
+def phrase_rescore_topk(
+    spark: SparkSession, docs: DataFrame, phrase: list[str], k: int = TOPK,
+    window_size: int = RESCORE_WINDOW,
+) -> DataFrame:
+    """Two-phase ranking (the ES ``rescore`` API / Lucene
+    QueryRescorer shape): phase 1 retrieves the top-``window_size``
+    docs by cheap disjunctive BM25 over the phrase's words; phase 2
+    re-orders ONLY that window with an exact-phrase adjacency bonus —
+    ``final = round(bm25 + RESCORE_WEIGHT · ln(1 + phrase_freq), 4)``.
+    Docs where the words appear adjacent in order outrank equal-BM25
+    docs where they are scattered, without paying positional evaluation
+    on the full matching set.
+
+    Scale shape: the expensive positional pass is gated behind a
+    broadcast semi-join on the ≤``window_size`` candidate ids, so
+    phase-2 cost is O(window), independent of corpus size — the whole
+    point of rescore windows. (The persisted-index analogue would prune
+    the positional sidecar by term and generation the same way
+    ``QueryEngine.phrase`` does.)
+    """
+    from search_engine_spark.ops.search_sql import bm25_scores
+
+    cand = (
+        bm25_scores(spark, docs, sorted(set(phrase)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window_size)
+        .select("doc_id", "score")
+    )
+    pp = positional_postings(docs).join(
+        F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
+    )
+    pf = (
+        occurrences_from_positions(pp, phrase)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("pf"))
+    )
+    return (
+        cand.join(pf, "doc_id", "left")
+        .withColumn("pf", F.coalesce(F.col("pf"), F.lit(0)).cast("int"))
+        .withColumn(
+            "final",
+            F.round(
+                F.col("score")
+                + RESCORE_WEIGHT * F.log(F.lit(1.0) + F.col("pf")),
+                4,
+            ),
+        )
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "pf", "final")
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _T = duck_tokens("text")
@@ -281,3 +338,32 @@ FROM d
     "search_phrase_topk": _phrase_topk_sql(PHRASE_MAIN),
     "search_phrase_topk_tri": _phrase_topk_sql(PHRASE_TRI),
 }
+
+
+def _phrase_rescore_sql(phrase: list[str], k: int = TOPK,
+                        window_size: int = RESCORE_WINDOW) -> str:
+    """Twin of :func:`phrase_rescore_topk`: phase 1 reuses the shared
+    BM25 scores CTE; phase 2's phrase count is the independent
+    closed-form window scan (NOT the leg-offset algorithm)."""
+    from search_engine_spark.ops.search_sql import _scores_cte
+
+    return _scores_cte(sorted(set(phrase))) + f""",
+cand AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {window_size}
+),
+d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pfq AS (
+  SELECT c.doc_id, c.score,
+         CAST({_pf_expr(phrase)} AS INTEGER) AS pf
+  FROM cand c JOIN d USING (doc_id)
+)
+SELECT doc_id, score, pf,
+       round(score + {RESCORE_WEIGHT} * ln(1.0 + pf), 4) AS final
+FROM pfq
+ORDER BY final DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_SQL["search_phrase_rescore"] = _phrase_rescore_sql(PHRASE_MAIN)

@@ -379,6 +379,52 @@ def candidate_page(
     )
 
 
+def bm25_topk_after(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Keyset (search-after) pagination — the ES ``search_after`` /
+    Lucene ``searchAfter`` analogue, and the scale-correct upgrade over
+    OFFSET paging (:func:`candidate_page`): the cursor is the
+    (score, doc_id) sort key of the last hit already served, and the
+    next page is the top-k of rows STRICTLY after it in
+    (score DESC, doc_id ASC) order. OFFSET paging scans and discards
+    ``page·size`` rows per request — O(depth) per page — while the
+    cursor predicate here prunes before the top-k, so page 10^4 costs
+    the same as page 1. doc_id is unique, so the cursor defines a total
+    order and pages never skip or repeat rows.
+
+    ``after=None`` (the gate query) derives the cursor declaratively
+    from page 1 itself: the k-th hit's key via a 1-row broadcast cross
+    join — so the whole two-page round trip is one lazy plan the oracle
+    can mirror. In production the client passes the tuple back.
+    """
+    scored = bm25_scores(spark, docs, terms)
+    if after is None:
+        cursor = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
+            .select(F.col("score").alias("c_score"),
+                    F.col("doc_id").alias("c_doc"))
+        )
+        filtered = scored.crossJoin(F.broadcast(cursor)).where(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score"))
+               & (F.col("doc_id") > F.col("c_doc")))
+        )
+    else:
+        s, d = after
+        filtered = scored.where(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        )
+    return (
+        filtered.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 def total_hits(spark: SparkSession, docs: DataFrame, terms: list[str]) -> DataFrame:
     """Total distinct matching docs (reference GetTotalPages,
     `store.go:172-186`, SURVEY §2.4 A5) — the SQL-checkable twin of
@@ -1053,6 +1099,21 @@ SELECT query_id, doc_id, score, matched, CAST(rk AS INTEGER) AS rk FROM (
     "search_candidate_page_2": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC"
     + f" LIMIT {CANDIDATE_K} OFFSET {CANDIDATE_K}",
+    "search_bm25_after": _scores_cte(QUERY_MAIN)
+    + f""",
+page1 AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+),
+cursor AS (
+  SELECT score AS c_score, doc_id AS c_doc FROM page1
+  ORDER BY score ASC, doc_id DESC LIMIT 1
+)
+SELECT s.doc_id, s.score, s.matched
+FROM scored s CROSS JOIN cursor c
+WHERE s.score < c.c_score OR (s.score = c.c_score AND s.doc_id > c.c_doc)
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}
+""",
     "search_total_hits": f"""
 WITH {_POST},
 q(term) AS (VALUES {_q_values(QUERY_MAIN)})

@@ -321,7 +321,8 @@ class QueryEngine:
     # ---- primary: pure BM25 top-k ----
     def bm25(self, query: str, k: int = 10, wand: bool | None = None,
              spell: bool = False, page: int = 0, min_match: int = 1,
-             exclude: list[str] | None = None) -> DataFrame:
+             exclude: list[str] | None = None,
+             after: tuple[float, int, str, int] | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
@@ -341,7 +342,18 @@ class QueryEngine:
         boolean queries route through the exhaustive-decode path (a
         per-salt WAND top-k could evict a doc that the filter would
         have promoted). The ``matched``-aware θ-tightening that would
-        let WAND prune under min_match is documented future work."""
+        let WAND prune under min_match is documented future work.
+
+        ``after`` is a keyset cursor (ES search_after / Lucene
+        searchAfter): the frozen-order sort key
+        ``(score, matched, path, doc_id)`` of the last hit already
+        served — the next page is the top-k strictly after it. Unlike
+        ``page`` (OFFSET semantics, O(page·k) rows materialized per
+        request), the cursor predicate prunes before the top-k, so deep
+        pagination costs the same as page 1; doc_id uniqueness makes
+        the order total, so pages never skip or repeat. Routed through
+        the exhaustive path for the same pre-top-k exactness reason as
+        the boolean filters."""
         if "*" in query:
             query, expansions = self.expand_prefix_terms(query)
             terms = sorted({*query_terms(query), *expansions})
@@ -351,7 +363,7 @@ class QueryEngine:
             terms = self.expand_query_terms(terms)
         exclude = sorted(set(exclude or []))
         idf_map, sum_df = self._term_info(terms)
-        if min_match > 1 or exclude:
+        if min_match > 1 or exclude or after is not None:
             wand = False  # filters are pre-top-k: exactness > pruning
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -378,6 +390,16 @@ class QueryEngine:
             )
             scored = scored.join(ex_ids, "doc_id", "left_anti")
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
+        if after is not None:
+            c_s, c_m, c_p, c_d = after
+            s, m, p = F.col("score"), F.col("matched"), F.col("path")
+            with_path = with_path.where(
+                (s < c_s)
+                | ((s == c_s) & (m < c_m))
+                | ((s == c_s) & (m == c_m) & (p < c_p))
+                | ((s == c_s) & (m == c_m) & (p == c_p)
+                   & (F.col("doc_id") > c_d))
+            )
         return self._offset_page(
             with_path, rank_order(with_path), page, k
         ).select("doc_id", "score", "matched", "path", *self._meta_cols)

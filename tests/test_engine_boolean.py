@@ -153,6 +153,32 @@ def test_explain_reconstructs_scores(booly):
             assert p["idf"] == pytest.approx(ix.idf(p["term"]), rel=1e-9)
 
 
+def test_search_after_keyset_pagination(booly):
+    eng, _ = booly
+    both = eng.bm25(QUERY, k=2 * K).collect()
+    assert len(both) > K, "fixture must have more than one page of hits"
+    cursor_row = both[K - 1]
+    cursor = (
+        cursor_row["score"], cursor_row["matched"],
+        cursor_row["path"], cursor_row["doc_id"],
+    )
+    page2 = eng.bm25(QUERY, k=K, after=cursor).collect()
+    # keyset page 2 == rows K..2K of the single-shot top-2K: no skips,
+    # no repeats, same frozen total order
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in both[K:2 * K]]
+    for g, w in zip(page2, both[K:2 * K]):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+    # a cursor at the very last hit pages past the end → empty
+    last = both[-1]
+    n_hits = eng.total_hits(QUERY)
+    if n_hits == len(both):
+        tail = eng.bm25(
+            QUERY, k=K,
+            after=(last["score"], last["matched"], last["path"], last["doc_id"]),
+        ).collect()
+        assert tail == []
+
+
 def test_oov_boolean_paths_are_empty(booly):
     eng, _ = booly
     assert eng.bm25("zzzunknownzzz", k=5, min_match=2).count() == 0

@@ -165,3 +165,25 @@ def test_retrieval_mode_invariants(spark):
         total = sum(r["partial"] for r in rows)
         assert total == pytest.approx(rows[0]["score"], abs=1e-3)
         assert rows[0]["score"] == pytest.approx(scored[doc_id][0])
+
+
+def test_search_after_keyset(spark):
+    """Keyset pagination algebra: page1 ++ after-page == the single-shot
+    top-2k (no skips, no repeats), both for the self-derived cursor
+    (gate shape) and an explicit client cursor."""
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = ss.TOPK
+    both = ss.bm25_topk(spark, docs, ss.QUERY_MAIN, k=2 * k).collect()
+    assert len(both) > k
+    page1, want2 = both[:k], both[k:2 * k]
+
+    got2 = ss.bm25_topk_after(spark, docs, ss.QUERY_MAIN, k=k).collect()
+    assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in want2]
+
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    got2b = ss.bm25_topk_after(
+        spark, docs, ss.QUERY_MAIN, k=k, after=cur
+    ).collect()
+    assert [r["doc_id"] for r in got2b] == [r["doc_id"] for r in want2]

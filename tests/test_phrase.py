@@ -130,3 +130,48 @@ def test_near_ordered_counts_exact(spark):
 
     want = {i: brute(t) for i, t in docs if brute(t) > 0}
     assert got == want and got[1] == 1 and 2 not in got and got[3] == 3
+
+
+def test_phrase_rescore_blends_and_bounds(spark):
+    """Two-phase rescore: (a) every hit comes from the phase-1 BM25
+    window, (b) final == bm25 + W·ln(1+pf) with pf the naive phrase
+    count, (c) an adjacent-phrase doc outranks a scattered-terms doc of
+    comparable BM25."""
+    import math
+
+    from search_engine_spark.ops.phrase import (
+        RESCORE_WEIGHT,
+        phrase_rescore_topk,
+    )
+    from search_engine_spark.ops.search_sql import bm25_scores
+
+    rows = [
+        (1, "hash table lookup in the hash table code", "en", "s", 40),
+        (2, "table of hash values and table of hash sums", "en", "s", 43),
+        (3, "hash hash hash table table table", "en", "s", 32),
+        (4, "unrelated content entirely", "en", "s", 26),
+        (5, "a hash table", "en", "s", 12),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    phrase = ["hash", "table"]
+    got = phrase_rescore_topk(spark, df, phrase, k=5, window_size=3).collect()
+    assert 0 < len(got) <= 3
+
+    window = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(spark, df, sorted(set(phrase)))
+        .orderBy("score", ascending=False)
+        .collect()[:3]
+    }
+    for r in got:
+        assert r["doc_id"] in window
+        pf = _naive_count(rows[r["doc_id"] - 1][1], phrase)
+        assert r["pf"] == pf
+        assert r["final"] == pytest.approx(
+            round(r["score"] + RESCORE_WEIGHT * math.log(1 + pf), 4), abs=1e-9
+        )
+    # doc 1 has two adjacent "hash table"; doc 2 has none — rescore must
+    # place 1 above 2 regardless of their raw BM25 order
+    ranks = {r["doc_id"]: i for i, r in enumerate(got)}
+    if 1 in ranks and 2 in ranks:
+        assert ranks[1] < ranks[2]
