@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "text_pii_scrub": lambda s, d: textstats.pii_scrub(_t(s, d, "documents")),
+        "text_cooccur_pmi": lambda s, d: textstats.cooccur_pmi(
+            _t(s, d, "documents")
+        ),
         "text_unigram_ll": lambda s, d: textstats.unigram_loglik(
             _t(s, d, "documents")
         ),

@@ -272,6 +272,69 @@ def unigram_loglik(docs: DataFrame) -> DataFrame:
     )
 
 
+PMI_TOP_V = 30   # co-occurrence vocabulary: top-V terms by df
+PMI_TOP_K = 50   # reported pairs
+
+
+def cooccur_pmi(docs: DataFrame, top_v: int = PMI_TOP_V,
+                k: int = PMI_TOP_K) -> DataFrame:
+    """Term co-occurrence PMI over the top-``top_v``
+    document-frequency vocabulary — the classic word-association /
+    collocation signal (Church & Hanks, CL 1990), used in pipelines for
+    collocation mining and corpus drift diagnostics.
+    ``pmi(a,b) = ln(N·c_ab / (df_a·df_b))`` at document granularity:
+    ``c_ab`` = #docs containing both terms.
+
+    Scale shape: the vocabulary cut makes the quadratic part row-local
+    and bounded — the V-row vocab broadcasts, each doc keeps ≤V
+    distinct terms, and pairs are generated from a per-doc sorted array
+    (``transform``+``slice`` comprehension, no corpus self-join), so
+    the exchange into the pair groupBy carries ≤ V(V−1)/2 rows per doc
+    with map-side partial aggregation. All counts are document counts
+    (exact integers on both engines); the one float is the final ln.
+    """
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col("text"))).alias("term"),
+    )
+    dfq = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vocab = dfq.orderBy(F.desc("df"), F.asc("term")).limit(top_v)
+    per_doc = (
+        dt.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("term")).alias("ts"))
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (a, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    cab = pairs.groupBy("term_a", "term_b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    dfa = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    dfb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        cab.join(F.broadcast(dfa), "term_a")
+        .join(F.broadcast(dfb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(F.col("n") * F.col("c_ab") / (F.col("df_a") * F.col("df_b"))),
+                4,
+            ),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(k)
+        .select("term_a", "term_b", "c_ab", "df_a", "df_b", "pmi")
+    )
+
+
 _UNIGRAM_SQL = f"""
 WITH post AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -296,8 +359,37 @@ def _duck_stop_ratio(toks: str, lst: str) -> str:
     )
 
 
+_COOCCUR_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+vocab AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT {PMI_TOP_V}),
+dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+),
+cab AS (
+  SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY term_a, term_b
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT c.term_a, c.term_b, c.c_ab, va.df AS df_a, vb.df AS df_b,
+       round(ln(n.n * c.c_ab / (va.df * vb.df)), 4) AS pmi
+FROM cab c
+JOIN vocab va ON va.term = c.term_a
+JOIN vocab vb ON vb.term = c.term_b
+CROSS JOIN n
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 ORACLE_SQL = {
     "text_unigram_ll": _UNIGRAM_SQL,
+    "text_cooccur_pmi": _COOCCUR_SQL,
     "text_token_stats": f"""
 WITH d AS (SELECT doc_id, text, {_T} AS toks FROM documents)
 SELECT doc_id,

@@ -66,6 +66,52 @@ def test_pii_scrub_counts(spark):
     assert got[1]["scrubbed_md5"] != hashlib.md5(ROWS[0][1].encode()).hexdigest()
 
 
+def test_cooccur_pmi_exact_counts(spark):
+    """PMI pairs vs a brute-force Python count on a fixture with known
+    co-occurrence structure (including a doc that repeats a term — PMI
+    is document-level, so repeats must not inflate c_ab)."""
+    import itertools
+    import math
+
+    from search_engine_spark.functions.tokenize import tokenize
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 16),
+        (2, "alpha beta", "en", "s", 10),
+        (3, "alpha alpha alpha gamma", "en", "s", 23),
+        (4, "beta delta", "en", "s", 10),
+        (5, "solo", "en", "s", 4),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = textstats.cooccur_pmi(df, top_v=4, k=50).collect()
+
+    docsets = [set(tokenize(t)) for _, t, *_ in rows]
+    dfc: dict[str, int] = {}
+    for s in docsets:
+        for t in s:
+            dfc[t] = dfc.get(t, 0) + 1
+    vocab = sorted(dfc, key=lambda t: (-dfc[t], t))[:4]
+    cab: dict[tuple[str, str], int] = {}
+    for s in docsets:
+        for a, b in itertools.combinations(sorted(s & set(vocab)), 2):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    n = len(rows)
+    want = {
+        pair: (c, dfc[pair[0]], dfc[pair[1]],
+               round(math.log(n * c / (dfc[pair[0]] * dfc[pair[1]])), 4))
+        for pair, c in cab.items()
+    }
+    got_map = {
+        (r["term_a"], r["term_b"]): (r["c_ab"], r["df_a"], r["df_b"], r["pmi"])
+        for r in got
+    }
+    assert got_map == want
+    # alpha+beta co-occur twice but each is common → lower PMI than the
+    # rarer exclusive pair; ordering column is the rounded pmi desc
+    pmis = [r["pmi"] for r in got]
+    assert pmis == sorted(pmis, reverse=True)
+
+
 def test_repetition_signals(spark):
     got = {r["doc_id"]: r.asDict()
            for r in textstats.repetition_stats(
