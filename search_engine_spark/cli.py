@@ -9,7 +9,7 @@ Usage:
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
-    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --near=W [--ordered]]
+    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --rescore --near=W [--ordered]]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
@@ -36,6 +36,9 @@ Query flags (reference-parity surface):
     --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
     --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
     --total         also print the total-hits count (GetTotalPages)
+    --rescore       two-phase ranking: BM25 top-30 window, then an
+                    exact-phrase adjacency bonus from the positional
+                    sidecar (needs --positions at build time)
     --phrase        exact-phrase retrieval (needs an index built with
                     store_positions; build flag: --positions)
     --near=W        proximity NEAR(a, b, W) over the first two query
@@ -108,7 +111,8 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
            page: int = 0, mode: str = "bm25", total: bool = False,
            phrase: bool = False, near: int = 0, ordered: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
-           syn: str = "", explain: bool = False) -> None:
+           syn: str = "", explain: bool = False,
+           rescore: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
@@ -150,6 +154,14 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
         for r in rows:
             print(f"{r['path']}: {r['score']:.6f}  (near x{r['pf']}, "
                   f"doc {r['doc_id']})")
+        return
+    if rescore:
+        rows = eng.rescore(query, k=k).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['final']:.6f}  (bm25 {r['score']:.6f} "
+                  f"+ phrase x{r['pf']}, doc {r['doc_id']})")
         return
     if phrase:
         rows = eng.phrase(query, k=k).collect()
@@ -269,7 +281,8 @@ def main(argv: list[str]) -> int:
                              if f.startswith("--not=")), None),
                syn=next((f.split("=", 1)[1] for f in flags
                          if f.startswith("--syn=")), ""),
-               explain="--explain" in flags)
+               explain="--explain" in flags,
+               rescore="--rescore" in flags)
     else:
         print(__doc__)
         return 2

@@ -578,6 +578,63 @@ class QueryEngine:
         dl = pp.select("doc_id", "dl").distinct()
         return self._rank_virtual_term(pf, dl, k)
 
+    def rescore(self, query: str, k: int = 10, window_size: int = 30,
+                weight: float = 2.0) -> DataFrame:
+        """Two-phase ranking over the persisted index (the ES
+        ``rescore`` API / Lucene QueryRescorer; SQL-checkable flavor:
+        ops/phrase.py::phrase_rescore_topk). Phase 1 retrieves the
+        top-``window_size`` docs through the ordinary compressed-index
+        BM25 path (WAND-eligible — the cheap pass stays prunable);
+        phase 2 reads the positional sidecar pruned to the query terms
+        AND the window's doc_ids (broadcast semi-join on ≤window_size
+        ids) and re-orders by ``final = bm25 + weight·ln(1 +
+        phrase_freq)`` — adjacent in-order occurrences of the query
+        outrank scattered-term docs of equal BM25, at O(window)
+        positional cost regardless of corpus size. Requires
+        ``store_positions=True``."""
+        from search_engine_spark.functions.tokenize import tokenize
+        from search_engine_spark.ops.phrase import occurrences_from_positions
+
+        phrase_terms = tokenize(query)
+        cand = self.bm25(query, k=window_size)
+        if not phrase_terms:
+            return cand.withColumn("pf", F.lit(0)).withColumn(
+                "final", F.col("score")
+            ).limit(k).select(
+                "doc_id", "score", "pf", "final", "matched", "path",
+                *self._meta_cols,
+            )
+        try:
+            positions = self.spark.read.parquet(f"{self.index_dir}/positions")
+        except Exception as e:  # noqa: BLE001 - missing sidecar
+            raise ValueError(
+                "no positional index — build with "
+                "EngineConfig(store_positions=True)"
+            ) from e
+        hit = positions.where(
+            F.col("term").isin(sorted(set(phrase_terms)))
+        ).join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        pp = hit.select("doc_id", "term", F.explode("positions").alias("pos"))
+        pf = (
+            occurrences_from_positions(
+                pp.select("doc_id", "pos", "term"), phrase_terms
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("pf"))
+        )
+        return (
+            cand.join(pf, "doc_id", "left")
+            .withColumn("pf", F.coalesce(F.col("pf"), F.lit(0)).cast("int"))
+            .withColumn(
+                "final",
+                F.col("score") + weight * F.log(F.lit(1.0) + F.col("pf")),
+            )
+            .orderBy(F.desc("final"), F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", "pf", "final", "matched", "path",
+                    *self._meta_cols)
+        )
+
     def _rank_virtual_term(self, pf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
         """Score a (doc_id, pf) virtual-term relation with BM25 (df =
         matching docs) and rank — shared by ``phrase`` and ``near``."""

@@ -59,6 +59,44 @@ def test_engine_phrase_matches_ops_algorithm(spark, pos_index):
         assert round(a["score"], 4) == pytest.approx(b["score"], abs=1e-4)
 
 
+def test_engine_rescore_blends_phrase_bonus(spark, pos_index):
+    """rescore == bm25 window re-ordered by score + w·ln(1+pf), with pf
+    the engine's own phrase counts over the window — cross-checked
+    against eng.bm25 and eng.phrase outputs."""
+    import math
+
+    ix, corpus = pos_index
+    q = _pick_phrase(spark, corpus)
+    eng = QueryEngine(spark, ix)
+    window_size, w = 15, 2.0
+    got = eng.rescore(q, k=10, window_size=window_size, weight=w).collect()
+    assert len(got) > 0
+    cand = eng.bm25(q, k=window_size).collect()
+    cand_ids = {r["doc_id"]: r["score"] for r in cand}
+    pf_map = {
+        r["doc_id"]: r["pf"]
+        for r in eng.phrase(q, k=10_000).collect()
+    }
+    want = sorted(
+        (
+            {
+                "doc_id": d,
+                "final": s + w * math.log(1 + pf_map.get(d, 0)),
+                "score": s,
+                "pf": pf_map.get(d, 0),
+            }
+            for d, s in cand_ids.items()
+        ),
+        key=lambda r: (-r["final"], -r["score"], r["doc_id"]),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert a["pf"] == b["pf"]
+        assert a["final"] == pytest.approx(b["final"], rel=1e-9)
+    # at least one hit actually carries a phrase bonus on this fixture
+    assert any(r["pf"] > 0 for r in got)
+
+
 def test_engine_phrase_spans_generations(spark, pos_index):
     """Positions exist for both generations and phrase hits include
     docs ingested by the extend."""
