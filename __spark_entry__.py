@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_batch": lambda s, d: search_sql.bm25_topk_batch(
             s, _t(s, d, "documents")
         ),
+        "search_rank_eval": lambda s, d: search_sql.rank_eval(
+            s, _t(s, d, "documents")
+        ),
         "search_total_hits": lambda s, d: search_sql.total_hits(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),

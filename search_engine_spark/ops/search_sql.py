@@ -241,6 +241,21 @@ def bm25_topk_batch(
     (query_id, doc_id), which partial (map-side) aggregation absorbs.
     """
     queries = BATCH_QUERIES if queries is None else queries
+    scored = _batch_scored(spark, docs, queries)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "matched", "rk")
+    )
+
+
+def _batch_scored(
+    spark: SparkSession, docs: DataFrame, queries: dict[str, list[str]]
+) -> DataFrame:
+    """All (query_id, doc_id, score, matched) rows for a query batch —
+    the shared scan+shuffle of :func:`bm25_topk_batch` and
+    :func:`rank_eval`."""
     post = postings(docs)
     dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
@@ -259,7 +274,7 @@ def bm25_topk_batch(
     tfn = (F.col("tf") * (BM25_K1 + 1)) / (
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         m.withColumn("partial", idf * tfn)
         .groupBy("query_id", "doc_id")
         .agg(
@@ -267,11 +282,72 @@ def bm25_topk_batch(
             F.count("*").cast("int").alias("matched"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-        .select("query_id", "doc_id", "score", "matched", "rk")
+
+
+def rank_eval(
+    spark: SparkSession, docs: DataFrame,
+    queries: dict[str, list[str]] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """Ranking-quality ledger for a query batch: nDCG@k and MRR@k of
+    the BM25 ranking against a deterministic graded-relevance oracle —
+    grade(doc) = number of distinct query terms it contains, full
+    relevance = all of them. The retrieval-quality twin of the ANN
+    recall ledgers (`sim_ann_recall`): run it per index build to catch
+    ranking regressions the same way recall@k catches ANN ones.
+
+    Per query: ``DCG@k = Σ_{rank≤k} (2^grade − 1)/log2(rank+1)`` over
+    the BM25 order (score DESC, doc_id ASC); IDCG@k is the same sum
+    over the ideal order (grade DESC, doc_id ASC); ``ndcg = DCG/IDCG``.
+    ``mrr_e6 = ⌊10^6/rank⌋`` of the first fully-matching hit in the
+    top-k (0 if none — e.g. a query with an OOV term can never fully
+    match). ``n_full`` counts fully-matching docs corpus-wide. Each
+    DCG term is floored at e9 fixed-point so the sum is an exact
+    integer on both engines (no float-association drift).
+
+    Scale shape: same single scan+shuffle as the batch retrieval (the
+    eval IS a batch retrieval); the two row_number windows share one
+    (query_id)-partitioned exchange; everything after is a per-query
+    aggregate of ≤matched-docs rows.
+    """
+    queries = BATCH_QUERIES if queries is None else queries
+    scored = _batch_scored(spark, docs, queries)
+    nt = inline_table(
+        spark,
+        [(qid, len(set(ts))) for qid, ts in sorted(queries.items())],
+        "query_id string, n_terms int",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("matched"), F.asc("doc_id")
+    )
+    r = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("irk", F.row_number().over(w_ideal))
+        .join(F.broadcast(nt), "query_id")
+    )
+    gain = F.pow(F.lit(2.0), F.col("matched")) - F.lit(1.0)
+    dcg_term = F.floor(
+        F.lit(1e9) * gain / F.log2(F.col("rk") + F.lit(1))
+    ).cast("long")
+    idcg_term = F.floor(
+        F.lit(1e9) * gain / F.log2(F.col("irk") + F.lit(1))
+    ).cast("long")
+    full = F.col("matched") == F.col("n_terms")
+    agg = r.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rk") <= k, dcg_term).otherwise(0)).alias("dcg_e9"),
+        F.sum(F.when(F.col("irk") <= k, idcg_term).otherwise(0)).alias("idcg_e9"),
+        F.min(F.when((F.col("rk") <= k) & full, F.col("rk"))).alias("ff"),
+        F.sum(full.cast("long")).alias("n_full"),
+    )
+    return agg.select(
+        "query_id",
+        F.round(F.col("dcg_e9") / F.col("idcg_e9"), 4).alias("ndcg"),
+        F.coalesce(
+            F.floor(F.lit(1_000_000) / F.col("ff")).cast("long"), F.lit(0)
+        ).alias("mrr_e6"),
+        F.col("n_full").cast("long").alias("n_full"),
     )
 
 
@@ -969,6 +1045,33 @@ scored AS (
 )"""
 
 
+_BATCH_SCORED_CTE = f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term) AS (VALUES {", ".join(
+    f"('{qid}', '{t}')"
+    for qid, ts in sorted(BATCH_QUERIES.items()) for t in sorted(set(ts))
+)}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+)"""
+
+
 ORACLE_SQL = {
     "search_postings": f"WITH {_POST} SELECT doc_id, term, tf FROM post",
     "search_term_stats": f"""
@@ -1063,36 +1166,39 @@ SELECT term, df FROM dfq
 WHERE starts_with(term, '{SUGGEST_PREFIX}')
 ORDER BY df DESC, term ASC LIMIT {SUGGEST_K}
 """,
-    "search_bm25_topk_batch": f"""
-WITH {_POST},
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
-),
-q(query_id, term) AS (VALUES {", ".join(
-    f"('{qid}', '{t}')"
-    for qid, ts in sorted(BATCH_QUERIES.items()) for t in sorted(set(ts))
-)}),
-scored AS (
-  SELECT q.query_id, p.doc_id,
-         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-               * (p.tf * ({BM25_K1} + 1)) /
-                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
-         CAST(count(*) AS INTEGER) AS matched
-  FROM post p
-  JOIN q USING (term)
-  JOIN dfq ON dfq.term = p.term
-  JOIN dl ON dl.doc_id = p.doc_id
-  CROSS JOIN stats
-  GROUP BY q.query_id, p.doc_id
-)
+    "search_bm25_topk_batch": _BATCH_SCORED_CTE + f"""
 SELECT query_id, doc_id, score, matched, CAST(rk AS INTEGER) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id ASC) AS rk
   FROM scored
 ) WHERE rk <= {TOPK}
+""",
+    "search_rank_eval": _BATCH_SCORED_CTE + f""",
+nt(query_id, n_terms) AS (VALUES {", ".join(
+    f"('{qid}', {len(set(ts))})" for qid, ts in sorted(BATCH_QUERIES.items())
+)}),
+r AS (
+  SELECT s.query_id, s.doc_id, s.score, s.matched, nt.n_terms,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rk,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.matched DESC, s.doc_id ASC) AS irk
+  FROM scored s JOIN nt USING (query_id)
+)
+SELECT query_id,
+       round(
+         CAST(sum(CASE WHEN rk <= {TOPK} THEN
+             CAST(floor(1e9 * (pow(2, matched) - 1) / log2(rk + 1)) AS BIGINT)
+           ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CASE WHEN irk <= {TOPK} THEN
+             CAST(floor(1e9 * (pow(2, matched) - 1) / log2(irk + 1)) AS BIGINT)
+           ELSE 0 END) AS DOUBLE), 4) AS ndcg,
+       CAST(coalesce(floor(1000000 / min(
+         CASE WHEN rk <= {TOPK} AND matched = n_terms THEN rk END)), 0)
+         AS BIGINT) AS mrr_e6,
+       CAST(sum(CASE WHEN matched = n_terms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full
+FROM r GROUP BY query_id
 """,
     "search_candidate_page": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, matched FROM scored ORDER BY matched DESC, doc_id ASC LIMIT {CANDIDATE_K}",

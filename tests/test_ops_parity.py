@@ -167,6 +167,50 @@ def test_retrieval_mode_invariants(spark):
         assert rows[0]["score"] == pytest.approx(scored[doc_id][0])
 
 
+def test_rank_eval_matches_bruteforce(spark):
+    """nDCG@k / MRR@k ledger vs an independent Python computation over
+    the same scored set (grades = matched term counts)."""
+    import math
+
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = ss.TOPK
+    got = {r["query_id"]: r for r in ss.rank_eval(spark, docs).collect()}
+    batch = ss._batch_scored(spark, docs, ss.BATCH_QUERIES).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    for qid, terms in ss.BATCH_QUERIES.items():
+        rows = by_q[qid]
+        n_terms = len(set(terms))
+        ranked = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+        ideal = sorted(rows, key=lambda r: (-r["matched"], r["doc_id"]))
+        dcg = sum(
+            math.floor(1e9 * (2 ** r["matched"] - 1) / math.log2(i + 2))
+            for i, r in enumerate(ranked[:k])
+        )
+        idcg = sum(
+            math.floor(1e9 * (2 ** r["matched"] - 1) / math.log2(i + 2))
+            for i, r in enumerate(ideal[:k])
+        )
+        ff = next(
+            (i + 1 for i, r in enumerate(ranked[:k])
+             if r["matched"] == n_terms),
+            None,
+        )
+        g = got[qid]
+        assert g["ndcg"] == pytest.approx(round(dcg / idcg, 4), abs=1e-9)
+        assert g["mrr_e6"] == (1_000_000 // ff if ff else 0)
+        assert g["n_full"] == sum(1 for r in rows if r["matched"] == n_terms)
+    # the OOV-term query can never fully match → MRR must be 0 there
+    assert got["q_mixed"]["mrr_e6"] == 0
+    # single-term query: every matched doc has grade 1, so all gains are
+    # equal and any order is ideal ⇒ nDCG exactly 1
+    assert got["q_single"]["ndcg"] == 1.0
+
+
 def test_search_after_keyset(spark):
     """Keyset pagination algebra: page1 ++ after-page == the single-shot
     top-2k (no skips, no repeats), both for the self-derived cursor
