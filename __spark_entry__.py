@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(_t(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash(_t(s, d, "documents")),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_hamming_pairs(
+            _t(s, d, "documents")
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents")
         ),

@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 from search_engine_spark.ops.sqltwin import (
     duck_minhash_perm,
     duck_term_hash31,
+    duck_term_hash60,
     duck_tokens,
     minhash_perm,
     term_hash31,
+    term_hash60,
     tokens_col,
 )
 
@@ -198,6 +200,106 @@ def simhash(docs: DataFrame) -> DataFrame:
         for b in range(SIMHASH_BITS)
     )
     return w.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# Manku-style Hamming-ball near-dup search (WWW'07 §3): 60-bit signature
+# split into HAM_BLOCKS exact-match blocks. Pigeonhole: a pair within
+# Hamming distance HAM_MAX_HD (< HAM_BLOCKS) agrees on >= 1 full block,
+# so the block-bucket equi-join is a COMPLETE candidate generator and
+# the bit_count(xor) verify is exact — never an all-pairs comparison.
+SIMHASH64_BITS = 60          # fits int64 (bit 59 max); md5-derived, portable
+HAM_BLOCKS = 4
+HAM_BLOCK_BITS = SIMHASH64_BITS // HAM_BLOCKS   # 15 bits -> 32768 values
+HAM_MAX_HD = 3
+
+
+def simhash60(docs: DataFrame) -> DataFrame:
+    """60-bit tf-weighted SimHash per doc (integer-exact, JVM-only).
+
+    Same bit-majority construction as :func:`simhash` but over the full
+    60-bit portable term hash — wide enough that block buckets
+    (15 bits) stay selective at corpus scale. One tokenize pass + one
+    (doc_id, term) shuffle; the 60 per-bit weights are columns of a
+    single aggregate, not 60 passes.
+    """
+    toks = tokens_col("text")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", term_hash60(F.col("term")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.col("tf") * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"w_{b}")
+        for b in range(SIMHASH64_BITS)
+    ]
+    w = tf.groupBy("doc_id").agg(*bit_aggs)
+    sim = sum(
+        F.when(F.col(f"w_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH64_BITS)
+    )
+    return w.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hd: int = HAM_MAX_HD,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hd`` of the 60-bit
+    SimHash — the third member of the near-dup family (MinHash-LSH sees
+    set overlap, SimHash sees weighted-profile proximity).
+
+    Scale shape mirrors :func:`lsh_candidate_pairs`: exact-dedup
+    canonicalization first (identical docs can't pile into one block
+    bucket), block-bucket self-join as the ONLY pair generator
+    (complete for ``max_hd`` < ``HAM_BLOCKS`` by pigeonhole), window
+    ``bucket_cap`` on the same exchange for hash-pile-up skew, then the
+    exact ``bit_count(xor)`` verify on candidates only.
+    """
+    from pyspark.sql import Window
+
+    if canonicalize:
+        docs = exact_representatives(docs)
+    sigs = simhash60(docs)
+    mask = (1 << HAM_BLOCK_BITS) - 1
+    block_cols = [
+        F.concat_ws(
+            "-",
+            F.lit(b),
+            F.shiftright(F.col("simhash"), b * HAM_BLOCK_BITS)
+            .bitwiseAND(F.lit(mask)),
+        )
+        for b in range(HAM_BLOCKS)
+    ]
+    keys = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*block_cols)).alias("bkey")
+    )
+    if bucket_cap is not None:
+        keys = (
+            keys.withColumn("bsz", F.count("*").over(Window.partitionBy("bkey")))
+            .where(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+    hd = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        keys.alias("a")
+        .join(keys.alias("b"), on="bkey")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sim_a").alias("sim_a"), F.first("sim_b").alias("sim_b"))
+        .where(hd <= max_hd)
+        .select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
+    )
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
@@ -490,6 +592,39 @@ SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
 FROM j
 WHERE round(CAST(inter AS DOUBLE) / un, 4) >= {JACCARD_THRESHOLD}
+""",
+    # Hamming-ball near-dup pairs: 60-bit simhash over exact-dedup
+    # representatives, 4x15-bit block buckets (capped), bit_count(xor)
+    # verify — same algorithm, independently expressed.
+    "dedup_simhash_pairs": f"""
+WITH {_REPS},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, {duck_term_hash60('term')} AS h
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM docs_r)
+  GROUP BY doc_id, term
+), w AS (
+  SELECT doc_id,
+         {', '.join(f"sum(tf * (((h >> {b}) & 1) * 2 - 1)) AS w_{b}" for b in range(SIMHASH64_BITS))}
+  FROM tf GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+         CAST({' + '.join(f"(CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH64_BITS))} AS BIGINT) AS simhash
+  FROM w
+), keys AS (
+  SELECT doc_id, simhash,
+         concat_ws('-', b.b, (simhash >> (b.b * {HAM_BLOCK_BITS})) & {(1 << HAM_BLOCK_BITS) - 1}) AS bkey
+  FROM sigs, (SELECT unnest(range(0, {HAM_BLOCKS})) AS b) b
+), okk AS (
+  SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= {LSH_BUCKET_CAP}
+), keys2 AS (
+  SELECT k.doc_id, k.simhash, k.bkey FROM keys k JOIN okk USING (bkey)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM keys2 a JOIN keys2 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {HAM_MAX_HD}
 """,
     # clustering stage: min-id connected components over the exact+near
     # duplicate relation. Independent algorithm on the oracle side —

@@ -64,6 +64,12 @@ def term_hash31(col: Column) -> Column:
     ).cast("long")
 
 
+def term_hash60(col: Column) -> Column:
+    """Portable 60-bit term hash: first 15 md5 hex chars as an integer
+    (< 2^60, so exact in int64 on both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_perm(h31: Column, j: int) -> Column:
     """j-th universal-hash permutation of a 31-bit hash: (a*h+b) mod p.
 
@@ -97,6 +103,10 @@ def duck_term_hash31(col: str) -> str:
         f"(CAST(concat('0x', substring(md5({col}), 1, 15)) AS BIGINT)"
         f" % {MERSENNE31})"
     )
+
+
+def duck_term_hash60(col: str) -> str:
+    return f"CAST(concat('0x', substring(md5({col}), 1, 15)) AS BIGINT)"
 
 
 def duck_minhash_perm(h31_sql: str, j: int) -> str:

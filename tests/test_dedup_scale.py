@@ -109,3 +109,79 @@ def test_prefilter_matches_standalone_on_near_dups(spark):
          for r in ngram_jaccard_pairs(docs, threshold=0.4, prefilter=False).collect()}
     assert a == b
     assert (1, 2) in {(x, y) for x, y, _ in a}
+
+
+def test_simhash_hamming_pairs_detects_and_bounds(spark, identical_cluster):
+    """Hamming-ball pairs: a planted near-dup (one word swapped in a
+    long doc) lands within HAM_MAX_HD; unrelated docs don't pair; and
+    the 1000-identical-doc cluster contributes zero pairs (exact-dedup
+    canonicalization runs first)."""
+    from search_engine_spark.ops.dedup import simhash_hamming_pairs
+
+    # long doc: a single-token swap moves each bit-weight by at most 2
+    # against a sigma-20 weight distribution, so the signature moves
+    # only a bit or two — the regime simhash is built for
+    # NB: tokens must be purely alphabetic — the frozen tokenizer drops
+    # anything with digits
+    import string
+
+    letters = string.ascii_lowercase
+    words = ["tok" + letters[i // 26] + letters[i % 26] for i in range(400)]
+    base = " ".join(words)
+    near = base.replace("tokbo ", "swapped ")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near),
+         (3, "entirely unrelated content about databases and storage")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_hamming_pairs(docs).collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+    # mega-cluster: byte-identical docs collapse before the block join
+    pairs = simhash_hamming_pairs(identical_cluster)
+    assert pairs.where((F.col("doc_a") < 1000) & (F.col("doc_b") < 1000)).count() == 0
+
+
+def test_simhash_hamming_completeness_vs_bruteforce(spark):
+    """Pigeonhole completeness: every pair within HAM_MAX_HD that brute
+    force finds, the block-join path finds too (cap disabled)."""
+    from search_engine_spark.ops.dedup import (
+        HAM_MAX_HD,
+        simhash60,
+        simhash_hamming_pairs,
+    )
+
+    import string
+
+    letters = string.ascii_lowercase
+
+    def word(i: int, j: int) -> str:  # purely alphabetic (tokenizer-safe)
+        return ("w" + letters[i // 26] + letters[i % 26]
+                + letters[j // 26] + letters[j % 26])
+
+    # 120 tokens/doc: a 1-token swap moves each bit weight by ±2 against
+    # sigma≈11, so most (not all) siblings stay within HAM_MAX_HD —
+    # verified offline: 8 of 10 planted pairs are at hd ≤ 3
+    rows = []
+    for i in range(30):
+        words = [word(i, j) for j in range(120)]
+        rows.append((100 + i, " ".join(words)))
+        # a near-dup sibling for every third doc
+        if i % 3 == 0:
+            words[5] = "changed"
+            rows.append((200 + i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash60(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= HAM_MAX_HD
+    }
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_hamming_pairs(docs, bucket_cap=None).collect()}
+    assert got == brute
+    assert brute  # fixture actually plants detectable near-dups

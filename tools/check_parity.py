@@ -77,10 +77,20 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        # Driver-hash hazard: DuckDB HUGEINT reaches pandas as float64
+        # while Spark emits BIGINT — values can match here yet the
+        # driver's value-hash still diverges. Treat as a failure.
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t.upper()]
+        if huge:
+            failures.append((name, f"HUGEINT oracle columns {huge}"))
+            print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
+                  "(driver reads as float64; add CAST(... AS BIGINT))")
             continue
         sc, scn = _canon(srows, scols)
         dc, dcn = _canon(drows, dcols)
