@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops import cardinality, decontam, dedup, multimodal, packing, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, spandedup, subtoken, textstats, trigram
+from search_engine_spark.ops import bpe, cardinality, decontam, dedup, multimodal, packing, phrase, pipeline, regexsearch, relational, sampling, search_sql, similarity, sketch, spandedup, subtoken, textstats, trigram
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles_bottomk": lambda s, d: sketch.quantile_sketch_bottomk(
             _t(s, d, "events")
         ),
+        "bpe_merges": lambda s, d: bpe.bpe_merges(s, _t(s, d, "documents")),
+        "bpe_encode": lambda s, d: bpe.bpe_encode(s, _t(s, d, "documents")),
         "text_distinct_hll": lambda s, d: cardinality.distinct_tokens_hll(
             _t(s, d, "documents")
         ),
@@ -394,6 +396,7 @@ WHERE lang IN ('en', 'es')
     out.update(sketch.ORACLE_SQL)
     out.update(cardinality.ORACLE_SQL)
     out.update(packing.ORACLE_SQL)
+    out.update(bpe.oracle_sql_bpe())
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)

@@ -1,0 +1,113 @@
+"""Distributed BPE (ops/bpe.py) vs a pure-Python Sennrich reference:
+the learned merge sequence, the greedy merge-application semantics
+(including the overlapping l==r run-parity case), and the encode stats
+must all match an independent sequential implementation. Gate parity
+(vs the DuckDB chain-CTE twin) lives in check_parity via
+bpe_merges / bpe_encode."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from search_engine_spark.functions.tokenize import tokenize
+from search_engine_spark.ops import bpe
+from search_engine_spark.ops.bpe import apply_merge
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- pure-Python reference
+
+def ref_apply(syms: list[str], l: str, r: str) -> list[str]:
+    """Greedy left-to-right merge — the sequential scan the array
+    expression must reproduce."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_train(texts: list[str], n_merges: int):
+    words = Counter()
+    for t in texts:
+        words.update(tokenize(t))
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    merges = []
+    for k in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # tie-break: count desc, then l asc, r asc — frozen in bpe.py
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, l, r, l + r, cnt))
+        for v in vocab.values():
+            v[0] = ref_apply(v[0], l, r)
+    return merges, {w: v[0] for w, v in vocab.items()}
+
+
+# --------------------------------------------------------------- tests
+
+APPLY_CASES = [
+    (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+    (["a", "a", "a"], "a", "a", ["aa", "a"]),
+    (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+    (["a", "a", "a", "a", "a"], "a", "a", ["aa", "aa", "a"]),
+    (["b", "a", "a", "a"], "a", "a", ["b", "aa", "a"]),
+    (["a", "b"], "b", "a", ["a", "b"]),
+    (["x"], "x", "x", ["x"]),
+    (["a", "b", "b", "b", "a"], "b", "b", ["a", "bb", "b", "a"]),
+]
+
+
+def test_apply_merge_matches_greedy_scan(spark):
+    rows = [(i, syms) for i, (syms, _, _, _) in enumerate(APPLY_CASES)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for i, (syms, l, r, want) in enumerate(APPLY_CASES):
+        got = (
+            df.where(F.col("i") == i)
+            .select(apply_merge(F.col("syms"), l, r).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == want == ref_apply(syms, l, r), (syms, l, r)
+
+
+def _docs(spark, fixture_dir):
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    return corpus.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+    )
+
+
+def test_train_matches_python_reference(spark, fixture_dir):
+    docs = _docs(spark, fixture_dir)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want_merges, want_vocab = ref_train(texts, n_merges=6)
+
+    got_merges, words = bpe.train_bpe(spark, docs, n_merges=6)
+    assert got_merges == want_merges
+
+    got_vocab = {
+        r["term"]: list(r["syms"]) for r in words.select("term", "syms").collect()
+    }
+    words.unpersist()
+    assert got_vocab == want_vocab
+
+
+def test_encode_conserves_tokens(spark, fixture_dir):
+    docs = _docs(spark, fixture_dir)
+    out = bpe.bpe_encode(spark, docs, n_merges=4).collect()
+    assert len(out) > 0
+    for r in out:
+        # every token yields >=1 subword, <= its char length
+        assert 0 < r["n_tokens"] <= r["n_subwords"] or r["n_subwords"] >= r["n_tokens"]
+        assert r["n_subwords"] >= r["n_tokens"]
