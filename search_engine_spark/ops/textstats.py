@@ -461,8 +461,10 @@ SELECT d.doc_id,
        CASE WHEN len(lines) > 0 THEN
          ((len(lines) - len(list_distinct(lines)))::BIGINT * 1000000) // len(lines)
        ELSE 0 END AS dup_line_frac_e6,
-       CASE WHEN t.n_bg > 0 THEN (t.top_bg::BIGINT * 1000000) // t.n_bg
-       ELSE 0 END AS top_bigram_share_e6
+       -- n_bg is sum(BIGINT) = HUGEINT in DuckDB; without the outer CAST
+       -- the // result is HUGEINT too, which the driver hashes as float64
+       CAST(CASE WHEN t.n_bg > 0 THEN (t.top_bg::BIGINT * 1000000) // t.n_bg
+       ELSE 0 END AS BIGINT) AS top_bigram_share_e6
 FROM d LEFT JOIN t ON d.doc_id = t.doc_id
 """,
     "text_pii_scrub": f"""
