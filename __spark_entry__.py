@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "text_pii_scrub": lambda s, d: textstats.pii_scrub(_t(s, d, "documents")),
+        "text_keywords": lambda s, d: textstats.keywords_tfidf(
+            _t(s, d, "documents")
+        ),
         "text_cooccur_pmi": lambda s, d: textstats.cooccur_pmi(
             _t(s, d, "documents")
         ),

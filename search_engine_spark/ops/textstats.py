@@ -272,6 +272,53 @@ def unigram_loglik(docs: DataFrame) -> DataFrame:
     )
 
 
+KW_TOP_K = 5  # keywords reported per document
+
+
+def keywords_tfidf(docs: DataFrame, k: int = KW_TOP_K) -> DataFrame:
+    """Per-doc top-k keywords by tf·idf (smoothed idf = ln((N+1)/(df+1)),
+    always ≥ 0) — the keyword-extraction feature a training-data
+    pipeline attaches to each document, and the batch generalization of
+    the MoreLikeThis seed-term derivation (search_sql.more_like_this
+    ranks ONE doc's terms the same way).
+
+    Plan shape: the postings aggregate is the same term-keyed shuffle
+    the index build uses; df rides a second aggregate of that result
+    (vocab-sized); the per-doc top-k is a doc_id-partitioned window —
+    at scale the row_number cutoff pushes below the exchange
+    (WindowGroupLimit), so only k rows per doc reach the final stage.
+    Ranking is on the 6-dp-rounded weight with a term tie-break, the
+    established cross-engine float protocol (cf. more_like_this)."""
+    post = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dft = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        post.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.round("w", 4).alias("score"),
+        )
+    )
+
+
 PMI_TOP_V = 30   # co-occurrence vocabulary: top-V terms by df
 PMI_TOP_K = 50   # reported pairs
 
@@ -389,6 +436,27 @@ LIMIT {PMI_TOP_K}
 
 ORACLE_SQL = {
     "text_unigram_ll": _UNIGRAM_SQL,
+    "text_keywords": f"""
+WITH post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf * ln((nn.n + 1.0) / (d.df + 1.0)), 6) AS w
+  FROM post p JOIN dft d ON p.term = d.term, nn
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, round(w, 4) AS score
+FROM (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rk
+  FROM s
+)
+WHERE rk <= {KW_TOP_K}
+""",
     "text_cooccur_pmi": _COOCCUR_SQL,
     "text_token_stats": f"""
 WITH d AS (SELECT doc_id, text, {_T} AS toks FROM documents)

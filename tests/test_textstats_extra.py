@@ -125,3 +125,31 @@ def test_repetition_signals(spark):
     assert got[6]["top_bigram_share_e6"] == 1_000_000
     # degenerate docs never NULL out
     assert got[3]["top_bigram_share_e6"] == 0 and got[4]["top_bigram_share_e6"] == 0
+
+
+def test_keywords_tfidf_prefers_rare_terms(spark):
+    rows = [
+        (1, "common common common rareword common filler tokens here", "en", "s", 0),
+        (2, "common filler tokens here and more common text", "en", "s", 0),
+        (3, "common filler tokens here too with common text", "en", "s", 0),
+    ]
+    got = textstats.keywords_tfidf(
+        spark.createDataFrame(rows, SCHEMA), k=3
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # top-k, ranks contiguous from 1, scores non-increasing
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # the doc-1-exclusive term outranks corpus-wide terms despite tf=1;
+    # 'common' (df=N, smoothed idf=0) may pad the top-k when a doc has
+    # fewer than k positive-weight terms, but only ever at score 0
+    assert by_doc[1][0]["term"] == "rareword"
+    assert all(
+        r["score"] == 0.0
+        for rs in by_doc.values() for r in rs if r["term"] == "common"
+    )
