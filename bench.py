@@ -158,9 +158,14 @@ def main() -> int:
         total = time.perf_counter() - t_all
 
         # ---- scaling evidence (north_rule): same job at N and 4N ----
-        scaling = None
+        # VERDICT r02 item 2: the full scaling block (with provenance
+        # notes) made the r2 JSON line outgrow the driver's ~2.2 KB tail
+        # capture and left BENCH_r02 `parsed: null`. The full block now
+        # goes to SCALING_REPORT.json; the printed line carries only a
+        # pointer + the raw-efficiency scalars, and is printed LAST.
+        scaling_summary = None
         if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-            scaling = _scaling_evidence()
+            scaling_summary = _scaling_summary(_scaling_evidence())
         out = {
             "metric": "index_build+bm25+pipeline_ops",
             "value": round(total, 3),
@@ -172,12 +177,52 @@ def main() -> int:
             "bm25_p50_sec": round(timings["bm25_p50"], 4),
             "cores": cores,
         }
-        if scaling is not None:
-            out["scaling"] = scaling
-        print(json.dumps(out))
+        if scaling_summary is not None:
+            out["scaling"] = scaling_summary
+        line = json.dumps(out)
+        if len(line) > 2000:  # belt-and-braces: never outgrow the capture
+            out.pop("scaling", None)
+            out["scaling_file"] = "SCALING_REPORT.json"
+            line = json.dumps(out)
+        sys.stdout.flush()
+        print(line, flush=True)
         return 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _scaling_summary(full: dict) -> dict:
+    """Write the full scaling block to SCALING_REPORT.json and return a
+    compact summary for the one-line bench JSON. Only the RAW N→4N
+    efficiencies are normative: ceiling-adjusted figures can exceed 1.0
+    when the same-interval spin ceiling is itself degraded (ADVICE r02),
+    so they live in the report file as diagnostics, never in the
+    pass/fail summary."""
+    report = Path(__file__).resolve().parent / "SCALING_REPORT.json"
+    try:
+        report.write_text(json.dumps(full, indent=1))
+    except Exception:  # noqa: BLE001
+        pass
+    best = full.get("best_measured", {})
+    summary = {"file": "SCALING_REPORT.json", "criterion": ">=0.8 raw N->4N"}
+    if "scaling_efficiency" in full:  # live run succeeded
+        summary.update(
+            live_local4_secs=full.get("runs", {}).get("local[4]", {}).get("secs"),
+            live_local16_secs=full.get("runs", {}).get("local[16]", {}).get("secs"),
+            live_raw_efficiency=full.get("scaling_efficiency"),
+            live_interval_degraded=full.get("interval_degraded"),
+        )
+    elif "error" in full:
+        summary["live_error"] = str(full["error"])[:120]
+    if best:
+        summary.update(
+            best_local4_secs=best.get("local4_secs"),
+            best_local16_secs=best.get("local16_secs"),
+            best_raw_whole_build=best.get("whole_build_efficiency"),
+            best_raw_postings=best.get("postings_stage_efficiency"),
+            passes_raw=best.get("passes_raw"),
+        )
+    return summary
 
 
 def _scaling_evidence() -> dict:
@@ -219,8 +264,11 @@ def _scaling_evidence() -> dict:
         "whole_build_efficiency": 0.827,
         "postings_stage_efficiency": 0.900,
         "host_ceiling_efficiency": 0.733,
-        "vs_ceiling_whole_build": 1.128,
-        "vs_ceiling_postings": 1.228,
+        # vs_ceiling figures >1.0 mean the spin ceiling measured on that
+        # degraded interval is NOT a valid normalizer (ADVICE r02) —
+        # diagnostics only; the pass is keyed solely on the raw numbers.
+        "vs_ceiling_whole_build_nonnormative": 1.128,
+        "vs_ceiling_postings_nonnormative": 1.228,
         "criterion": ">=0.8",
         "passes_raw": True,
         # best ceiling-adjusted run (word-aligned codec A/B, BASELINE.md
