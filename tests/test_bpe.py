@@ -107,7 +107,54 @@ def test_encode_conserves_tokens(spark, fixture_dir):
     docs = _docs(spark, fixture_dir)
     out = bpe.bpe_encode(spark, docs, n_merges=4).collect()
     assert len(out) > 0
+    # per-doc char budget: every token yields >=1 subword and at most
+    # len(token) subwords (merges only ever shrink the symbol count)
+    char_len = {
+        r["doc_id"]: sum(len(t) for t in tokenize(r["text"]))
+        for r in docs.collect()
+    }
     for r in out:
-        # every token yields >=1 subword, <= its char length
-        assert 0 < r["n_tokens"] <= r["n_subwords"] or r["n_subwords"] >= r["n_tokens"]
+        assert r["n_tokens"] >= 1
         assert r["n_subwords"] >= r["n_tokens"]
+        assert r["n_subwords"] <= char_len[r["doc_id"]]
+
+
+def test_local_trainer_matches_distributed(spark, fixture_dir):
+    """train_bpe_local (one driver sync) must be bit-identical to the
+    per-merge-sync distributed trainer and the Python reference."""
+    docs = _docs(spark, fixture_dir)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want_merges, want_vocab = ref_train(texts, n_merges=6)
+
+    got_merges, got_vocab = bpe.train_bpe_local(spark, docs, n_merges=6)
+    assert got_merges == want_merges
+    assert got_vocab == want_vocab
+
+
+def test_oracle_survives_merge_exhaustion(spark):
+    """ADVICE r02 (medium): when merges exhaust before n_merges, the
+    DuckDB chain twin must degrade to a no-op (LEFT JOIN ON TRUE), not
+    empty every later CTE. 2-doc corpus of 1-char terms → 0 possible
+    merges; both twins must still return one row per doc / the same
+    (empty) merge list as Spark."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e a")], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'a b c'), (2, 'd e a')) t(doc_id, text)")
+    sqls = bpe.oracle_sql_bpe(n_merges=4)
+
+    spark_merges = bpe.bpe_merges(spark, docs, n_merges=4).collect()
+    duck_merges = con.execute(sqls["bpe_merges"]).fetchall()
+    assert spark_merges == [] and duck_merges == []
+
+    spark_enc = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+        for r in bpe.bpe_encode(spark, docs, n_merges=4).collect()
+    }
+    duck_enc = {
+        d: (t, s) for d, t, s in con.execute(sqls["bpe_encode"]).fetchall()
+    }
+    assert spark_enc == duck_enc == {1: (3, 3), 2: (3, 3)}
