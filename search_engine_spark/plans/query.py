@@ -393,12 +393,26 @@ class QueryEngine:
         if after is not None:
             c_s, c_m, c_p, c_d = after
             s, m, p = F.col("score"), F.col("matched"), F.col("path")
+            # NULL-safe tail (ADVICE r02): a docs-join miss leaves path
+            # NULL, which sorts LAST under the frozen `path desc`
+            # (nulls-last) order — i.e. NULL is strictly-after every
+            # string in the traversal. A plain `p < c_p` evaluates to
+            # NULL there and silently drops rows that OFFSET paging
+            # serves at the tail, making them unreachable by cursor.
+            if c_p is None:
+                # cursor row itself had a NULL path: at equal
+                # (score, matched) only NULL-path rows can follow
+                path_tail = p.isNull() & (F.col("doc_id") > c_d)
+            else:
+                path_tail = (
+                    (p < c_p)
+                    | p.isNull()
+                    | ((p == c_p) & (F.col("doc_id") > c_d))
+                )
             with_path = with_path.where(
                 (s < c_s)
                 | ((s == c_s) & (m < c_m))
-                | ((s == c_s) & (m == c_m) & (p < c_p))
-                | ((s == c_s) & (m == c_m) & (p == c_p)
-                   & (F.col("doc_id") > c_d))
+                | ((s == c_s) & (m == c_m) & path_tail)
             )
         return self._offset_page(
             with_path, rank_order(with_path), page, k

@@ -179,6 +179,37 @@ def test_search_after_keyset_pagination(booly):
         assert tail == []
 
 
+def test_search_after_reaches_null_path_rows(booly):
+    """ADVICE r02: a docs-join miss leaves path NULL; the frozen order
+    (path desc, nulls last) serves such rows at the tie-tail under
+    OFFSET paging, so the keyset cursor must reach them too instead of
+    silently dropping them on a NULL comparison."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    eng, _ = booly
+    both = eng.bm25(QUERY, k=2 * K).collect()
+    assert len(both) > K
+    drop_id = both[K]["doc_id"]  # page-2 row → becomes a NULL-path row
+    eng2 = copy.copy(eng)
+    eng2.docs = eng.docs.where(F.col("doc_id") != drop_id)
+
+    full = eng2.bm25(QUERY, k=2 * K).collect()
+    assert any(r["doc_id"] == drop_id and r["path"] is None for r in full)
+
+    seen, cur = [], None
+    while len(seen) < len(full):
+        page = eng2.bm25(QUERY, k=K, after=cur).collect()
+        assert page, "cursor walk stalled before covering the full list"
+        seen.extend(page)
+        last = page[-1]
+        cur = (last["score"], last["matched"], last["path"], last["doc_id"])
+    assert [r["doc_id"] for r in seen[: len(full)]] == [
+        r["doc_id"] for r in full
+    ]
+
+
 def test_oov_boolean_paths_are_empty(booly):
     eng, _ = booly
     assert eng.bm25("zzzunknownzzz", k=5, min_match=2).count() == 0
