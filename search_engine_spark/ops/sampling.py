@@ -17,10 +17,16 @@ Scale shape (what survives 100×):
   filters — a deterministic hash threshold per row, NO shuffle, no
   sort; the mixture variant adds one tiny counts aggregate broadcast
   back. This is the only sane shape at 10^12 rows.
-- ``stratified_quota`` needs exact per-group counts, so it pays one
-  window sort per group — bounded because quotas are small, but
-  group-skew-exposed; the docstring documents the hash-threshold
-  escape hatch for huge groups.
+- ``stratified_quota`` / ``stratified_split`` need an exact global
+  rank within each stratum. A `row_number() OVER (PARTITION BY lang)`
+  sorts each stratum in ONE task — at 100 TB with a dominant lang that
+  single task is the job (VERDICT r02 item 5). Both ops instead rank
+  via the two-phase distributed scan from ops/packing.py: range-
+  partition on (lang, bucket, doc_id), rank locally per (lang,
+  partition), then add broadcast per-(lang, partition) base offsets —
+  the per-task sort is bounded by partition size, never stratum size,
+  and the result is bit-identical to the single-window semantics the
+  DuckDB twins express.
 """
 
 from __future__ import annotations
@@ -29,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.ops.sqltwin import MERSENNE31, duck_term_hash31, term_hash31
+
+STRAT_PARTITIONS = 32  # ordered ranges for the two-phase rank; raise at scale
 
 SEED = "seed42"          # sampling namespace; change → independent sample
 BUCKETS_E6 = 1_000_000   # hash buckets; rate_e6 is a count of kept buckets
@@ -70,23 +78,59 @@ def bernoulli_sample(docs: DataFrame, rate_e6: int = RATE_E6) -> DataFrame:
     )
 
 
+def _stratified_rank(docs: DataFrame, n_parts: int = STRAT_PARTITIONS) -> DataFrame:
+    """(doc_id, lang, bucket, rk, n): exact global rank within each
+    lang by (bucket, doc_id), and the stratum size — computed with the
+    two-phase distributed scan so a dominant stratum never serializes
+    into one task:
+
+      1. range-repartition on the composite key (lang, bucket, doc_id):
+         within a lang, partition id increases with (bucket, doc_id);
+      2. local rank per (lang, partition) — parallel, bounded sorts;
+      3. per-(lang, partition) counts (≤ n_parts·n_langs rows) get an
+         exclusive prefix sum per lang and come back as broadcast base
+         offsets; stratum totals ride the same tiny table.
+    """
+    tagged = docs.select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+    parts = (
+        tagged.repartitionByRange(n_parts, "lang", "bucket", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("lang", "pid").orderBy(F.asc("bucket"), F.asc("doc_id"))
+    local = parts.withColumn("local_rk", F.row_number().over(w).cast("long"))
+    counts = parts.groupBy("lang", "pid").agg(F.count("*").alias("cnt"))
+    w_excl = (
+        Window.partitionBy("lang").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        "lang",
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_excl), F.lit(0)).alias("base"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    return local.join(F.broadcast(bases), ["lang", "pid"]).select(
+        "doc_id", "lang", "bucket",
+        (F.col("base") + F.col("local_rk")).alias("rk"),
+        "n",
+    )
+
+
 def stratified_quota(docs: DataFrame, quota: int = QUOTA) -> DataFrame:
     """Exactly ``min(quota, |group|)`` docs per lang, chosen in hash
     order — the deterministic eval-set draw.
 
-    Plan: one window sort per lang on (bucket, doc_id). Quotas are
-    small, so the k survivors per group are cheap to keep, but the sort
-    still shuffles every row of a group to its lang partition; for a
-    lang holding half of 10^12 rows, switch to the two-pass escape
-    hatch: ``bernoulli_sample`` at rate ≈ quota/|group| (one scan,
-    over-draws slightly), then window only the ~quota survivors.
+    Plan: two-phase per-stratum rank (``_stratified_rank``) — the
+    per-task sort is bounded by partition size even when one lang holds
+    half the corpus. The quota filter is applied to the distributed
+    rank; survivors are ≤ quota·n_langs rows.
     """
-    w = Window.partitionBy("lang").orderBy(F.asc("bucket"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket"))
-        .withColumn("rk", F.row_number().over(w).cast("int"))
+        _stratified_rank(docs)
         .where(F.col("rk") <= quota)
-        .select("doc_id", "lang", "rk")
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
     )
 
 
@@ -166,17 +210,13 @@ def stratified_split(
     integer quotas (no binomial wobble): a 1000-doc lang at 80/10
     yields exactly 800/100/100.
 
-    Plan: row_number + count share ONE lang-keyed exchange. Same
-    escape hatch as stratified_quota for a mega-stratum: pre-thin with
-    bernoulli_sample, then split the survivors.
+    Plan: two-phase per-stratum rank (``_stratified_rank``) — rank and
+    stratum total both come off the same bounded counts table, so the
+    split of a 10^12-row corpus with one dominant lang still runs as
+    parallel partition-bounded sorts.
     """
-    w = Window.partitionBy("lang").orderBy(F.asc("bucket"), F.asc("doc_id"))
     return (
-        docs.select(
-            "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
-        )
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        _stratified_rank(docs)
         .withColumn(
             "split",
             F.when(

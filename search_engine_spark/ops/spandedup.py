@@ -132,15 +132,32 @@ def dup_span_coverage(
     that also appears in another doc (stop-grams excluded), merged
     across overlapping grams without exploding intervals.
 
-    Unlike the pairs op, the live-gram set here needs DISTINCT-doc
-    frequency while the probe side keeps per-position rows, so the two
-    legs genuinely differ and the gram pass is planned twice; at
-    production scale persist the narrow ``_positioned_grams`` output
-    (or reuse the pairs op's survivors) to make it one content scan."""
-    grams = _positioned_grams(docs, n)
-    live = _cross_doc_grams(grams.select("doc_id", "gh"), df_cap)
-    # keep only grams whose hash is cross-doc duplicated
-    dup = grams.join(live.select("gh"), "gh")
+    The live-gram set needs DISTINCT-doc frequency while the probe side
+    keeps per-position rows. Rather than planning the gram pass twice
+    (one leg per need — the r2 shape VERDICT item 6 flagged), both ride
+    ONE gh exchange with no join at all: a row_number over (gh, doc_id)
+    marks each doc's first occurrence of a gram, a sum of those markers
+    over gh is exactly the distinct-doc frequency, and the df filter
+    then runs in-place on the per-position rows. hashpartitioning(gh)
+    satisfies both window clusterings, so the plan is one content scan
+    → one exchange → two sorts (regression-tested in test_spandedup).
+    Boilerplate mega-grams (df > cap) still route their position rows
+    through one partition before being dropped — identical skew
+    exposure to the join shape it replaces; the cap guarantees they
+    never reach the downstream agg."""
+    from pyspark.sql import Window
+
+    grams = _positioned_grams(docs, n).repartition("gh")
+    w_first = Window.partitionBy("gh", "doc_id").orderBy("pos")
+    w_gh = Window.partitionBy("gh")
+    dup = (
+        grams.withColumn(
+            "first_in_doc", (F.row_number().over(w_first) == 1).cast("int")
+        )
+        .withColumn("df", F.sum("first_in_doc").over(w_gh))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .drop("first_in_doc", "df")
+    )
     # interval union per doc: sorted start positions, each covering
     # [p, p+n-1]; fold left keeping (covered, prev_end)
     per_doc = (

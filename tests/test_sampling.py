@@ -82,6 +82,76 @@ def test_mixture_is_subset_of_corpus_and_deterministic(spark):
     assert set(a) <= all_ids
 
 
+def _py_strat_rank(rows):
+    """Single-threaded reference: global per-lang rank by (bucket, doc_id)."""
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, bucket in rows:
+        by_lang.setdefault(lang, []).append((bucket, doc_id))
+    rk = {}
+    for lang, lst in by_lang.items():
+        for i, (_, doc_id) in enumerate(sorted(lst), start=1):
+            rk[doc_id] = (lang, i, len(lst))
+    return rk
+
+
+def test_two_phase_rank_matches_single_window_on_skew(spark):
+    """VERDICT r02 item 5: 90%-one-lang fixture — the distributed
+    two-phase rank must equal the sequential per-stratum rank exactly,
+    and the plan must not contain a per-stratum global window (no
+    `PARTITION BY lang` over the full table)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 10 != 0, F.lit("en")).otherwise(F.col("lang")),
+    )
+    ranked = sampling._stratified_rank(docs)
+    rows = [
+        (r["doc_id"], r["lang"], r["bucket"])
+        for r in docs.select(
+            "doc_id", "lang",
+            sampling.sample_bucket(F.col("doc_id")).alias("bucket"),
+        ).collect()
+    ]
+    want = _py_strat_rank(rows)
+    got = ranked.collect()
+    assert len(got) == len(want)
+    for r in got:
+        lang, rk, n = want[r["doc_id"]]
+        assert (r["lang"], r["rk"], r["n"]) == (lang, rk, n), r["doc_id"]
+    # plan audit: the big-table rank window (the one sorting by bucket)
+    # must partition by (lang, pid) — never lang alone, so a dominant
+    # stratum can't serialize into one task. The lang-only windows over
+    # the tiny (lang, pid) counts table are allowed.
+    import re
+
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    big_specs = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^)]*", plan)
+        if "bucket#" in m.group(0)
+    ]
+    assert big_specs, "expected a rank window ordered by bucket in the plan"
+    for spec in big_specs:
+        assert "pid#" in spec, spec
+
+
+def test_stratified_quota_on_skewed_corpus(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 10 != 0, F.lit("en")).otherwise(F.col("lang")),
+    )
+    sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = sampling.stratified_quota(docs, quota=7).collect()
+    per_lang: dict[str, int] = {}
+    for r in out:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    for lang, size in sizes.items():
+        assert per_lang.get(lang, 0) == min(7, size)
+
+
 def test_stratified_split_exact_quotas_and_stability(spark):
     docs = _docs(spark)
     out = sampling.stratified_split(docs).collect()

@@ -51,6 +51,27 @@ def test_coverage_merges_overlapping_grams(spark):
     assert got[4] == (3, 0, 0)
 
 
+def test_coverage_plans_one_gram_pass(spark):
+    """VERDICT r02 item 6: the df leg and the probe leg of
+    dup_span_coverage must share ONE gram inventory — the executed plan
+    may contain exactly one n-gram explode (Generate/posexplode) and
+    exactly one gh-keyed exchange feeding both windows."""
+    df = dup_span_coverage(_docs(spark), n=8)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString prints the final plan followed by the
+    # initial plan — only the executed (final) section counts
+    plan = plan.split("== Initial Plan ==")[0]
+    n_gen = plan.count("Generate ")
+    assert n_gen == 1, f"expected 1 gram explode, saw {n_gen}\n{plan}"
+    n_gh_ex = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(gh#" in line
+    )
+    assert n_gh_ex == 1, f"expected 1 gh exchange, saw {n_gh_ex}\n{plan}"
+
+
 def test_stop_gram_cap_drops_boilerplate(spark):
     # the same doc 6 times: every gram has df=6 > cap=4 -> no pairs,
     # zero coverage (the license-header/boilerplate regime)
