@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_pixels": lambda s, d: multimodal.extract_jpeg_pixel_features(
             multimodal.with_jpeg_pixel_blob(_t(s, d, "documents"))
         ),
+        "mm_mjpeg_frames": lambda s, d: multimodal.sample_mjpeg_frames(
+            multimodal.with_mjpeg_blob(_t(s, d, "documents"))
+        ),
         "mm_jpeg_dims": lambda s, d: multimodal.extract_jpeg_dims(
             multimodal.with_jpeg_blob(_t(s, d, "documents"))
         ),

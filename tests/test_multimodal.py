@@ -320,3 +320,98 @@ def test_resize_rows_really_decode(spark):
         r = got[i]
         assert (r["width"], r["height"]) == (4, 3)
         assert r["px_mean_e4"] == tot * 10_000 // 12
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """RIFF walk + per-frame JPEG decode: every 2nd synthesized frame
+    comes back with its closed-form DC-only pixel mean."""
+    from search_engine_spark.ops.jpegcodec import make_jpeg_gray_blocks
+    from search_engine_spark.ops.multimodal import (
+        _decode_avi_mjpeg,
+        make_avi_mjpeg,
+    )
+
+    grays = [[10, 200], [77, 99], [8, 247], [128, 128], [1, 255]]
+    frames = [make_jpeg_gray_blocks(16, 8, g) for g in grays]
+    avi = make_avi_mjpeg(frames, 16, 8)
+    got = _decode_avi_mjpeg(avi, sample_every=2)
+    assert [f["frame_idx"] for f in got] == [0, 2, 4]
+    for f in got:
+        g = grays[f["frame_idx"]]
+        # decoder clamps to uint8 (g=255 → 256 → 255)
+        px = [min(255, 2 * ((v - 127) // 2) + 128) for v in g]
+        assert (f["width"], f["height"]) == (16, 8)
+        assert f["px_mean_e4"] == 5000 * sum(px)
+    # sample_every=1 keeps all frames
+    assert len(_decode_avi_mjpeg(avi, sample_every=1)) == 5
+
+
+def test_avi_word_alignment_with_odd_frames():
+    """RIFF pads odd-sized chunks; JPEG frame sizes are naturally odd,
+    so the movi walk must skip pad bytes or desync."""
+    from search_engine_spark.ops.jpegcodec import make_jpeg_gray_blocks
+    from search_engine_spark.ops.multimodal import (
+        _decode_avi_mjpeg,
+        make_avi_mjpeg,
+    )
+
+    # hunt a gray pair giving an odd-length JPEG, then alternate frames
+    odd = next(
+        f for v in range(256)
+        if len(f := make_jpeg_gray_blocks(16, 8, [v, 255 - v])) % 2 == 1
+    )
+    even = next(
+        f for v in range(256)
+        if len(f := make_jpeg_gray_blocks(16, 8, [v, v])) % 2 == 0
+    )
+    avi = make_avi_mjpeg([odd, even, odd, even], 16, 8)
+    got = _decode_avi_mjpeg(avi, sample_every=1)
+    assert [f["frame_idx"] for f in got] == [0, 1, 2, 3]
+
+
+def test_avi_malformed_payloads_detected():
+    import struct as _s
+
+    import pytest as _pt
+
+    from search_engine_spark.ops.jpegcodec import make_jpeg_gray_blocks
+    from search_engine_spark.ops.multimodal import (
+        _decode_avi_mjpeg,
+        make_avi_mjpeg,
+    )
+
+    frames = [make_jpeg_gray_blocks(16, 8, [50, 60])]
+    avi = make_avi_mjpeg(frames, 16, 8)
+    with _pt.raises(ValueError):
+        _decode_avi_mjpeg(b"RIFX" + avi[4:])
+    with _pt.raises(ValueError):  # truncated vs declared RIFF size
+        _decode_avi_mjpeg(avi[:-10])
+    # avih/movi frame-count cross-check: claim 2 frames, ship 1
+    lied = avi.replace(_s.pack("<I", 1), _s.pack("<I", 2), 1)
+    with _pt.raises(ValueError):
+        _decode_avi_mjpeg(lied)
+
+
+def test_mjpeg_rows_really_decode(spark):
+    from search_engine_spark.ops.multimodal import (
+        sample_mjpeg_frames,
+        with_mjpeg_blob,
+    )
+
+    ids = [0, 3, 41]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {}
+    for r in sample_mjpeg_frames(with_mjpeg_blob(docs)).collect():
+        got[(r["doc_id"], r["frame_idx"])] = r
+    for i in ids:
+        n = 3 + i % 4
+        kept = [t for t in range(n) if t % 2 == 0]
+        assert {k[1] for k in got if k[0] == i} == set(kept)
+        for t in kept:
+            px = [
+                2 * (((8 + (i * 7 + 29 * t + 13 * b) % 240) - 127) // 2) + 128
+                for b in range(2)
+            ]
+            r = got[(i, t)]
+            assert (r["width"], r["height"]) == (16, 8)
+            assert r["px_mean_e4"] == 5000 * sum(px)
