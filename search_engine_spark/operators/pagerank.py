@@ -15,11 +15,12 @@ iteration cuts the lineage chain so plan size stays O(1) in iterations
 (at cluster scale: ``checkpoint()`` to reliable storage instead —
 config detail, same call site).
 
-Driver syncs: exactly ONE scalar collect per iteration — the L1
-residual and the next iteration's dangling mass come out of the same
-aggregation (join new-vs-old ranks once, sum both). A data-dependent
-fixpoint can't do better, and the reference's loop syncs in-process
-every iteration too.
+Driver syncs: ONE scalar collect per ``check_every`` iterations — the
+dangling mass stays in-plan as a broadcast 1-row aggregate, so only
+the L1-residual stop check ever touches the driver, and batching it
+(``check_every=n``) cuts round-trips ~n× on large graphs. The
+reference's loop syncs in-process every iteration; ``check_every=1``
+reproduces that schedule.
 
 ``pagerank_fixed_e12`` is the oracle-gated twin: a fixed number of
 iterations in ×10^12 fixed-point integer arithmetic (truncating
@@ -69,9 +70,23 @@ def pagerank(
     tol: float = PAGERANK_TOL,
     max_iters: int = PAGERANK_MAX_ITERS,
     personalization: DataFrame | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """edges (src, dst) [+ optional personalization (id, weight)] →
-    prior (doc_id, score)."""
+    prior (doc_id, score).
+
+    ``check_every=n`` batches the tolerance check: n joined iterations
+    compose into one plan between residual collects, cutting driver
+    round-trips ~n× on large graphs (VERDICT r02 item 7). The dangling
+    mass — the one per-iteration scalar the old loop collected — stays
+    IN-PLAN as a broadcast 1-row aggregate, so nothing inside a batch
+    touches the driver. The stop rule still keys on the CONSECUTIVE L1
+    residual (the last two iterates of the batch — the prefix is
+    checkpointed first so the final step isn't recomputed); a batch may
+    overshoot the tol crossing by up to n−1 extra iterations, which
+    only refine the fixpoint (power iteration contracts by ``damping``
+    per step). ``check_every=1`` reproduces the reference's
+    per-iteration schedule."""
     spark = edges.sparkSession
 
     nodes = _node_universe(edges, personalization).persist()
@@ -85,51 +100,67 @@ def pagerank(
     adj = edges.join(out_deg, "src").persist()
     adj.count()  # materialize once
 
-    ranks = nodes_p.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    dmass = (
-        nodes_p.where("is_dangling")
-        .agg(F.coalesce(F.sum(F.lit(1.0 / n)), F.lit(0.0)))
-        .collect()[0][0]
-    )
+    state = nodes_p.select(
+        "id", "is_dangling", "p", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
 
-    for _ in range(max_iters):
-        contribs = (
-            adj.join(ranks, adj.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        new_ranks = (
-            nodes_p.join(contribs, "id", "left")
-            .select(
-                "id",
-                "is_dangling",
-                (
-                    damping * F.coalesce(F.col("inflow"), F.lit(0.0))
-                    + (damping * dmass + (1.0 - damping)) * F.col("p")
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-        # single driver sync: residual + next iteration's dangling mass
-        resid, dmass = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(
-                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))),
+    done = 0
+    while done < max_iters:
+        steps = min(max(1, check_every), max_iters - done)
+        prev = state
+        for s in range(steps):
+            if s == steps - 1 and s > 0:
+                # materialize the batch prefix once so the residual job
+                # doesn't recompute it through the final step's lineage
+                state = state.localCheckpoint()
+            dang = state.agg(
                 F.coalesce(
-                    F.sum(F.when(F.col("n.is_dangling"), F.col("n.rank"))), F.lit(0.0)
-                ),
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dmass")
             )
-            .collect()[0]
+            contribs = (
+                adj.join(
+                    state.select(F.col("id").alias("src_id"), "rank"),
+                    adj.src == F.col("src_id"),
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            prev = state
+            state = (
+                nodes_p.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    "is_dangling",
+                    "p",
+                    (
+                        damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (damping * F.col("dmass") + (1.0 - damping))
+                        * F.col("p")
+                    ).alias("rank"),
+                )
+            )
+            done += 1
+        state = state.localCheckpoint()
+        # ONE driver sync per batch: consecutive L1 residual
+        resid = (
+            state.alias("a")
+            .join(prev.alias("b"), "id")
+            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+            .collect()[0][0]
         )
-        ranks = new_ranks.select("id", "rank")
         if resid < tol:
             break
 
     nodes.unpersist()
     adj.unpersist()
-    return ranks.select(F.col("id").alias("doc_id"), F.col("rank").alias("score"))
+    return state.select(F.col("id").alias("doc_id"), F.col("rank").alias("score"))
 
 
 # ------------------------------------------------------- fixed-point twin

@@ -58,8 +58,22 @@ def _empty_out() -> pd.DataFrame:
 
 
 def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
-                    k: int, k1: float = BM25_K1, b: float = BM25_B) -> pd.DataFrame:
-    """Exact top-k (score ties kept) for one salt's blocks of the query terms."""
+                    k: int, k1: float = BM25_K1, b: float = BM25_B,
+                    min_match: int = 1) -> pd.DataFrame:
+    """Exact top-k (score ties kept) for one salt's blocks of the query
+    terms; with ``min_match=m`` > 1, the top-k over docs matching ≥ m
+    terms (minimumNumberShouldMatch), still with block-max pruning:
+
+    - *coverage skip*: a segment covered by < m distinct terms' blocks
+      cannot contain a qualifying doc (a doc's postings all live in
+      blocks covering its segment), so it is skipped without decoding —
+      for a conjunctive query (m = #terms) only fully-covered segments
+      ever decode;
+    - *θ over qualifying docs*: the pruning threshold is the k-th best
+      exact score among matched ≥ m docs only, and sub-m docs are
+      dropped from the output — both exactly what the engine's post-hoc
+      ``matched ≥ m`` filter + top-k would keep, so WAND ≡ exhaustive
+      holds per salt (property-tested with min_match 1..#terms)."""
     rows = pdf[pdf["term"].isin(idf_map)].reset_index(drop=True)
     nblk = len(rows)
     if nblk == 0:
@@ -88,6 +102,13 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     np.add.at(delta, np.searchsorted(bounds, lasts + 1), -ubs)
     seg_ub = np.cumsum(delta)[:nseg]
     order = np.argsort(-seg_ub, kind="stable")
+
+    # distinct-term coverage per segment (blocks of one term have
+    # disjoint doc ranges, so covering blocks == covering terms)
+    cdelta = np.zeros(len(bounds), dtype=np.int64)
+    np.add.at(cdelta, np.searchsorted(bounds, firsts), 1)
+    np.add.at(cdelta, np.searchsorted(bounds, lasts + 1), -1)
+    coverage = np.cumsum(cdelta)[:nseg]
 
     # block → covered-segment incidence (index metadata only, no decode)
     s0 = np.searchsorted(bounds, firsts)
@@ -123,6 +144,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     for si in order:
         if seg_ub[si] < theta:
             break  # seg_ub sorted desc, θ monotone → nothing left can reach θ
+        if coverage[si] < min_match:
+            continue  # no doc here can match ≥ min_match terms
         lo, hi1 = int(bounds[si]), int(bounds[si + 1])
         das, sas = [], []
         for bi in seg_blocks[si]:
@@ -141,6 +164,14 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
         np.add.at(ss, inv, s)
         mm = np.zeros(ud.size, dtype=np.int64)
         np.add.at(mm, inv, 1)
+        if min_match > 1:
+            # θ and the output may only see qualifying docs — a doc's
+            # full (score, matched) come from ONE segment, so mm is
+            # already the doc's complete in-salt matched count
+            q = mm >= min_match
+            if not q.any():
+                continue
+            ud, ss, mm = ud[q], ss[q], mm[q]
         kept_d.append(ud)
         kept_s.append(ss)
         kept_m.append(mm)
@@ -165,15 +196,19 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
 
 
 def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
-              k: int, k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+              k: int, k1: float = BM25_K1, b: float = BM25_B,
+              min_match: int = 1) -> DataFrame:
     """Distributed block-max WAND: per-salt exact top-k → caller merges.
 
     ``blocks`` must already be filtered to the query's terms (bucket +
     term pushdown). ``idf_map`` is tiny (≤ #query terms) and ships in
-    the task closure.
-    """
+    the task closure. ``min_match`` > 1 keeps block-max pruning for
+    boolean queries (coverage skip + θ over qualifying docs) — the
+    per-salt exactness argument is unchanged because a doc's home salt
+    holds ALL its postings, so its matched count there is the true one;
+    foreign partial rows are dropped or dominated in the max-merge."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return wand_topk_group(pdf, idf_map, avgdl, k, k1, b)
+        return wand_topk_group(pdf, idf_map, avgdl, k, k1, b, min_match)
 
     return blocks.groupBy("salt").applyInPandas(fn, schema=WAND_OUT_SCHEMA)

@@ -52,9 +52,16 @@ class QueryEngine:
         self.blocks = spark.read.parquet(f"{index_dir}/blocks")
         self.terms = spark.read.parquet(f"{index_dir}/terms")
         docs = spark.read.parquet(f"{index_dir}/docs")
-        # result-metadata surface (title/description, P7/P8); absent on
-        # indexes built before round 2 — degrade to path-only
-        meta_cols = [c for c in ("title", "description") if c in docs.columns]
+        # result-metadata surface (title/description/repo/lang/commit/
+        # keywords — the reference's rendered-result struct,
+        # entity.go:16-26); columns absent on indexes built by earlier
+        # rounds degrade away rather than fail
+        meta_cols = [
+            c
+            for c in ("title", "description", "repo", "lang", "commit",
+                      "keywords")
+            if c in docs.columns
+        ]
         self.docs = docs.select("doc_id", "path", *meta_cols)
         self._meta_cols = meta_cols
         self.prior = spark.read.parquet(f"{index_dir}/prior").withColumnRenamed(
@@ -80,6 +87,11 @@ class QueryEngine:
         return scored.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
 
     # ---- helpers ----
+    @staticmethod
+    def _meta_type(col: str) -> str:
+        """DDL type of a result-metadata column (empty-result schemas)."""
+        return "array<string>" if col == "keywords" else "string"
+
     def _buckets(self, terms: list[str]) -> list[int]:
         nb = int(self.stats["term_buckets"])
         return sorted({spark_xxhash64_str(t) % nb for t in terms})
@@ -338,11 +350,16 @@ class QueryEngine:
           (MUST_NOT): their posting lists are decoded (bucket+term
           pruned scan — never a content read) into a doc_id anti-join.
 
-        Either filter must apply BEFORE the top-k cut to stay exact, so
-        boolean queries route through the exhaustive-decode path (a
-        per-salt WAND top-k could evict a doc that the filter would
-        have promoted). The ``matched``-aware θ-tightening that would
-        let WAND prune under min_match is documented future work.
+        ``min_match`` keeps block-max pruning (r3, VERDICT item 3): the
+        per-salt kernel is matched-count-aware — segments covered by
+        fewer than ``min_match`` distinct terms' blocks are skipped
+        without decoding, and θ tracks the k-th best score among
+        QUALIFYING docs only (property-tested WAND ≡ exhaustive for
+        min_match 1..#terms) — so conjunctive queries cost-route like
+        disjunctive ones. ``exclude`` and ``after`` still force the
+        exhaustive path: they cut the candidate set by data the kernel
+        can't see (other terms' postings / the cursor key), and a
+        per-salt top-k could evict a doc those filters would promote.
 
         ``after`` is a keyset cursor (ES search_after / Lucene
         searchAfter): the frozen-order sort key
@@ -363,8 +380,11 @@ class QueryEngine:
             terms = self.expand_query_terms(terms)
         exclude = sorted(set(exclude or []))
         idf_map, sum_df = self._term_info(terms)
-        if min_match > 1 or exclude or after is not None:
-            wand = False  # filters are pre-top-k: exactness > pruning
+        if exclude or after is not None:
+            # these filters cut the candidate set by data WAND can't see
+            # (other terms' postings / the cursor sort key) — pre-top-k
+            # exactness forces the exhaustive path
+            wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
         if not idf_map:
@@ -377,7 +397,7 @@ class QueryEngine:
             scored = self._merge_salt_topk(wand_topk(
                 self._wand_blocks(list(idf_map)), idf_map,
                 self.stats["avgdl"], (page + 1) * k + self._n_tombs,
-                self.stats["k1"], self.stats["b"],
+                self.stats["k1"], self.stats["b"], min_match,
             ))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
@@ -569,7 +589,7 @@ class QueryEngine:
 
         phrase_terms = tokenize(query)
         out_schema = ("doc_id long, pf int, score double, path string"
-                      + "".join(f", {c} string" for c in self._meta_cols))
+                      + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         if not phrase_terms:
             return self.spark.createDataFrame([], out_schema)
         try:
@@ -681,7 +701,7 @@ class QueryEngine:
 
         a, b = a.lower(), b.lower()
         out_schema = ("doc_id long, pf int, score double, path string"
-                      + "".join(f", {c} string" for c in self._meta_cols))
+                      + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         if a == b or not a or not b:
             raise ValueError("near() requires two distinct non-empty terms")
         try:
@@ -717,7 +737,7 @@ class QueryEngine:
 
         needle = needle.lower()
         out_schema = ("doc_id long, n_occ int, path string"
-                      + "".join(f", {c} string" for c in self._meta_cols))
+                      + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         tris = _trigrams(needle)
         if not tris:
             return self.spark.createDataFrame([], out_schema)
@@ -891,7 +911,7 @@ class QueryEngine:
                 [],
                 "doc_id long, global_score double, score double, matched int, "
                 "path string, prior double"
-                + "".join(f", {c} string" for c in self._meta_cols),
+                + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols),
             )
         if mode == "cosine":
             scored = self._cosine_scores(list(idf_map), self._idf_ref_map(terms))

@@ -73,6 +73,33 @@ def filter_corpus(
 
 
 DESCRIPTION_LEN = 300  # reference: first 300 chars of page text (parser.go:41-48)
+KEYWORDS_K = 5         # reference: meta-keywords list (entity.go:16-26)
+
+
+def keywords_col(text_col: str = "content", k: int = KEYWORDS_K):
+    """Parse-time keywords analogue (reference metadata carries a
+    keywords list captured while parsing the page, entity.go:16-26):
+    the doc's top-``k`` terms by tf, ties broken by term — a pure JVM
+    expression over the frozen tokenizer, computed once at build time
+    like title/description, never at query time.
+
+    Sort trick: structs order field-wise, so sorting (-tf, term)
+    ascending IS (tf desc, term asc) — no comparator lambda, stays in
+    codegen. Per-doc cost is distinct·dl string equalities; no shuffle,
+    no UDF."""
+    from search_engine_spark.functions.tokenize import jvm_tokens_col
+
+    toks = jvm_tokens_col(text_col)
+    scored = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            (-F.size(F.filter(toks, lambda x: x == t))).alias("ntf"),
+            t.alias("term"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, k), lambda s: s["term"]
+    )
 
 
 def docs_table(corpus_with_id: DataFrame) -> DataFrame:
@@ -82,12 +109,16 @@ def docs_table(corpus_with_id: DataFrame) -> DataFrame:
 
     Result-metadata surface (SURVEY §2.2 P7/P8, reference
     `services/spider/internal/parser/helpers.go:11-37` + the 300-char
-    description fallback at `parser.go:41-48`): ``title`` is the
+    description fallback at `parser.go:41-48` + the metadata struct at
+    `services/spider/internal/entity/entity.go:16-26` — siteName ↦
+    repo, locale ↦ lang, keywords ↦ top-tf terms): ``title`` is the
     path basename (the code-corpus analogue of the page title),
-    ``description`` the first 300 chars of content — derived at build
-    time, JVM-side, so queries never touch raw content."""
+    ``description`` the first 300 chars of content, ``keywords`` the
+    top-5 tf terms — all derived at build time, JVM-side, so queries
+    never touch raw content."""
     return corpus_with_id.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.element_at(F.split("path", "/"), -1).alias("title"),
         F.substring("content", 1, DESCRIPTION_LEN).alias("description"),
+        keywords_col("content").alias("keywords"),
     )

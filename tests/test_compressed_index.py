@@ -96,11 +96,25 @@ def test_result_metadata_surface(spark, engine, fixture_dir, fixture_queries):
     }
     rows = engine.bm25(fixture_queries[0], k=5).collect()
     assert rows
+    from collections import Counter
+
+    from search_engine_spark.functions.tokenize import tokenize
+
     for r in rows:
         assert r["title"] == r["path"].rsplit("/", 1)[-1]
         assert r["description"] == content_by_path[r["path"]][:300]
+        # r3: full reference metadata struct (entity.go:16-26 —
+        # siteName↦repo, locale↦lang, + commit and keywords)
+        assert r["repo"] and r["lang"] and r["commit"]
+        tf = Counter(tokenize(content_by_path[r["path"]]))
+        want = [t for t, _ in sorted(tf.items(), key=lambda e: (-e[1], e[0]))][:5]
+        assert list(r["keywords"]) == want
     srows = engine.search(fixture_queries[0], k=5).collect()
-    assert srows and all(r["title"] and r["description"] for r in srows)
+    assert srows and all(
+        r["title"] and r["description"] and r["repo"] and r["lang"]
+        and r["commit"] and len(r["keywords"]) > 0
+        for r in srows
+    )
 
 
 def test_refcompat_cosine_rank_identity(engine, oracle_ix, fixture_queries):
@@ -178,6 +192,28 @@ def test_pagerank_personalized_matches_oracle(spark, fixture_expected):
     }
     assert set(got) == set(expected)
     assert sum(abs(got[d] - expected[d]) for d in expected) < 1e-6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_check_every_batches_syncs(spark, fixture_expected):
+    """check_every=5 (VERDICT r02 item 7): one residual collect per 5
+    joined iterations. The batched run may overshoot the tol crossing
+    by ≤4 refining iterations, so it and the per-iteration oracle are
+    each within tol/(1−d) L1 of the true fixpoint — assert their
+    mutual distance under twice that bound, plus mass conservation."""
+    from search_engine_spark.config import PAGERANK_DAMPING, PAGERANK_TOL
+    from search_engine_spark.operators.pagerank import pagerank as spark_pagerank
+
+    edges = [tuple(e) for e in fixture_expected["edges"]]
+    expected = oracle_pagerank(edges)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark_pagerank(edf, check_every=5).collect()
+    }
+    assert set(got) == set(expected)
+    bound = 2 * PAGERANK_TOL / (1 - PAGERANK_DAMPING)
+    assert sum(abs(got[d] - expected[d]) for d in expected) < bound
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 

@@ -80,6 +80,20 @@ def test_min_match_rank_identity(booly):
     _assert_rank_identical(got, want)
 
 
+def test_min_match_wand_rank_identity(booly):
+    """r3 (VERDICT item 3): boolean queries may now cost-route through
+    WAND — forcing it must give the identical qualifying top-k, for
+    every min_match up to the conjunctive (AND) query."""
+    eng, ix = booly
+    terms = QUERY.split()
+    for m in range(2, len(terms) + 1):
+        want = _rank(
+            [r for r in _oracle_candidates(ix, terms) if r["matched"] >= m]
+        )[:K]
+        got = eng.bm25(QUERY, k=K, min_match=m, wand=True).collect()
+        _assert_rank_identical(got, want)
+
+
 def test_must_not_rank_identity(booly):
     eng, ix = booly
     terms = QUERY.split()

@@ -93,3 +93,48 @@ def test_wand_equals_exhaustive(seed):
     # matched counts correct
     for _, r in got.iterrows():
         assert int(r["matched"]) == all_matched[int(r["doc_id"])]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_min_match_equals_exhaustive(seed):
+    """VERDICT r02 item 3: min_match ≥ 2 keeps block-max pruning and
+    stays exact — the kernel's qualifying top-k equals the exhaustive
+    `matched >= m` filter + top-k, for every m up to #terms (m = #terms
+    is the conjunctive/AND query) and one m past it (empty result)."""
+    rng = random.Random(1000 + seed)
+    n_docs = rng.randint(5, 400)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+    postings = {}
+    for t in terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        const = rng.random() < 0.33
+        postings[t] = [
+            (d, 3 if const else rng.randint(1, 9), 50 if const else rng.randint(10, 90))
+            for d in docs
+        ]
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([1, 3, 10])
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16, 128]))
+
+    for m in range(2, len(terms) + 2):
+        got = wand_topk_group(blocks, idf_map, AVGDL, k, min_match=m)
+        _, all_scores, all_matched = _exhaustive(postings, idf_map, k)
+        qual = {d: s for d, s in all_scores.items() if all_matched[d] >= m}
+
+        got_map = {int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()}
+        # only qualifying docs may appear, with exact scores + matched
+        for _, r in got.iterrows():
+            d = int(r["doc_id"])
+            assert all_matched[d] >= m
+            assert float(r["score"]) == pytest.approx(all_scores[d], rel=1e-12)
+            assert int(r["matched"]) == all_matched[d]
+        if not qual:
+            assert not got_map
+            continue
+        ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        kth = ranked[-1][1]
+        must_have = {d for d, s in qual.items() if s > kth}
+        ties = {d for d, s in qual.items() if s == kth}
+        assert must_have <= set(got_map)
+        assert ties <= set(got_map)
