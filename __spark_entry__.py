@@ -101,6 +101,64 @@ def _pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prior.select("doc_id", F.round(F.col("score"), 8).alias("score"))
 
 
+def _cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on an adversarially CHAIN-shaped graph —
+    the worst case for min-label propagation (rounds = diameter) and
+    exactly what the alternating large-star/small-star operator
+    (operators/components.py, Kiveris et al. SoCC'14) converges on in
+    O(log n) rounds. Node set = the 512 lineitem-derived ids; edges =
+    consecutive-id chains of length 17 plus 6 long-range cross links,
+    so components merge across chains too. DuckDB twin is a genuine
+    recursive-CTE transitive closure, not a closed form."""
+    from search_engine_spark.operators.components import (
+        connected_components_star,
+    )
+
+    nodes = (
+        _t(spark, sf_dir, "lineitem")
+        .select((F.col("l_orderkey") % 512).alias("id"))
+        .distinct()
+    )
+    chain = (
+        nodes.alias("a")
+        .join(nodes.alias("b"), F.col("b.id") == F.col("a.id") + 1)
+        .where(F.col("a.id") % 17 != 16)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    cross = (
+        nodes.where((F.col("id") % 101 == 0) & (F.col("id") != 511 - F.col("id")))
+        .select(F.col("id").alias("src"), (F.lit(511) - F.col("id")).alias("dst"))
+        .join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+    cc = connected_components_star(chain.union(cross), nodes=nodes)
+    return cc.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("id")
+
+
+_CC_CHAIN_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT l_orderkey % 512 AS id FROM lineitem
+), edges AS (
+  SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b ON b.id = a.id + 1
+  WHERE a.id % 17 <> 16
+  UNION
+  SELECT id AS u, 511 - id AS v FROM nodes
+  WHERE id % 101 = 0 AND id <> 511 - id
+    AND 511 - id IN (SELECT id FROM nodes)
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def _lifecycle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full index lifecycle at the gate (VERDICT r02 item 8): build
     gen-0 over docs with doc_id%3 ≠ 0, extend with the %3 = 0 delta,
@@ -312,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_5iter": _pagerank_5iter,
         "graph_hits_5iter": _hits_5iter,
         "graph_pagerank_prior": _pagerank_prior,
+        "graph_cc_chain": _cc_chain,
         # =================================================================
         # BACK 50 — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================
@@ -495,5 +554,6 @@ WHERE lang IN ('en', 'es')
     out["search_lifecycle_postings"] = _LIFECYCLE_SQL.format(
         toks=duck_tokens("text")
     )
+    out["graph_cc_chain"] = _CC_CHAIN_SQL
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out

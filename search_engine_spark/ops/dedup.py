@@ -433,13 +433,17 @@ def dedup_survivors_by_quality(docs: DataFrame) -> DataFrame:
 def dedup_clusters(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for EVERY doc — transitive closure of the
     exact+near duplicate relation via
-    :func:`operators.components.connected_components`; docs with no
+    :func:`operators.components.connected_components_star` (alternating
+    large-star/small-star, log-round convergence — robust to drift
+    chains A≈B≈C≈…, not just clique-shaped dup families); docs with no
     duplicate edge form singleton clusters. ``cluster_id`` is the min
     doc_id of the cluster, so ``doc_id == cluster_id`` selects the
     survivor set (one canonical doc per duplicate class)."""
-    from search_engine_spark.operators.components import connected_components
+    from search_engine_spark.operators.components import (
+        connected_components_star,
+    )
 
-    cc = connected_components(
+    cc = connected_components_star(
         near_dup_edges(docs), nodes=docs.select(F.col("doc_id").alias("id"))
     )
     return cc.select(

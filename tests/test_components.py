@@ -6,10 +6,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from search_engine_spark.operators.components import connected_components
+from search_engine_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
 
 
-def _cc_map(spark, edges, nodes=None, **kw):
+def _cc_map(spark, edges, nodes=None, algo=connected_components, **kw):
     edf = spark.createDataFrame(edges, "src long, dst long")
     ndf = (
         spark.createDataFrame([(n,) for n in nodes], "id long")
@@ -17,7 +20,7 @@ def _cc_map(spark, edges, nodes=None, **kw):
     )
     return {
         r["id"]: r["component"]
-        for r in connected_components(edf, ndf, **kw).collect()
+        for r in algo(edf, ndf, **kw).collect()
     }
 
 
@@ -52,6 +55,43 @@ def test_cap_raises_instead_of_returning_wrong_labels(spark):
     edges = [(i, i + 1) for i in range(40, 46)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc_map(spark, edges, max_iters=2)
+
+
+def test_star_matches_minlabel_on_mixed_graph(spark):
+    """large/small-star and min-label propagation must agree exactly:
+    cliques, chains, a lollipop, reversed/duplicate edges, isolated
+    nodes."""
+    edges = (
+        [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]  # clique
+        + [(i, i + 1) for i in range(200, 209)]                       # chain
+        + [(300, 301), (301, 302), (302, 300), (302, 303)]            # lollipop
+        + [(9, 5), (5, 9), (1, 5)]                                    # dup/rev
+    )
+    nodes = list(range(400, 404))
+    a = _cc_map(spark, edges, nodes=nodes)
+    b = _cc_map(spark, edges, nodes=nodes, algo=connected_components_star)
+    assert a == b
+    assert b[104] == 100 and b[208] == 200 and b[303] == 300 and b[9] == 1
+    assert all(b[n] == n for n in nodes)
+
+
+def test_star_log_convergence_on_long_chain(spark):
+    """A 300-node chain (diameter 299) exceeds min-label's round budget
+    by design; the star variant must finish inside a logarithmic cap —
+    12 rounds for n=300 (observed ~6-9; min-label would need 299)."""
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc_map(
+        spark, edges, algo=connected_components_star, max_iters=12
+    )
+    assert len(got) == 301
+    assert set(got.values()) == {0}
+
+
+def test_star_empty_and_singletons(spark):
+    got = _cc_map(
+        spark, [], nodes=[3, 4], algo=connected_components_star
+    )
+    assert got == {3: 3, 4: 4}
 
 
 def test_dedup_clusters_on_planted_duplicates(spark):
