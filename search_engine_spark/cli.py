@@ -9,7 +9,7 @@ Usage:
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
-    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --rescore --near=W [--ordered]]
+    python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --rescore --near=W [--ordered] --collapse=repo]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
@@ -112,7 +112,7 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
            phrase: bool = False, near: int = 0, ordered: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
            syn: str = "", explain: bool = False,
-           rescore: bool = False) -> None:
+           rescore: bool = False, collapse: str = "") -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
@@ -137,14 +137,16 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
             print(f"{r['path']}: {r['score']:.6f}  (syn-bm25, matched "
                   f"{r['matched']} of {len(groups)} groups, doc {r['doc_id']})")
         return
-    if min_match > 1 or exclude:
+    if min_match > 1 or exclude or collapse:
         rows = eng.bm25(query, k=k, page=page, min_match=min_match,
-                        exclude=exclude).collect()
+                        exclude=exclude,
+                        collapse=collapse or None).collect()
         if not rows:
             print("(no hits)")
         for r in rows:
+            grp = f", {collapse} {r[collapse]}" if collapse else ""
             print(f"{r['path']}: {r['score']:.6f}  (bool-bm25, matched "
-                  f"{r['matched']}, doc {r['doc_id']})")
+                  f"{r['matched']}, doc {r['doc_id']}{grp})")
         return
     if near:
         a, b = query.split()[:2]
@@ -282,7 +284,9 @@ def main(argv: list[str]) -> int:
                syn=next((f.split("=", 1)[1] for f in flags
                          if f.startswith("--syn=")), ""),
                explain="--explain" in flags,
-               rescore="--rescore" in flags)
+               rescore="--rescore" in flags,
+               collapse=next((f.split("=", 1)[1] for f in flags
+                              if f.startswith("--collapse=")), ""))
     else:
         print(__doc__)
         return 2

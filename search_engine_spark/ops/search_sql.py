@@ -225,6 +225,50 @@ def bm25_topk_snippets(
     )
 
 
+def bm25_topk_collapse(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK,
+    group_col: str = "source",
+) -> DataFrame:
+    """Field-collapsed top-k (ES ``collapse`` / Lucene grouping): at
+    most ONE result per ``group_col`` value — the result-diversity
+    surface a code-search user expects ("best hit per repo", not ten
+    files from the same repo). Best-in-group = max score, ties broken
+    by min doc_id — the same key order as :func:`bm25_topk`.
+
+    Scale shape: the per-group best is an AGGREGATION of an orderable
+    struct (``max(struct(score, -doc_id, ...))``), not a window — so it
+    partial-aggregates map-side and never sorts the full match set; a
+    hot repo costs one combiner cell, not a single-task window
+    partition. The global k is the usual TakeOrderedAndProject. The
+    docs join reads only (doc_id, group_col): column-pruned scan.
+    """
+    scored = bm25_scores(spark, docs, terms)
+    best = (
+        scored.join(docs.select("doc_id", F.col(group_col).alias("grp")), "doc_id")
+        .groupBy("grp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("doc_id")).alias("neg_doc_id"),
+                    F.col("doc_id"),
+                    F.col("matched"),
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        best.select(
+            F.col("grp").alias(group_col),
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.score").alias("score"),
+            F.col("b.matched").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk_batch(
     spark: SparkSession, docs: DataFrame,
     queries: dict[str, list[str]] | None = None, k: int = TOPK,
@@ -1099,6 +1143,16 @@ GROUP BY f.facet, f.value
 """,
     "search_bm25_topk": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_collapse_topk": _scores_cte(QUERY_MAIN)
+    + f""",
+best AS (
+  SELECT d.source, s.doc_id, s.score, s.matched,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rk
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, score, matched FROM best WHERE rk = 1
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
     "search_bm25_snippets": _scores_cte(QUERY_MAIN)
     + f""",
 topk AS (

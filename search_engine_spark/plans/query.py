@@ -334,7 +334,8 @@ class QueryEngine:
     def bm25(self, query: str, k: int = 10, wand: bool | None = None,
              spell: bool = False, page: int = 0, min_match: int = 1,
              exclude: list[str] | None = None,
-             after: tuple[float, int, str, int] | None = None) -> DataFrame:
+             after: tuple[float, int, str, int] | None = None,
+             collapse: str | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
@@ -362,6 +363,20 @@ class QueryEngine:
         per-salt top-k could evict a doc those filters would promote.
 
         ``after`` is a keyset cursor (ES search_after / Lucene
+        ``collapse`` names a result column (``repo``, ``lang``, ``path``
+        or any metadata column) and keeps at most ONE hit per distinct
+        value — the best under the frozen rank order (ES ``collapse`` /
+        Lucene grouping: "best file per repo"). The per-group best is an
+        aggregation of an orderable struct mirroring the rank order
+        (map-side partial combine — a hot repo is one combiner cell,
+        never a single-task window partition); the global top-k follows
+        as usual. Collapse must see the FULL match set before any
+        top-k, so it forces the exhaustive path like ``exclude``, and
+        it composes with ``page`` (OFFSET over collapsed results) but
+        not ``after`` (a pre-collapse cursor would resurface a group
+        whose best hit was already served).
+
+        ``after`` is a keyset cursor (ES search_after / Lucene
         searchAfter): the frozen-order sort key
         ``(score, matched, path, doc_id)`` of the last hit already
         served — the next page is the top-k strictly after it. Unlike
@@ -379,8 +394,11 @@ class QueryEngine:
         if spell:
             terms = self.expand_query_terms(terms)
         exclude = sorted(set(exclude or []))
+        if collapse is not None and after is not None:
+            raise ValueError("collapse does not compose with an `after` "
+                             "cursor (see docstring)")
         idf_map, sum_df = self._term_info(terms)
-        if exclude or after is not None:
+        if exclude or after is not None or collapse is not None:
             # these filters cut the candidate set by data WAND can't see
             # (other terms' postings / the cursor sort key) — pre-top-k
             # exactness forces the exhaustive path
@@ -433,6 +451,31 @@ class QueryEngine:
                 (s < c_s)
                 | ((s == c_s) & (m < c_m))
                 | ((s == c_s) & (m == c_m) & path_tail)
+            )
+        if collapse is not None:
+            if collapse not in with_path.columns:
+                raise ValueError(
+                    f"collapse column {collapse!r} not in result surface "
+                    f"{with_path.columns}"
+                )
+            payload = with_path.columns
+            # per-group best under the frozen rank order (§8.4), as a
+            # max-struct aggregate: (score, matched, path, -doc_id) —
+            # NULL path loses (struct comparison: null smallest), which
+            # matches `path desc` nulls-last; groupBy keeps NULL group
+            # values as one group, like ES collapse on a missing field
+            with_path = (
+                with_path.groupBy(F.col(collapse).alias("_grp"))
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score"), F.col("matched"), F.col("path"),
+                            (-F.col("doc_id")).alias("_neg"),
+                            *[F.col(c).alias(f"p_{c}") for c in payload],
+                        )
+                    ).alias("_b")
+                )
+                .select(*[F.col(f"_b.p_{c}").alias(c) for c in payload])
             )
         return self._offset_page(
             with_path, rank_order(with_path), page, k

@@ -144,6 +144,56 @@ def test_bm25_pagination(engine, oracle_ix, fixture_queries):
             assert r["score"] == pytest.approx(e["score"], rel=REL_TOL)
 
 
+def _collapse_expected(rows, group_fn, k):
+    """Reference collapse over an already-rank-verified full result
+    list: stable multi-pass sort into the frozen §8.4 order, first
+    occurrence per group wins, first k groups returned."""
+    ordered = sorted(rows, key=lambda r: r["doc_id"])
+    ordered.sort(key=lambda r: r["path"] or "", reverse=True)
+    ordered.sort(key=lambda r: (r["score"], r["matched"]), reverse=True)
+    seen, out = set(), []
+    for r in ordered:
+        g = group_fn(r)
+        if g not in seen:
+            seen.add(g)
+            out.append(r)
+    return out[:k]
+
+
+def test_collapse_one_per_repo(engine, fixture_queries):
+    """collapse='repo' = ES field collapsing: at most one hit per repo,
+    each group's best under the frozen rank order, groups ranked by
+    their best hit. Expected derived by collapsing the (already
+    rank-identity-verified) full exhaustive result list in Python."""
+    for q in fixture_queries[:4]:
+        full = engine.bm25(q, k=10_000, wand=False).collect()
+        if not full:
+            continue
+        expected = _collapse_expected(full, lambda r: r["repo"], k=10)
+        got = engine.bm25(q, k=10, collapse="repo").collect()
+        assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected], q
+        repos = [r["repo"] for r in got]
+        assert len(repos) == len(set(repos))
+        for r, e in zip(got, expected):
+            assert r["score"] == pytest.approx(e["score"], rel=REL_TOL)
+
+
+def test_collapse_composes_with_offset_page(engine, fixture_queries):
+    q = fixture_queries[0]
+    full = engine.bm25(q, k=10_000, wand=False).collect()
+    expected = _collapse_expected(full, lambda r: r["repo"], k=10)[5:10]
+    got = engine.bm25(q, k=5, page=1, collapse="repo").collect()
+    assert [r["doc_id"] for r in got] == [e["doc_id"] for e in expected]
+
+
+def test_collapse_rejects_cursor_and_unknown_column(engine, fixture_queries):
+    q = fixture_queries[0]
+    with pytest.raises(ValueError, match="collapse"):
+        engine.bm25(q, k=5, collapse="repo", after=(1.0, 1, "x", 0))
+    with pytest.raises(ValueError, match="not in result surface"):
+        engine.bm25(q, k=5, collapse="no_such_column")
+
+
 def test_blended_pagination(engine, oracle_ix, fixture_queries):
     """Candidate-window pagination: page_num=1 re-ranks the SECOND
     candidate window, exactly like the reference's LIMIT/OFFSET CTE."""
