@@ -146,6 +146,9 @@ def main() -> int:
             ("mm_jpeg_pixels", lambda: (lambda mm: mm.extract_jpeg_pixel_features(
                 mm.with_jpeg_pixel_blob(docs)))(__import__(
                     "search_engine_spark.ops.multimodal", fromlist=["x"]))),
+            ("search_collapse", lambda: search_sql.bm25_topk_collapse(
+                spark, docs, search_sql.QUERY_MAIN)),
+            ("dedup_clusters_star", lambda: dedup.dedup_clusters(docs)),
         ]:
             t0 = time.perf_counter()
             df_fn().count()

@@ -26,7 +26,18 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def load_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Read the raw corpus table (Parquet stand-in for Iceberg)."""
+    """Read the raw corpus table.
+
+    ``table:<identifier>`` reads a catalog table by name — with an
+    Iceberg catalog configured (``spark.sql.catalog.*`` — jars absent
+    in this sandbox) this IS the Iceberg path, including its partition
+    pruning and snapshot semantics; it also serves temp views and the
+    session catalog. Anything else is a Parquet directory path, the
+    sandbox stand-in with the identical column layout. Every consumer
+    sees only the returned DataFrame, so the source swap is total here.
+    """
+    if path.startswith("table:"):
+        return spark.read.table(path[len("table:"):])
     return spark.read.parquet(path)
 
 

@@ -62,3 +62,20 @@ def test_canonicalize_ref(spark):
     df = spark.createDataFrame([(k,) for k in cases], "p string")
     got = {r["p"]: r["c"] for r in df.select("p", canonicalize_ref(F.col("p")).alias("c")).collect()}
     assert got == cases
+
+
+def test_load_corpus_table_identifier(spark, fixture_dir):
+    """`table:<identifier>` dispatches to the catalog reader (the
+    Iceberg path once a catalog is configured) and yields the identical
+    corpus + identities as the Parquet-path read."""
+    from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+    via_path = with_identity(load_corpus(spark, str(fixture_dir / "corpus.parquet")))
+    spark.read.parquet(str(fixture_dir / "corpus.parquet")).createOrReplaceTempView(
+        "corpus_tbl"
+    )
+    via_table = with_identity(load_corpus(spark, "table:corpus_tbl"))
+    assert via_table.columns == via_path.columns
+    a = {r["doc_id"]: r["content_sha"] for r in via_path.select("doc_id", "content_sha").collect()}
+    b = {r["doc_id"]: r["content_sha"] for r in via_table.select("doc_id", "content_sha").collect()}
+    assert a == b and len(a) == 200
