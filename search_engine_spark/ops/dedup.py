@@ -310,20 +310,20 @@ def simhash_hamming_pairs(
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    toks = tokens_col("text")
-    idx = F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1))
-    shingles = F.when(
-        F.size(toks) >= SHINGLE_N,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + off) for off in range(SHINGLE_N)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", shingles.alias("sh"))
+    # tokens are projected as a REAL column before the shingle
+    # transform: an expression captured inside a higher-order-function
+    # lambda is re-evaluated per element (no CSE across the lambda
+    # boundary), so referencing the tokenizer split there re-tokenizes
+    # the doc once per shingle — quadratic in doc length. A bound
+    # column attribute is evaluated once per row.
+    staged = docs.select("doc_id", tokens_col("text").alias("__toks"))
+    shingles = F.expr(
+        f"CASE WHEN size(__toks) >= {SHINGLE_N} THEN array_distinct("
+        f"transform(sequence(1, size(__toks) - {SHINGLE_N} + 1), "
+        f"i -> array_join(slice(__toks, i, {SHINGLE_N}), ' '))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return staged.select("doc_id", shingles.alias("sh"))
 
 
 def ngram_jaccard_pairs(

@@ -221,9 +221,18 @@ def _postings_stage(
             )
 
         # per-doc metadata incl. title/description (P7/P8); part_id is
-        # re-derived (deterministic in doc_id) since docs_table prunes it
+        # re-derived (deterministic in doc_id) since docs_table prunes it.
+        # keywords come from the postings just written — a narrow
+        # read-back (partition-pruned to this wave) instead of a second
+        # content tokenize.
+        spark.catalog.refreshByPath(postings_path)
+        wave_postings = (
+            spark.read.parquet(postings_path)
+            .where((F.col("gen") == gen) & F.col("part_id").isin(wave))
+            .select("doc_id", "term", "tf")
+        )
         (
-            docs_table(subset)
+            docs_table(subset, postings=wave_postings)
             .withColumn("part_id", _part_col("doc_id", P))
             .withColumn("gen", F.lit(gen).cast("int"))
             .repartition(len(wave), "part_id")

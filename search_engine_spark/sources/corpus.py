@@ -87,33 +87,44 @@ DESCRIPTION_LEN = 300  # reference: first 300 chars of page text (parser.go:41-4
 KEYWORDS_K = 5         # reference: meta-keywords list (entity.go:16-26)
 
 
-def keywords_col(text_col: str = "content", k: int = KEYWORDS_K):
+def keywords_from_postings(postings: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
     """Parse-time keywords analogue (reference metadata carries a
     keywords list captured while parsing the page, entity.go:16-26):
-    the doc's top-``k`` terms by tf, ties broken by term — a pure JVM
-    expression over the frozen tokenizer, computed once at build time
-    like title/description, never at query time.
+    per doc, the top-``k`` terms by tf, ties broken by term asc —
+    derived from the (doc_id, term, tf) postings the build ALREADY
+    computed, so content is never tokenized a second time.
+
+    (A per-row expression over the token array was the round-3 first
+    cut and a scale bug: Catalyst does not CSE a subtree referenced
+    from inside a higher-order-function lambda, so the tokenizer split
+    re-ran once per distinct term per doc, interpreted — quadratic in
+    document length. Aggregating the postings is one map-side-light
+    shuffle of a narrow table instead.)
 
     Sort trick: structs order field-wise, so sorting (-tf, term)
-    ascending IS (tf desc, term asc) — no comparator lambda, stays in
-    codegen. Per-doc cost is distinct·dl string equalities; no shuffle,
-    no UDF."""
-    from search_engine_spark.functions.tokenize import jvm_tokens_col
-
-    toks = jvm_tokens_col(text_col)
-    scored = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            (-F.size(F.filter(toks, lambda x: x == t))).alias("ntf"),
-            t.alias("term"),
-        ),
+    ascending IS (tf desc, term asc) — no comparator lambda."""
+    return postings.groupBy("doc_id").agg(
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tf")).cast("int").alias("ntf"),
+                            F.col("term").alias("term"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda s: s["term"],
+        ).alias("keywords")
     )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, k), lambda s: s["term"]
-    )
 
 
-def docs_table(corpus_with_id: DataFrame) -> DataFrame:
+def docs_table(
+    corpus_with_id: DataFrame, postings: DataFrame | None = None
+) -> DataFrame:
     """The persisted per-doc metadata table (no content — column pruned
     away as early as possible; the analogue of the reference wiping
     ``pages.html`` post-index, SURVEY §2.1 S13).
@@ -126,10 +137,28 @@ def docs_table(corpus_with_id: DataFrame) -> DataFrame:
     path basename (the code-corpus analogue of the page title),
     ``description`` the first 300 chars of content, ``keywords`` the
     top-5 tf terms — all derived at build time, JVM-side, so queries
-    never touch raw content."""
-    return corpus_with_id.select(
+    never touch raw content.
+
+    ``postings`` — pass the wave's already-materialized (doc_id, term,
+    tf) table so keywords come from it (the build does this: one narrow
+    read-back instead of a second content tokenize). When omitted the
+    postings are derived here from content (small/standalone callers).
+    """
+    base = corpus_with_id.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.element_at(F.split("path", "/"), -1).alias("title"),
         F.substring("content", 1, DESCRIPTION_LEN).alias("description"),
-        keywords_col("content").alias("keywords"),
+    )
+    if postings is None:
+        from search_engine_spark.functions.tokenize import (
+            extract_postings_jvm,
+        )
+
+        postings = extract_postings_jvm(
+            corpus_with_id.select("doc_id", "content")
+        )
+    kw = keywords_from_postings(postings.select("doc_id", "term", "tf"))
+    return base.join(kw, "doc_id", "left").withColumn(
+        "keywords",
+        F.coalesce(F.col("keywords"), F.array().cast("array<string>")),
     )
