@@ -45,7 +45,16 @@ WS_SPLIT_RE = WS_CLASS + "+"
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    """Ordered token array, frozen tokenizer §8.1, pure JVM expressions."""
+    """Ordered token array, frozen tokenizer §8.1, pure JVM expressions.
+
+    USAGE RULE: never reference the returned expression from inside a
+    higher-order-function lambda (transform/filter/aggregate body) —
+    Catalyst does not CSE across the lambda boundary, so the split
+    re-runs once per array element (quadratic in doc length,
+    interpreted). Project it with ``.alias(...)`` first and reference
+    the bound column instead (see ops/dedup.py::_shingle_sets).
+    Passing it as the HOF's *array argument* is fine (evaluated once).
+    """
     raw = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     trimmed = F.transform(raw, lambda t: F.btrim(t, F.lit(TRIM_SET)))
     return F.filter(
