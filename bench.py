@@ -222,7 +222,6 @@ def _scaling_summary(full: dict) -> dict:
             best_local4_secs=best.get("local4_secs"),
             best_local16_secs=best.get("local16_secs"),
             best_raw_whole_build=best.get("whole_build_efficiency"),
-            best_raw_postings=best.get("postings_stage_efficiency"),
             passes_raw=best.get("passes_raw"),
         )
     return summary
@@ -256,22 +255,22 @@ def _scaling_evidence() -> dict:
     # 16p ≈ 4p means the memory bus was saturated by neighbors, which
     # inflates the memory-bound encode stage specifically).
     best_measured = {
-        "note": "best committed run, BASELINE.md 'Measured (round 2)' "
-                "2M docs / 400 replicas: fixed stage costs amortized, "
-                "whole-build RAW efficiency passes the >=0.8 criterion on "
-                "a DEGRADED interval (spin ceiling 0.733, stream 0.228 — "
-                "degradation biases scaling down, so the pass is "
-                "conservative). Prior 1M-doc near-quiet run: 0.787 raw / "
-                "0.808 vs its 0.974 ceiling.",
-        "local4_secs": 864.8, "local16_secs": 261.5,
-        "whole_build_efficiency": 0.827,
-        "postings_stage_efficiency": 0.900,
-        "host_ceiling_efficiency": 0.733,
-        # vs_ceiling figures >1.0 mean the spin ceiling measured on that
-        # degraded interval is NOT a valid normalizer (ADVICE r02) —
-        # diagnostics only; the pass is keyed solely on the raw numbers.
-        "vs_ceiling_whole_build_nonnormative": 1.128,
-        "vs_ceiling_postings_nonnormative": 1.228,
+        "note": "best committed run, BASELINE.md 'Measured (round 3)' "
+                "2M docs / 400 replicas AFTER the quadratic "
+                "keywords/shingle fix (5a56552): whole-build RAW "
+                "efficiency 0.982 >= 0.8 on a near-quiet interval (spin "
+                "ceiling 0.969). Round-2 degraded-interval run for "
+                "comparison: 864.8/261.5 s, raw 0.827 under a 0.733 "
+                "ceiling — also a raw pass.",
+        "local4_secs": 727.7, "local16_secs": 185.3,
+        "whole_build_efficiency": 0.982,
+        # postings-stage 1.074 and vs-ceiling 1.013 exceed 1.0 —
+        # measurement noise, NON-NORMATIVE (ADVICE r02 rule: >1.0
+        # figures are never evidence); the pass is keyed solely on the
+        # raw whole-build number.
+        "postings_stage_efficiency_nonnormative": 1.074,
+        "host_ceiling_efficiency": 0.969,
+        "vs_ceiling_whole_build_nonnormative": 1.013,
         "criterion": ">=0.8",
         "passes_raw": True,
         # best ceiling-adjusted run (word-aligned codec A/B, BASELINE.md
