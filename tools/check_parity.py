@@ -60,9 +60,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -106,7 +108,8 @@ def main() -> int:
             print(f"FAIL {name}: values differ; first diffs: {diff}")
         else:
             print(f"ok   {name}: {len(sc)} rows match")
-    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    print(f"\n{len(failures)} failures / {n_run} queries run"
+          f" ({len(qs)} registered)")
     return 1 if failures else 0
 
 
