@@ -261,7 +261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         # --- deduplication ---
-        "dedup_exact": lambda s, d: dedup.exact_dedup(_t(s, d, "documents")),
         "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
             _t(s, d, "documents")
         ),
@@ -287,7 +286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         # --- similarity search over embeddings ---
-        "sim_cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "sim_lsh_signatures": lambda s, d: similarity.lsh_signatures(
             _t(s, d, "embeddings")
         ),
@@ -314,9 +312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         # --- relational / event-time coverage ---
-        "rel_pricing_summary": lambda s, d: relational.pricing_summary(
-            _t(s, d, "lineitem")
-        ),
         "rel_top_customers_by_region": lambda s, d: relational.top_customers_by_region(
             _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region"),
             _t(s, d, "orders"),
@@ -366,11 +361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r3 note: mm_mjpeg_frames, search_lifecycle_postings,
         # search_collapse_topk and graph_cc_chain are new and never
         # verified by anyone, so they take graded slots (positions
-        # ≤50); mm_image_resize / graph_pagerank_5iter /
-        # graph_hits_5iter / graph_pagerank_prior move past the
-        # driver's 50-query cap — all were judge-verified green in r2
-        # and stay pytest-pinned (test_multimodal / test_hits /
-        # test_rank_identity).)
+        # ≤50). mm_image_resize / graph_pagerank_5iter /
+        # graph_hits_5iter were judge-verified in r2 but never
+        # driver-graded, so they take window slots too; three
+        # r1-green rows (dedup_exact, sim_cosine_topk,
+        # rel_pricing_summary) moved past the cap to make room.
+        # graph_pagerank_prior stays beyond the cap by design: its
+        # fixpoint has no SQL twin (rows-only row) and the math is
+        # pytest-pinned vs a NumPy port in test_rank_identity.)
         "graph_cc_chain": _cc_chain,
         "mm_image_resize": lambda s, d: multimodal.resize_image_features(
             multimodal.with_gradient_image_blob(_t(s, d, "documents"))
@@ -379,8 +377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits_5iter": _hits_5iter,
         "graph_pagerank_prior": _pagerank_prior,
         # =================================================================
-        # BACK 50 — already green in CORRECTNESS_r01.json / r02.json.
+        # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_t(s, d, "documents")),
+        "sim_cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
+        "rel_pricing_summary": lambda s, d: relational.pricing_summary(
+            _t(s, d, "lineitem")
+        ),
         # --- search-engine core, SQL-checkable flavors (SURVEY §2/§8) ---
         "search_postings": lambda s, d: search_sql.postings(_t(s, d, "documents")),
         "search_term_stats": lambda s, d: search_sql.term_stats(_t(s, d, "documents")),
