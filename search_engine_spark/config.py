@@ -140,4 +140,17 @@ class EngineConfig:
     pagerank_damping: float = PAGERANK_DAMPING
     pagerank_tol: float = PAGERANK_TOL
     pagerank_max_iters: int = PAGERANK_MAX_ITERS
+    # OPT-IN: warm-start incremental prior refreshes from the previous
+    # prior table. After a small extend/delete the old ranks are already
+    # near the new fixpoint, so iterations-to-tol collapse (pagerank()
+    # reseeds new ids at 1/n, drops deleted ids, renormalizes — power
+    # iteration converges from any normalized start). Default OFF
+    # because the warm trajectory stops at a DIFFERENT approximation of
+    # the same fixpoint (each run is within tol/(1-d) L1 of it, so warm
+    # vs cold differ by ≤ 2·tol/(1-d) ≈ 1.3e-4): with it on, extend is
+    # equivalent to a fresh build only within that bound, not bit-equal
+    # — the right trade at 10^12-file scale (the 100-iteration cold
+    # graph pass is the dominant extend cost), kept off here so the
+    # exact-equivalence gates stay the default contract.
+    pagerank_warm_start: bool = False
     extra: dict = field(default_factory=dict)

@@ -71,9 +71,25 @@ def pagerank(
     max_iters: int = PAGERANK_MAX_ITERS,
     personalization: DataFrame | None = None,
     check_every: int = 1,
+    init_ranks: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges (src, dst) [+ optional personalization (id, weight)] →
     prior (doc_id, score).
+
+    ``init_ranks`` (doc_id, score) warm-starts the power iteration —
+    the incremental-refresh path: after a small graph delta the old
+    prior is already near the new fixpoint, so iterations-to-tol drop
+    from O(log(1/tol)/log(1/d)) to a handful (power iteration converges
+    to the same fixpoint from ANY probability-vector start; the init
+    only sets the distance covered). Ids absent from init (new docs)
+    seed at 1/n, ids absent from the node universe (deleted docs) drop
+    out via the join, and the seeded vector is renormalized to sum 1 in
+    one scalar aggregate so mass conservation — which the update rule
+    assumes — holds regardless of how stale the init is.
+
+    ``stats`` (optional dict) receives ``iterations`` and
+    ``driver_syncs`` for observability/regression tests.
 
     ``check_every=n`` batches the tolerance check: n joined iterations
     compose into one plan between residual collects, cutting driver
@@ -92,6 +108,9 @@ def pagerank(
     nodes = _node_universe(edges, personalization).persist()
     n = nodes.count()
     if n == 0:
+        if stats is not None:
+            stats["iterations"] = 0
+            stats["driver_syncs"] = 0
         return spark.createDataFrame([], "doc_id long, score double")
     # uniform teleport unless personalized; p sums to 1 either way
     nodes_p = nodes.withColumn("p", F.coalesce(F.col("p"), F.lit(1.0 / n)))
@@ -100,11 +119,32 @@ def pagerank(
     adj = edges.join(out_deg, "src").persist()
     adj.count()  # materialize once
 
-    state = nodes_p.select(
-        "id", "is_dangling", "p", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
+    if init_ranks is None:
+        state = nodes_p.select(
+            "id", "is_dangling", "p", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint()
+    else:
+        seeded = (
+            nodes_p.join(
+                init_ranks.select(
+                    F.col("doc_id").alias("id"), F.col("score").alias("r0")
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                "id", "is_dangling", "p",
+                F.coalesce(F.col("r0"), F.lit(1.0 / n)).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        total = seeded.agg(F.sum("rank")).collect()[0][0]
+        state = seeded.withColumn(
+            "rank", F.col("rank") / F.lit(float(total))
+        ).localCheckpoint()
 
     done = 0
+    syncs = 0
     while done < max_iters:
         steps = min(max(1, check_every), max_iters - done)
         prev = state
@@ -155,9 +195,13 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
             .collect()[0][0]
         )
+        syncs += 1
         if resid < tol:
             break
 
+    if stats is not None:
+        stats["iterations"] = done
+        stats["driver_syncs"] = syncs
     nodes.unpersist()
     adj.unpersist()
     return state.select(F.col("id").alias("doc_id"), F.col("rank").alias("score"))

@@ -428,9 +428,23 @@ def _prior_stage(
     edges = resolve_edges(refs, docs.select("doc_id", "path"))
     edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
     t_edges = time.time()
+    # warm-start from the previous prior when one exists (incremental
+    # extend/compact/refresh): the old ranks are near the new fixpoint,
+    # so the tol-gated loop stops after a handful of iterations instead
+    # of the cold-start ~O(log(1/tol)/log(1/d)) — pagerank() reseeds
+    # new docs at 1/n, drops deleted ids, and renormalizes, so the
+    # result is the SAME fixpoint (test_rank_identity warm-start cases).
+    init = None
+    if cfg.pagerank_warm_start and fs_exists(spark, f"{index_dir}/prior"):
+        try:
+            init = spark.read.parquet(f"{index_dir}/prior").localCheckpoint()
+        except Exception:  # noqa: BLE001 - unreadable/empty prior: cold start
+            init = None
+    pr_stats: dict = {}
     prior = pagerank(
         spark.read.parquet(f"{index_dir}/edges"),
         cfg.pagerank_damping, cfg.pagerank_tol, cfg.pagerank_max_iters,
+        init_ranks=init, stats=pr_stats,
     )
     prior.write.mode("overwrite").parquet(f"{index_dir}/prior")
     ckpt.append(
@@ -440,7 +454,9 @@ def _prior_stage(
     )
     metrics.emit("prior", {"secs": time.time() - t3,
                            "edges_secs": t_edges - t3,
-                           "pagerank_secs": time.time() - t_edges})
+                           "pagerank_secs": time.time() - t_edges,
+                           "pagerank_iters": pr_stats.get("iterations", 0),
+                           "warm_start": int(init is not None)})
 
 
 def build_index(

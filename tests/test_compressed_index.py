@@ -267,6 +267,56 @@ def test_pagerank_check_every_batches_syncs(spark, fixture_expected):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_warm_start(spark, fixture_expected):
+    """Warm-start (incremental prior refresh): seeding from the previous
+    fixpoint converges in a handful of iterations to the SAME ranks;
+    seeding from an arbitrary (unnormalized, partially-covering) vector
+    still reaches the same fixpoint — power iteration converges from any
+    start and pagerank() renormalizes the seed."""
+    from search_engine_spark.config import PAGERANK_DAMPING, PAGERANK_TOL
+    from search_engine_spark.operators.pagerank import pagerank as spark_pagerank
+
+    edges = [tuple(e) for e in fixture_expected["edges"]]
+    expected = oracle_pagerank(edges)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    cold_stats: dict = {}
+    cold = spark_pagerank(edf, stats=cold_stats).collect()
+    cold_map = {r["doc_id"]: r["score"] for r in cold}
+    bound = 2 * PAGERANK_TOL / (1 - PAGERANK_DAMPING)
+    assert sum(abs(cold_map[d] - expected[d]) for d in expected) < bound
+
+    # 1) seed = the cold fixpoint → first residual is already < tol
+    seed = spark.createDataFrame(
+        [(d, s) for d, s in cold_map.items()], "doc_id long, score double"
+    )
+    warm_stats: dict = {}
+    warm = {
+        r["doc_id"]: r["score"]
+        for r in spark_pagerank(edf, init_ranks=seed, stats=warm_stats).collect()
+    }
+    assert warm_stats["iterations"] <= 2
+    assert warm_stats["iterations"] < cold_stats["iterations"]
+    assert sum(abs(warm[d] - cold_map[d]) for d in cold_map) < bound
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-6)
+
+    # 2) stale/partial/unnormalized seed: scale ×7, drop half the ids,
+    # add a dead id — deleted ids drop out, missing ids reseed at 1/n,
+    # the vector renormalizes, and the SAME fixpoint comes back
+    stale_rows = [
+        (d, 7.0 * s) for i, (d, s) in enumerate(sorted(cold_map.items()))
+        if i % 2 == 0
+    ] + [(10**9 + 7, 3.5)]
+    stale = spark.createDataFrame(stale_rows, "doc_id long, score double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark_pagerank(edf, init_ranks=stale).collect()
+    }
+    assert set(got) == set(expected)  # dead id not resurrected
+    assert sum(abs(got[d] - cold_map[d]) for d in cold_map) < 2 * bound
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_pagerank_matches_oracle(spark, index_dir, fixture_expected):
     prior = {
         r["doc_id"]: r["score"]

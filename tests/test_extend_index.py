@@ -95,6 +95,49 @@ def test_prior_matches_full_build(spark, extended_and_full):
     assert sum(abs(pi[d] - pf[d]) for d in pf) < 1e-6
 
 
+def test_warm_start_extend_prior(spark, split_corpora):
+    """Opt-in pagerank_warm_start=True: the extend's prior stage seeds
+    from the base build's prior and converges in far fewer iterations to
+    the same fixpoint within the documented 2·tol/(1−d) bound (each run
+    stops within tol/(1−d) L1 of the true fixpoint). Default-off extends
+    stay bit-equal to a fresh build (test_prior_matches_full_build)."""
+    from search_engine_spark.config import (
+        PAGERANK_DAMPING,
+        PAGERANK_TOL,
+        EngineConfig,
+    )
+
+    a, b, u, root = split_corpora
+    warm_dir, cold_dir = str(root / "ix_warm"), str(root / "ix_cold")
+    build_index(spark, a, warm_dir)
+    extend_index(spark, b, warm_dir,
+                 cfg=EngineConfig(pagerank_warm_start=True))
+    build_index(spark, u, cold_dir)
+
+    pw = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{warm_dir}/prior").collect()}
+    pc = {r["doc_id"]: r["score"]
+          for r in spark.read.parquet(f"{cold_dir}/prior").collect()}
+    assert set(pw) == set(pc)
+    bound = 2 * PAGERANK_TOL / (1 - PAGERANK_DAMPING)
+    assert sum(abs(pw[d] - pc[d]) for d in pc) < bound
+    assert sum(pw.values()) == pytest.approx(1.0, abs=1e-6)
+
+    # metrics record the warm start and the iteration collapse
+    m = (
+        spark.read.parquet(f"{warm_dir}/_metrics")
+        .where("stage = 'prior'")
+        .collect()
+    )
+    per_build: dict[str, dict[str, float]] = {}
+    for r in m:
+        per_build.setdefault(r["build_id"], {})[r["key"]] = r["value"]
+    flags = sorted(v["warm_start"] for v in per_build.values())
+    assert flags == [0.0, 1.0]  # base build cold, extend warm
+    iters = {v["warm_start"]: v["pagerank_iters"] for v in per_build.values()}
+    assert iters[1.0] < iters[0.0]
+
+
 def test_extend_resumes_after_kill(spark, split_corpora):
     a, b, _, root = split_corpora
     ix = str(root / "ix_kill")
