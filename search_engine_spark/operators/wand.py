@@ -59,7 +59,9 @@ def _empty_out() -> pd.DataFrame:
 
 def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
                     k: int, k1: float = BM25_K1, b: float = BM25_B,
-                    min_match: int = 1) -> pd.DataFrame:
+                    min_match: int = 1,
+                    excluded: frozenset[str] | set[str] | None = None,
+                    salt_bits: int | None = None) -> pd.DataFrame:
     """Exact top-k (score ties kept) for one salt's blocks of the query
     terms; with ``min_match=m`` > 1, the top-k over docs matching ≥ m
     terms (minimumNumberShouldMatch), still with block-max pruning:
@@ -73,11 +75,38 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
       exact score among matched ≥ m docs only, and sub-m docs are
       dropped from the output — both exactly what the engine's post-hoc
       ``matched ≥ m`` filter + top-k would keep, so WAND ≡ exhaustive
-      holds per salt (property-tested with min_match 1..#terms)."""
+      holds per salt (property-tested with min_match 1..#terms).
+
+    ``excluded`` terms (MUST_NOT, r3) are evaluated INSIDE the kernel so
+    boolean NOT queries keep block-max pruning: their blocks contribute
+    no UB and no score — when a segment survives θ, the excluded blocks
+    overlapping it decode into a doc_id mask applied BEFORE θ and the
+    output, so θ tracks the k-th best score among eligible docs only.
+    Exactness requires each doc's full posting set (positive AND
+    excluded terms) to be visible in the group that emits it; with the
+    salted fan-out that is the doc's home salt, so exclusion runs with
+    ``salt_bits`` set, which drops foreign-doc partials (docs whose home
+    salt is another group — they are fully scored there; here they
+    could not see a salted excluded term's block and would resurface
+    through the max-merge). With ``salt_bits=None`` (single-group
+    callers) all blocks are in this group and no filter is needed."""
+    excluded = frozenset(excluded or ())
     rows = pdf[pdf["term"].isin(idf_map)].reset_index(drop=True)
     nblk = len(rows)
     if nblk == 0:
         return _empty_out()
+
+    # home-salt membership predicate (see docstring; compress.salt_col)
+    home = None
+    if salt_bits is not None and "salt" in pdf.columns:
+        gsalt = int(pdf["salt"].iloc[0])
+        if gsalt >= 0:
+            shift = np.uint64(64 - salt_bits)
+            bias = np.uint64(1) << np.uint64(63)
+
+            def home(docs: np.ndarray) -> np.ndarray:
+                u = docs.astype(np.uint64)
+                return ((u ^ bias) >> shift).astype(np.int64) == gsalt
 
     idfs = rows["term"].map(idf_map).to_numpy(dtype=np.float64)
     firsts = rows["first_doc"].to_numpy(dtype=np.int64)
@@ -117,6 +146,37 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     for bi in range(nblk):
         for s in range(s0[bi], s1[bi]):
             seg_blocks[s].append(bi)
+
+    # excluded-term blocks → overlapping-segment incidence. Their doc
+    # ranges do NOT align to the positive blocks' segment boundaries,
+    # so overlap is computed by point location (side='right' − 1), not
+    # the aligned searchsorted above.
+    exc_rows = (
+        pdf[pdf["term"].isin(excluded)].reset_index(drop=True)
+        if excluded else pdf.iloc[0:0]
+    )
+    exc_seg_blocks: list[list[int]] = [[] for _ in range(nseg)]
+    if len(exc_rows):
+        ef = exc_rows["first_doc"].to_numpy(dtype=np.int64)
+        el = exc_rows["last_doc"].to_numpy(dtype=np.int64)
+        e0 = np.maximum(np.searchsorted(bounds, ef, side="right") - 1, 0)
+        e1 = np.minimum(
+            np.searchsorted(bounds, el, side="right") - 1, nseg - 1
+        )
+        for bi in range(len(exc_rows)):
+            for s in range(int(e0[bi]), int(e1[bi]) + 1):
+                exc_seg_blocks[s].append(bi)
+
+    exc_decoded: dict[int, np.ndarray] = {}
+
+    def _decode_exc(bi: int) -> np.ndarray:
+        got = exc_decoded.get(bi)
+        if got is None:
+            r = exc_rows.iloc[bi]
+            exc_decoded[bi] = got = decode_doc_gaps(
+                int(r["first_doc"]), bytes(r["doc_gaps"]), int(r["n"])
+            )
+        return got
 
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -164,6 +224,24 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
         np.add.at(ss, inv, s)
         mm = np.zeros(ud.size, dtype=np.int64)
         np.add.at(mm, inv, 1)
+        if home is not None:
+            q = home(ud)
+            if not q.any():
+                continue
+            ud, ss, mm = ud[q], ss[q], mm[q]
+        if exc_seg_blocks[si]:
+            exd = []
+            for bi in exc_seg_blocks[si]:
+                docs = _decode_exc(bi)
+                i0 = int(np.searchsorted(docs, lo, side="left"))
+                i1 = int(np.searchsorted(docs, hi1, side="left"))
+                if i1 > i0:
+                    exd.append(docs[i0:i1])
+            if exd:
+                q = ~np.isin(ud, np.concatenate(exd))
+                if not q.any():
+                    continue
+                ud, ss, mm = ud[q], ss[q], mm[q]
         if min_match > 1:
             # θ and the output may only see qualifying docs — a doc's
             # full (score, matched) come from ONE segment, so mm is
@@ -197,7 +275,9 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
 
 def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
               k: int, k1: float = BM25_K1, b: float = BM25_B,
-              min_match: int = 1) -> DataFrame:
+              min_match: int = 1,
+              excluded: frozenset[str] | set[str] | None = None,
+              salt_bits: int | None = None) -> DataFrame:
     """Distributed block-max WAND: per-salt exact top-k → caller merges.
 
     ``blocks`` must already be filtered to the query's terms (bucket +
@@ -206,9 +286,13 @@ def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
     boolean queries (coverage skip + θ over qualifying docs) — the
     per-salt exactness argument is unchanged because a doc's home salt
     holds ALL its postings, so its matched count there is the true one;
-    foreign partial rows are dropped or dominated in the max-merge."""
+    foreign partial rows are dropped or dominated in the max-merge.
+    ``excluded`` + ``salt_bits`` enable in-kernel MUST_NOT (r3): blocks
+    must then also carry the excluded terms' rows, and each group emits
+    only its home-salt docs (see wand_topk_group docstring)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return wand_topk_group(pdf, idf_map, avgdl, k, k1, b, min_match)
+        return wand_topk_group(pdf, idf_map, avgdl, k, k1, b, min_match,
+                               excluded=excluded, salt_bits=salt_bits)
 
     return blocks.groupBy("salt").applyInPandas(fn, schema=WAND_OUT_SCHEMA)

@@ -357,10 +357,13 @@ class QueryEngine:
         without decoding, and θ tracks the k-th best score among
         QUALIFYING docs only (property-tested WAND ≡ exhaustive for
         min_match 1..#terms) — so conjunctive queries cost-route like
-        disjunctive ones. ``exclude`` and ``after`` still force the
-        exhaustive path: they cut the candidate set by data the kernel
-        can't see (other terms' postings / the cursor key), and a
-        per-salt top-k could evict a doc those filters would promote.
+        disjunctive ones. ``exclude`` keeps pruning too (r3): the
+        excluded terms' blocks ride the same per-salt fan-out (zero UB,
+        zero score) and the kernel masks their docs before θ — exact
+        because each group emits only home-salt docs, whose full
+        posting set (positive AND excluded) it holds. ``after`` still
+        forces the exhaustive path: the cursor key involves the docs
+        join, which the kernel can't see.
 
         ``after`` is a keyset cursor (ES search_after / Lucene
         ``collapse`` names a result column (``repo``, ``lang``, ``path``
@@ -398,10 +401,10 @@ class QueryEngine:
             raise ValueError("collapse does not compose with an `after` "
                              "cursor (see docstring)")
         idf_map, sum_df = self._term_info(terms)
-        if exclude or after is not None or collapse is not None:
+        if after is not None or collapse is not None:
             # these filters cut the candidate set by data WAND can't see
-            # (other terms' postings / the cursor sort key) — pre-top-k
-            # exactness forces the exhaustive path
+            # (the cursor sort key / the full pre-collapse match set) —
+            # pre-top-k exactness forces the exhaustive path
             wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -411,17 +414,25 @@ class QueryEngine:
             # +n_tombs: tombstoned docs may occupy per-salt top-k slots
             # before the anti-join drops them — widening the ask keeps
             # the post-filter top-k exact (compact to reclaim when the
-            # tombstone backlog grows large)
+            # tombstone backlog grows large).
+            # MUST_NOT (r3): excluded terms ride the same fan-out — their
+            # blocks join the per-salt groups (zero UB, zero score) and
+            # the kernel masks their docs before θ, so NOT queries keep
+            # block-max pruning instead of forcing the exhaustive path.
+            ex = frozenset(exclude)  # OOV excluded terms have no blocks
+            fan = sorted(set(idf_map) | ex)
             scored = self._merge_salt_topk(wand_topk(
-                self._wand_blocks(list(idf_map)), idf_map,
+                self._wand_blocks(fan), idf_map,
                 self.stats["avgdl"], (page + 1) * k + self._n_tombs,
                 self.stats["k1"], self.stats["b"], min_match,
+                excluded=ex or None,
+                salt_bits=int(self.stats["salt_bits"]) if ex else None,
             ))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
         if min_match > 1:
             scored = scored.where(F.col("matched") >= min_match)
-        if exclude and idf_map:
+        if exclude and idf_map and not wand:
             ex_ids = (
                 decode_blocks(self._query_blocks(exclude))
                 .select("doc_id").distinct()

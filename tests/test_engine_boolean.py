@@ -110,6 +110,42 @@ def test_must_not_rank_identity(booly):
     _assert_rank_identical(got, want)
 
 
+def test_must_not_wand_rank_identity(booly):
+    """r3: MUST_NOT no longer forces the exhaustive path — the excluded
+    terms' blocks ride the per-salt WAND fan-out and the kernel masks
+    their docs before θ. Forcing WAND (alone and combined with
+    min_match, and with an OOV excluded term mixed in) must be
+    rank-identical to the oracle's post-hoc exclusion."""
+    eng, ix = booly
+    terms = QUERY.split()
+    banned = set()
+    for t in EXCLUDE:
+        banned.update(ix.postings.get(t, {}).keys())
+    assert banned
+    want = _rank(
+        [r for r in _oracle_candidates(ix, terms) if r["doc_id"] not in banned]
+    )[:K]
+    got = eng.bm25(QUERY, k=K, exclude=EXCLUDE, wand=True).collect()
+    assert len(got) > 0
+    assert {r["doc_id"] for r in got}.isdisjoint(banned)
+    _assert_rank_identical(got, want)
+
+    got = eng.bm25(
+        QUERY, k=K, exclude=[*EXCLUDE, "zzzunknownzzz"], wand=True
+    ).collect()
+    _assert_rank_identical(got, want)
+
+    for m in (2, MIN_MATCH):
+        want_m = _rank(
+            [r for r in _oracle_candidates(ix, terms)
+             if r["doc_id"] not in banned and r["matched"] >= m]
+        )[:K]
+        got_m = eng.bm25(
+            QUERY, k=K, exclude=EXCLUDE, min_match=m, wand=True
+        ).collect()
+        _assert_rank_identical(got_m, want_m)
+
+
 def test_synonym_blend_rank_identity(booly):
     eng, ix = booly
     # oracle blend: per group, tf = sum of variant tfs, df = union df

@@ -138,3 +138,55 @@ def test_wand_min_match_equals_exhaustive(seed):
         ties = {d for d, s in qual.items() if s == kth}
         assert must_have <= set(got_map)
         assert ties <= set(got_map)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_exclusion_equals_exhaustive(seed):
+    """r3 in-kernel MUST_NOT: excluded terms' blocks contribute no
+    UB/score and mask their docs before θ — the kernel's eligible
+    top-k equals the exhaustive score + post-hoc exclusion, alone and
+    combined with min_match (single group, so no home-salt filtering)."""
+    rng = random.Random(2000 + seed)
+    n_docs = rng.randint(5, 400)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+    n_exc = rng.randint(1, 2)
+    exc_terms = [f"x{i}" for i in range(n_exc)]
+    postings = {}
+    for t in terms + exc_terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        const = rng.random() < 0.33
+        postings[t] = [
+            (d, 3 if const else rng.randint(1, 9), 50 if const else rng.randint(10, 90))
+            for d in docs
+        ]
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([1, 3, 10])
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16, 128]))
+    banned = {d for t in exc_terms for d, _, _ in postings[t]}
+
+    pos_postings = {t: postings[t] for t in terms}
+    for m in range(1, len(terms) + 1):
+        got = wand_topk_group(
+            blocks, idf_map, AVGDL, k, min_match=m,
+            excluded=frozenset(exc_terms),
+        )
+        _, all_scores, all_matched = _exhaustive(pos_postings, idf_map, k)
+        qual = {
+            d: s for d, s in all_scores.items()
+            if all_matched[d] >= m and d not in banned
+        }
+        got_map = {int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()}
+        assert set(got_map).isdisjoint(banned)
+        for _, r in got.iterrows():
+            d = int(r["doc_id"])
+            assert d in qual
+            assert float(r["score"]) == pytest.approx(all_scores[d], rel=1e-12)
+            assert int(r["matched"]) == all_matched[d]
+        if not qual:
+            assert not got_map
+            continue
+        ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        kth = ranked[-1][1]
+        assert {d for d, s in qual.items() if s > kth} <= set(got_map)
+        assert {d for d, s in qual.items() if s == kth} <= set(got_map)
