@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.plans.build import build_index_df
 from search_engine_spark.plans.query import QueryEngine
@@ -266,3 +267,53 @@ def test_oov_boolean_paths_are_empty(booly):
     assert eng.bm25("zzzunknownzzz", k=5, exclude=["merge"]).count() == 0
     assert eng.bm25_syn([["zzzunknownzzz"]], k=5).count() == 0
     assert eng.explain("zzzunknownzzz", k=5).count() == 0
+
+
+def test_must_not_rare_term_home_salt_leak(spark, tmp_path_factory):
+    """End-to-end home-salt leak case (r3): a doc matched ONLY by a rare
+    (unsalted, replicated) positive term while containing a frequent
+    (salted) excluded term. The replicated rare block makes the doc
+    visible in every salt group, but its excluded-term block lives only
+    in its home group — without the kernel's home-salt filter the 3
+    foreign groups would emit it and the max-merge would resurface it
+    past the exclusion. The query must return only the clean doc."""
+    from search_engine_spark.config import EngineConfig
+
+    common = "mergeword"
+    rare = "zzleakzz"
+    rows = []
+    for i in range(12):  # make the excluded term frequent → salted
+        rows.append((f"r{i % 3}", f"src/common{i}.py", f"c{i}", "python",
+                     f"{common} filler{i} alpha beta"))
+    rows.append(("r0", "src/leak.py", "cleak", "python",
+                 f"{rare} {common} gamma"))        # must be excluded
+    rows.append(("r1", "src/keep.py", "ckeep", "python",
+                 f"{rare} delta epsilon"))         # must survive
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+    ix = str(tmp_path_factory.mktemp("homesalt") / "ix")
+    cfg = EngineConfig(salt_bits=2, rare_salt_df_threshold=3)
+    build_index_df(spark, corpus, ix, cfg=cfg)
+
+    blocks = spark.read.parquet(f"{ix}/blocks")
+    layout = {
+        r["term"]: r["s"]
+        for r in blocks.groupBy("term")
+        .agg(F.collect_set("salt").alias("s")).collect()
+        if r["term"] in (rare, common)
+    }
+    # precondition: the leak mechanism is actually in play — rare term
+    # unsalted (replicated at query time), excluded term salted
+    assert layout[rare] == [-1]
+    assert -1 not in layout[common] and len(layout[common]) >= 2
+
+    eng = QueryEngine(spark, ix)
+    got = eng.bm25(rare, k=10, exclude=[common], wand=True).collect()
+    paths = {r["path"] for r in got}
+    assert "src/keep.py" in paths
+    assert "src/leak.py" not in paths
+    # exhaustive twin agrees
+    got_ex = eng.bm25(rare, k=10, exclude=[common], wand=False).collect()
+    assert {r["path"] for r in got_ex} == paths

@@ -190,3 +190,45 @@ def test_wand_exclusion_equals_exhaustive(seed):
         kth = ranked[-1][1]
         assert {d for d, s in qual.items() if s > kth} <= set(got_map)
         assert {d for d, s in qual.items() if s == kth} <= set(got_map)
+
+
+def test_wand_exclusion_home_salt_filter():
+    """Targeted home-salt leak case (r3): a foreign-doc partial arriving
+    through a replicated rare-term block must NOT be emitted by a group
+    that cannot see that doc's (salted) excluded-term block — the doc is
+    fully adjudicated only in its home salt. With the filter off
+    (salt_bits=None) the same input leaks the excluded doc through with
+    a positive score, proving the filter is load-bearing, not cosmetic."""
+    salt_bits = 2
+    u64 = (1 << 64) - 1
+    bias = 1 << 63
+
+    def salt_of(d: int) -> int:
+        return ((d & u64) ^ bias) >> (64 - salt_bits)
+
+    f_doc, h_keep, h_masked = -5, 7, 11
+    assert salt_of(f_doc) == 1          # foreign: home salt 1
+    assert salt_of(h_keep) == salt_of(h_masked) == 2  # home-salt docs
+
+    postings = {
+        # replicated rare positive block: foreign F + home H docs mixed
+        "rare": [(f_doc, 5, 50), (h_keep, 2, 50), (h_masked, 2, 50)],
+        # salted excluded block: only this group's (salt-2) x-docs.
+        # F also contains x, but that posting lives in group 1.
+        "x": [(h_masked, 1, 50)],
+    }
+    blocks = _blocks_from_postings(postings, block_size=128)
+    blocks["salt"] = 2  # this IS group salt 2 of the fan-out
+
+    got = wand_topk_group(
+        blocks, {"rare": 1.0}, AVGDL, k=10,
+        excluded=frozenset({"x"}), salt_bits=salt_bits,
+    )
+    assert set(got["doc_id"].astype(int)) == {h_keep}
+
+    # filter off: the foreign partial leaks straight past the exclusion
+    leaked = wand_topk_group(
+        blocks, {"rare": 1.0}, AVGDL, k=10,
+        excluded=frozenset({"x"}), salt_bits=None,
+    )
+    assert f_doc in set(leaked["doc_id"].astype(int))
