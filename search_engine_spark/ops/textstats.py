@@ -272,6 +272,67 @@ def unigram_loglik(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_loglik(docs: DataFrame) -> DataFrame:
+    """Per-doc average bigram log-likelihood under a Laplace-smoothed
+    corpus bigram LM — the order-sensitive upgrade of
+    :func:`unigram_loglik` (CCNet trains a KenLM n-gram model for the
+    same purpose; the add-one-smoothed bigram flavor keeps the whole
+    train+score loop inside two DataFrame aggregations, no model
+    artifact). Word-salad and shuffled boilerplate score near the
+    smoothing floor even when their unigram profile looks fluent.
+
+    P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V), V = corpus vocabulary
+    size; per doc: avg_ll = Σ ln P over its token bigrams / #bigrams,
+    ppl = exp(−avg_ll). Docs with < 2 tokens have no bigrams and are
+    omitted (the caller's length filter owns them).
+
+    Plan shape: bigrams come from one array expression over the
+    projected token column (zip of the array with its own shift — no
+    posexplode self-join); the count tables are (w1,w2)- and w1-keyed
+    aggregations with map-side partial combine, the same key-skew
+    family as the postings build; V is a 1-row broadcast. Floats
+    follow the cross-engine protocol (identical integer-derived
+    doubles into ln, final round 4dp — cf. unigram_loglik)."""
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    vocab = (
+        toks.select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term").cast("long").alias("v"))
+    )
+    big = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    occ = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()  # reused 2× (count tables + the score join): persist so
+    # the tokenize + bigram explode pass runs once, not three times
+    cbg = occ.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c2"))
+    ctx = cbg.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    per = (
+        occ.join(cbg, ["w1", "w2"]).join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "ll",
+            F.col("n")
+            * F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))),
+        )
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.round(F.sum("ll") / F.sum("n"), 4).alias("avg_ll"),
+        F.round(F.exp(-F.sum("ll") / F.sum("n")), 4).alias("ppl"),
+    )
+
+
 KW_TOP_K = 5  # keywords reported per document
 
 
@@ -434,8 +495,41 @@ LIMIT {PMI_TOP_K}
 """
 
 
+_BIGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS term FROM toks)
+),
+big AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+occ AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM big GROUP BY doc_id, w1, w2
+),
+cbg AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM occ GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cbg GROUP BY w1)
+SELECT o.doc_id,
+       CAST(sum(o.n) AS BIGINT) AS n_bigrams,
+       round(sum(o.n * ln((cbg.c2 + 1.0) / (ctx.c1 + vocab.v))) / sum(o.n), 4)
+         AS avg_ll,
+       round(exp(-sum(o.n * ln((cbg.c2 + 1.0) / (ctx.c1 + vocab.v))) / sum(o.n)), 4)
+         AS ppl
+FROM occ o
+JOIN cbg USING (w1, w2)
+JOIN ctx USING (w1)
+CROSS JOIN vocab
+GROUP BY o.doc_id
+"""
+
+
 ORACLE_SQL = {
     "text_unigram_ll": _UNIGRAM_SQL,
+    "text_bigram_ll": _BIGRAM_SQL,
     "text_keywords": f"""
 WITH post AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -153,3 +153,46 @@ def test_keywords_tfidf_prefers_rare_terms(spark):
         r["score"] == 0.0
         for rs in by_doc.values() for r in rs if r["term"] == "common"
     )
+
+
+def test_bigram_loglik_matches_reference(spark):
+    """Laplace-smoothed bigram LM vs a pure-Python reference on a tiny
+    corpus where the smoothing actually bites (unseen-context mass) and
+    a repeated bigram dominates one doc."""
+    import math
+
+    from search_engine_spark.functions.tokenize import tokenize
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s", 22),
+        (2, "the cat sat on the mat again", "en", "s", 28),
+        (3, "sat the on cat mat the", "en", "s", 22),  # shuffled doc 1:
+        # none of its bigrams occur anywhere else in the corpus
+        (4, "solo", "en", "s", 4),                     # < 2 tokens: omitted
+        (5, "", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    toks = {d: tokenize(t) for d, t, *_ in rows}
+    vocab = {w for ts in toks.values() for w in ts}
+    c2: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+
+    got = {r["doc_id"]: r for r in textstats.bigram_loglik(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2, 3):
+        bgs = list(zip(toks[d], toks[d][1:]))
+        ll = sum(
+            math.log((c2[bg] + 1.0) / (c1[bg[0]] + len(vocab))) for bg in bgs
+        ) / len(bgs)
+        assert got[d]["n_bigrams"] == len(bgs)
+        assert got[d]["avg_ll"] == pytest.approx(round(ll, 4), abs=1e-9)
+        assert got[d]["ppl"] == pytest.approx(round(math.exp(-ll), 4), abs=1e-9)
+    # the shuffled doc must score strictly worse than the original —
+    # the order sensitivity unigram_loglik cannot see
+    assert got[3]["avg_ll"] < got[1]["avg_ll"]
