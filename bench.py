@@ -149,6 +149,15 @@ def main() -> int:
             ("search_collapse", lambda: search_sql.bm25_topk_collapse(
                 spark, docs, search_sql.QUERY_MAIN)),
             ("dedup_clusters_star", lambda: dedup.dedup_clusters(docs)),
+            ("text_bigram_ll", lambda: textstats.bigram_loglik(docs)),
+            # triangles: 65536-node projection at bench scale — the
+            # gate's 4096-mod graph densifies quadratically with sf
+            # (a modular-projection artifact, not a workload property)
+            ("graph_triangles", lambda: (lambda tri: tri.triangle_stats(
+                li.select((F.col("l_orderkey") % 65536).alias("src"),
+                          (F.col("l_partkey") % 65536).alias("dst"))))(
+                __import__("search_engine_spark.operators.triangles",
+                           fromlist=["x"]))),
         ]:
             t0 = time.perf_counter()
             df_fn().count()
