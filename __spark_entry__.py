@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_ll": lambda s, d: textstats.bigram_loglik(
             _t(s, d, "documents")
         ),
+        "search_significant_terms": lambda s, d: search_sql.significant_terms(
+            s, _t(s, d, "documents"), search_sql.QUERY_MAIN
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

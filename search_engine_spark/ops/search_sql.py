@@ -883,6 +883,68 @@ def more_like_this(
     )
 
 
+SIG_TOP_K = 10  # significant terms reported per result set
+
+
+def significant_terms(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    k: int = SIG_TOP_K,
+) -> DataFrame:
+    """ES-style significant-terms aggregation over the FULL result set
+    of a disjunctive query (Elasticsearch ``significant_terms`` with
+    the JLH heuristic): terms whose document frequency inside the
+    matching docs (foreground) is anomalously high vs the whole corpus
+    (background). JLH = (fg% − bg%) · (fg% / bg%) — the absolute lift
+    times the relative lift; only positive lifts qualify. The classic
+    "what is this result set ABOUT" drill-down the reference's UI
+    would hang off a search. Query terms themselves are excluded (they
+    match every foreground doc by construction — pure noise atop the
+    signal).
+
+    Plan shape: ONE distinct (doc_id, term) aggregation feeds both
+    legs — the foreground doc set is a broadcast-terms semi-join of
+    it, foreground df a semi-join + term-keyed count riding the same
+    exchange, background df the plain term-keyed count; F and N are
+    1-row broadcasts; top-k is TakeOrderedAndProject on the rounded
+    score (6dp, term-asc tie-break — the established cross-engine
+    float protocol). All inputs to the score are exact integer-derived
+    doubles, so both engines compute identical IEEE products."""
+    dt = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .persist()  # reused 3× (fg docs, fg df, bg df): one tokenize pass
+    )
+    qt = inline_table(
+        spark, [(t,) for t in sorted(set(terms))], "qterm string"
+    )
+    fg_docs = dt.join(
+        F.broadcast(qt), dt.term == qt.qterm, "left_semi"
+    ).select("doc_id").distinct()
+    fsize = fg_docs.agg(F.count("*").cast("long").alias("fg"))
+    nsize = docs.agg(F.count("*").cast("long").alias("n"))
+    fg_df = (
+        dt.join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fg_df"))
+    )
+    bg_df = dt.groupBy("term").agg(F.count("*").cast("long").alias("bg_df"))
+    fg_pct = F.col("fg_df") / F.col("fg")
+    bg_pct = F.col("bg_df") / F.col("n")
+    return (
+        fg_df.join(bg_df, "term")
+        .join(F.broadcast(qt), fg_df.term == qt.qterm, "left_anti")
+        .crossJoin(F.broadcast(fsize))
+        .crossJoin(F.broadcast(nsize))
+        .withColumn(
+            "score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+        .select("term", "fg_df", "bg_df", "score")
+    )
+
+
 # BM25F field weights: the path field outranks content (a filename hit
 # beats a body mention — the code-search analogue of the reference
 # boosting Title in its re-rank comparator, util.go:20-36).
@@ -1116,8 +1178,43 @@ scored AS (
 )"""
 
 
+def _sig_terms_sql(terms: list[str], k: int = SIG_TOP_K) -> str:
+    lst = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+),
+qt AS (SELECT unnest([{lst}]) AS qterm),
+fg_docs AS (
+  SELECT DISTINCT doc_id FROM dt WHERE term IN (SELECT qterm FROM qt)
+),
+fsize AS (SELECT CAST(count(*) AS BIGINT) AS fg FROM fg_docs),
+nsize AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+fgt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM dt
+  WHERE doc_id IN (SELECT doc_id FROM fg_docs) GROUP BY term
+),
+bgt AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
+scored AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         round((f.fg_df * 1.0 / fs.fg - b.bg_df * 1.0 / ns.n)
+               * ((f.fg_df * 1.0 / fs.fg) / (b.bg_df * 1.0 / ns.n)), 6)
+           AS score
+  FROM fgt f JOIN bgt b USING (term)
+  CROSS JOIN fsize fs CROSS JOIN nsize ns
+  WHERE f.term NOT IN (SELECT qterm FROM qt)
+)
+SELECT term, fg_df, bg_df, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, term ASC
+LIMIT {k}
+"""
+
+
 ORACLE_SQL = {
     "search_postings": f"WITH {_POST} SELECT doc_id, term, tf FROM post",
+    "search_significant_terms": _sig_terms_sql(QUERY_MAIN),
     "search_term_stats": f"""
 WITH {_POST},
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
