@@ -126,6 +126,16 @@ def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_tri_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _lpa_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities, 3 fixed rounds with
+    min-label tie-break, over the sparser 4096-node graph (the dense
+    512-node PageRank graph collapses to one community immediately —
+    a degenerate fixture for LPA)."""
+    from search_engine_spark.operators.labelprop import lpa_fixed
+
+    return lpa_fixed(_tri_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def _cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on an adversarially CHAIN-shaped graph —
     the worst case for min-label propagation (rounds = diameter) and
@@ -411,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_significant_terms": lambda s, d: search_sql.significant_terms(
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
+        "graph_lpa_3iter": _lpa_3iter,
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================
@@ -603,5 +614,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.triangles import oracle_sql_triangles
 
     out["graph_triangles"] = oracle_sql_triangles(_TRI_EDGES_SQL)
+    from search_engine_spark.operators.labelprop import oracle_sql_lpa
+
+    out["graph_lpa_3iter"] = oracle_sql_lpa(_TRI_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out
