@@ -136,6 +136,15 @@ def _lpa_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_fixed(_tri_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the 4096-node graph via fixed-round peeling (rounds
+    chosen ≥ the fixture's peel depth, asserted equal to the
+    convergence-loop fixpoint in test_kcore)."""
+    from search_engine_spark.operators.kcore import kcore_fixed
+
+    return kcore_fixed(_tri_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def _cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on an adversarially CHAIN-shaped graph —
     the worst case for min-label propagation (rounds = diameter) and
@@ -422,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _t(s, d, "documents"), search_sql.QUERY_MAIN
         ),
         "graph_lpa_3iter": _lpa_3iter,
+        "graph_kcore": _kcore_fixed,
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================
@@ -617,5 +627,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.labelprop import oracle_sql_lpa
 
     out["graph_lpa_3iter"] = oracle_sql_lpa(_TRI_EDGES_SQL)
+    from search_engine_spark.operators.kcore import oracle_sql_kcore
+
+    out["graph_kcore"] = oracle_sql_kcore(_TRI_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out
