@@ -432,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "graph_lpa_3iter": _lpa_3iter,
         "graph_kcore": _kcore_fixed,
+        "search_bm25_suffix": lambda s, d: search_sql.bm25_topk_suffix(
+            s, _t(s, d, "documents"), search_sql.QUERY_SUFFIX
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

@@ -51,6 +51,7 @@ CANDIDATE_K = 20
 MAX_SUGGESTIONS = 3  # reference keeps ≤3 speller suggestions per word
 MAX_EXPANSIONS = 4  # prefix-query expansion cap (Lucene maxExpansions)
 QUERY_PREFIX = ["window", "s*"]  # one literal + one wildcard prefix
+QUERY_SUFFIX = ["spark", "*er"]  # one literal + one leading wildcard
 SUGGEST_PREFIX = "s"  # typeahead probe
 SUGGEST_K = 5
 
@@ -443,6 +444,52 @@ def bm25_topk_prefix(
     capped prefix expansion (Lucene PrefixQuery → BooleanQuery
     rewrite)."""
     return bm25_topk(spark, docs, prefix_expand(spark, docs, raw_terms), k)
+
+
+def suffix_expand(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str],
+    max_exp: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Leading-wildcard (``*foo``) query expansion — Lucene's
+    ReverseStringFilter trick: a suffix condition is a PREFIX condition
+    on the reversed term, so ``*er`` rewrites to the ``max_exp``
+    strongest vocabulary terms ending in ``er`` (df DESC, term ASC),
+    literals pass through.
+
+    Scale shape: against the persisted index the reversed dictionary
+    (Lucene indexes a reversed field for exactly this) makes the match
+    a contiguous range scan; over ``documents`` the tiny suffix list is
+    broadcast against the vocab aggregate — same plan as
+    :func:`prefix_expand` with ``endswith`` in place of
+    ``startswith``."""
+    literals = sorted({t for t in raw_terms if not t.startswith("*")})
+    suffixes = sorted(
+        {t[1:] for t in raw_terms if t.startswith("*") and len(t) > 1}
+    )
+    lit_df = inline_table(spark, [(t,) for t in literals], "term string")
+    if not suffixes:
+        return lit_df
+    vocab = (
+        postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    s = inline_table(spark, [(x,) for x in suffixes], "sfx string")
+    w = Window.partitionBy("sfx").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        vocab.join(F.broadcast(s), F.col("term").endswith(F.col("sfx")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_exp)
+        .select("term")
+    )
+    return lit_df.union(exp).distinct()
+
+
+def bm25_topk_suffix(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """BM25 top-k where leading-``*`` terms retrieve via their capped
+    suffix expansion (Lucene WildcardQuery on a reversed field →
+    BooleanQuery rewrite)."""
+    return bm25_topk(spark, docs, suffix_expand(spark, docs, raw_terms), k)
 
 
 def bm25_topk_filtered(
@@ -1121,6 +1168,28 @@ exp AS (
 q AS (SELECT DISTINCT term FROM (SELECT term FROM lit UNION ALL SELECT term FROM exp))"""
 
 
+def _suffix_q_cte(raw_terms: list[str], max_exp: int = MAX_EXPANSIONS) -> str:
+    """DuckDB twin of :func:`suffix_expand`: literal pass-through +
+    per-suffix top-``max_exp`` expansion by (df DESC, term ASC)."""
+    literals = sorted({t for t in raw_terms if not t.startswith("*")})
+    suffixes = sorted(
+        {t[1:] for t in raw_terms if t.startswith("*") and len(t) > 1}
+    )
+    lit_vals = ", ".join(f"('{t}')" for t in literals)
+    sfx_vals = ", ".join(f"('{x}')" for x in suffixes)
+    return f"""lit(term) AS (VALUES {lit_vals}),
+sfx(sfx) AS (VALUES {sfx_vals}),
+exp AS (
+  SELECT term FROM (
+    SELECT v.term,
+           row_number() OVER (PARTITION BY s.sfx
+                              ORDER BY v.df DESC, v.term ASC) AS rk
+    FROM sfx s JOIN dfq v ON ends_with(v.term, s.sfx)
+  ) WHERE rk <= {max_exp}
+),
+q AS (SELECT DISTINCT term FROM (SELECT term FROM lit UNION ALL SELECT term FROM exp))"""
+
+
 def _scores_cte(terms: list[str], spell: bool = False,
                 q_cte: str | None = None) -> str:
     if q_cte is None:
@@ -1309,6 +1378,8 @@ SELECT doc_id, score, matched FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """,
     "search_bm25_prefix": _scores_cte([], q_cte=_prefix_q_cte(QUERY_PREFIX))
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_suffix": _scores_cte([], q_cte=_suffix_q_cte(QUERY_SUFFIX))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_suggest": f"""
 WITH {_POST},

@@ -273,27 +273,49 @@ class QueryEngine:
         """Split a raw query into (literal remainder, expansion list):
         each trailing-``*`` token rewrites to its ``max_exp`` strongest
         dictionary terms (df DESC, term ASC — Lucene's boolean-rewrite
-        expansion cap). The prefix condition is a contiguous range of
-        the sorted terms table; the collect is bounded by
-        ``max_exp × n_prefixes``."""
+        expansion cap), and each leading-``*`` token (``*er``) to the
+        ``max_exp`` strongest terms with that SUFFIX (Lucene's
+        ReverseStringFilter semantics: a suffix is a prefix of the
+        reversed term). The prefix condition is a contiguous range of
+        the sorted terms table; the suffix condition is a dictionary
+        scan here (vocabulary is Heaps-law sublinear in corpus size —
+        at 10^12 docs a persisted reversed-sorted dictionary would make
+        it a range scan too, as Lucene's reversed field does). The
+        collect is bounded by ``max_exp × n_wildcards``."""
         words = query.split()
         prefixes = sorted({w[:-1].lower() for w in words
                            if w.endswith("*") and len(w) > 1})
-        rest = " ".join(w for w in words if not w.endswith("*"))
-        if not prefixes:
-            return rest, []
-        p = inline_table(self.spark, [(x,) for x in prefixes], "pfx string")
-        w = Window.partitionBy("pfx").orderBy(F.desc("df"), F.asc("term"))
-        rows = (
-            self.terms.join(
-                F.broadcast(p), F.col("term").startswith(F.col("pfx"))
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= max_exp)
-            .select("term")
-            .collect()
-        )
-        return rest, sorted({r["term"] for r in rows})
+        suffixes = sorted({w[1:].lower() for w in words
+                           if w.startswith("*") and len(w) > 1
+                           and not w.endswith("*")})
+        rest = " ".join(w for w in words
+                        if not (w.endswith("*") or w.startswith("*")))
+        out: set[str] = set()
+        if prefixes:
+            p = inline_table(self.spark, [(x,) for x in prefixes], "pfx string")
+            w = Window.partitionBy("pfx").orderBy(F.desc("df"), F.asc("term"))
+            out.update(r["term"] for r in (
+                self.terms.join(
+                    F.broadcast(p), F.col("term").startswith(F.col("pfx"))
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= max_exp)
+                .select("term")
+                .collect()
+            ))
+        if suffixes:
+            s = inline_table(self.spark, [(x,) for x in suffixes], "sfx string")
+            w = Window.partitionBy("sfx").orderBy(F.desc("df"), F.asc("term"))
+            out.update(r["term"] for r in (
+                self.terms.join(
+                    F.broadcast(s), F.col("term").endswith(F.col("sfx"))
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= max_exp)
+                .select("term")
+                .collect()
+            ))
+        return rest, sorted(out)
 
     def suggest(self, prefix: str, k: int = 5) -> DataFrame:
         """Typeahead: top-``k`` dictionary terms with ``prefix`` by

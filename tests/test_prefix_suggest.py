@@ -98,3 +98,49 @@ def test_engine_search_prefix_equals_literal(spark, ix):
 def test_engine_prefix_no_match_empty(spark, ix):
     eng = QueryEngine(spark, ix)
     assert eng.bm25("zzqx*", k=5).collect() == []
+
+
+def test_suffix_expand_caps_by_df(spark, docs):
+    from search_engine_spark.ops.search_sql import suffix_expand
+
+    got = sorted(
+        r["term"] for r in suffix_expand(spark, docs, ["sort", "*ge"],
+                                         max_exp=3).collect()
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .where(F.col("t").endswith("ge"))
+        .groupBy("t").count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(3)
+        .collect()
+    )
+    want = sorted({"sort", *(r["t"] for r in vocab)})
+    assert got == want and "merge" in got
+
+
+def test_engine_suffix_query_equals_manual_expansion(spark, ix):
+    """Leading-* tokens expand over the persisted terms table
+    (ReverseStringFilter semantics) and score identically to the
+    expanded literal query; mixed prefix+suffix composes."""
+    eng = QueryEngine(spark, ix)
+    _, exp = eng.expand_prefix_terms("*ge", max_exp=4)
+    assert exp and all(t.endswith("ge") for t in exp)
+    got = [(r["doc_id"], r["score"])
+           for r in eng.bm25("sort *ge", k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in eng.bm25("sort " + " ".join(exp), k=10).collect()]
+    assert got == want and got
+
+    _, both = eng.expand_prefix_terms("me* *ge")
+    assert set(exp) <= set(both)
+    got2 = [(r["doc_id"], r["score"])
+            for r in eng.bm25("me* *ge", k=10).collect()]
+    want2 = [(r["doc_id"], r["score"])
+             for r in eng.bm25(" ".join(both), k=10).collect()]
+    assert got2 == want2 and got2
+
+
+def test_engine_suffix_no_match_empty(spark, ix):
+    eng = QueryEngine(spark, ix)
+    assert eng.bm25("*zzqx", k=5).collect() == []
