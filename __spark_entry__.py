@@ -435,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_suffix": lambda s, d: search_sql.bm25_topk_suffix(
             s, _t(s, d, "documents"), search_sql.QUERY_SUFFIX
         ),
+        "sim_mmr_topk": lambda s, d: similarity.mmr_topk(
+            _t(s, d, "embeddings")
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

@@ -110,6 +110,136 @@ def cosine_topk(emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES) -> Da
     )
 
 
+MMR_LAMBDA = 0.7       # relevance weight; diversity weight written as the
+MMR_DIV = 0.3          # LITERAL 0.3 on both engines (1.0-0.7 in IEEE is
+#                        0.30000000000000004 — a cross-engine hash hazard)
+MMR_POOL = 20          # candidate pool the greedy re-ranks
+
+
+def mmr_topk(emb: DataFrame, k: int = TOPK, pool: int = MMR_POOL,
+             query_id: int = 0) -> DataFrame:
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein, SIGIR'98 — re-derived): greedily re-rank the top-``pool``
+    cosine candidates of one query so each pick maximizes
+    ``λ·rel − (1−λ)·max_sim_to_already_selected`` — near-duplicate hits
+    stop crowding the page (the retrieval-side complement of the dedup
+    pipeline). Output: (rank, vec_id, rel, mmr) for the k picks; the
+    first pick is pure relevance.
+
+    Distribution shape: the corpus-sized work is exactly the brute
+    cosine scan (one pass, broadcast query); everything after operates
+    on the pool (≤ ``pool`` rows — pool² pairwise sims, persisted) with
+    k chained argmax steps of DataFrame algebra, each a pure function
+    of the last so the unrolled DuckDB CTE twin reproduces the greedy
+    bit-exactly (4dp sims / 6dp scores, vec_id tie-breaks — the
+    established float protocol). At 100 TB only the scan scales; the
+    greedy stays O(pool²) regardless of corpus size."""
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cos, 4).alias("rel"), "embedding")
+    )
+    pool_df = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(pool).persist()
+    pa = pool_df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    pb = pool_df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pcos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    sims = (
+        pa.crossJoin(pb).where(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(pcos, 4).alias("sim"))
+        .persist()
+    )
+    sel = (
+        pool_df.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+        .select(
+            "vec_id", "rel",
+            F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 6).alias("mmr"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, k + 1):
+        sel_ids = sel.select("vec_id")
+        ms = (
+            sims.join(sel_ids.withColumnRenamed("vec_id", "b"), "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            pool_df.join(sel_ids, "vec_id", "left_anti")
+            .join(ms, "vec_id")
+            .select(
+                "vec_id", "rel",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_DIV) * F.col("maxsim"), 6
+                ).alias("mmr"),
+                F.lit(i).cast("int").alias("rank"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select("rank", "vec_id", "rel", "mmr")
+
+
+def oracle_sql_mmr(k: int = TOPK, pool: int = MMR_POOL,
+                   query_id: int = 0) -> str:
+    """DuckDB twin of :func:`mmr_topk`: the greedy unrolled as one CTE
+    pair (pick + running selection) per step."""
+    pcos = (
+        _DUCK_DOT.format(a="p1.embedding", b="p2.embedding")
+        + " / ("
+        + _DUCK_NORM.format(a="p1.embedding")
+        + " * "
+        + _DUCK_NORM.format(a="p2.embedding")
+        + ")"
+    )
+    ctes = [
+        f"q AS MATERIALIZED (SELECT embedding AS q FROM embeddings WHERE vec_id = {query_id})",
+        f"""rel AS MATERIALIZED (
+  SELECT c.vec_id, round({_COS}, 4) AS rel, c.embedding
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> {query_id}
+)""",
+        f"pool AS MATERIALIZED (SELECT * FROM rel ORDER BY rel DESC, vec_id ASC LIMIT {pool})",
+        f"""sims AS MATERIALIZED (
+  SELECT p1.vec_id AS a, p2.vec_id AS b, round({pcos}, 4) AS sim
+  FROM pool p1 JOIN pool p2 ON p1.vec_id <> p2.vec_id
+)""",
+        f"""sel1 AS MATERIALIZED (
+  SELECT vec_id, rel, round({MMR_LAMBDA} * rel, 6) AS mmr, 1 AS rank
+  FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1
+)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         round({MMR_LAMBDA} * c.rel - {MMR_DIV} * ms.maxsim, 6) AS mmr,
+         {i} AS rank
+  FROM pool c
+  JOIN (
+    SELECT s.a AS vec_id, max(s.sim) AS maxsim FROM sims s
+    WHERE s.b IN (SELECT vec_id FROM sel{i - 1}) GROUP BY s.a
+  ) ms ON ms.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY mmr DESC, c.vec_id ASC LIMIT {1}
+)"""
+        )
+        ctes.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM p{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, mmr FROM sel{k}"
+    )
+
+
 def lsh_signatures(emb: DataFrame, dim: int = 64) -> DataFrame:
     """Per-vector LSH bucket id (the index-build side of ANN)."""
     return emb.select("vec_id", _signature(F.col("embedding"), dim).alias("bucket"))
@@ -872,6 +1002,8 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOPK}
 """,
 }
+
+ORACLE_SQL["sim_mmr_topk"] = oracle_sql_mmr()
 
 ORACLE_SQL["sim_ivfpq_recall"] = f"""
 WITH exact AS ({ORACLE_SQL['sim_cosine_topk']}),
