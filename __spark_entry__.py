@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_topk": lambda s, d: similarity.mmr_topk(
             _t(s, d, "embeddings")
         ),
+        "rel_cohort_retention": lambda s, d: relational.cohort_retention(
+            _t(s, d, "events")
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

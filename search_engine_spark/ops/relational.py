@@ -91,6 +91,55 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+RETENTION_DAYS = 7  # day offsets 0..7 reported per cohort
+
+
+def cohort_retention(events: DataFrame,
+                     max_offset: int = RETENTION_DAYS) -> DataFrame:
+    """Daily cohort retention — the canonical product-analytics rollup
+    (Mixpanel/Amplitude retention table): cohort = a user's first-event
+    day; for each day offset 0..``max_offset``, how many (and what
+    fraction of) cohort members were active again that day.
+
+    Output (cohort_day, day_offset, n_users, retained_pct_e6) with the
+    fraction in ×10^6 truncating integer fixed-point (cross-engine
+    exact; offset 0 is the cohort size itself, pct 10^6 by
+    construction).
+
+    Plan shape: two user-keyed aggregations (first-day + distinct
+    active days — the same key family, so at scale they co-partition),
+    one user-keyed join, then a (cohort, offset)-keyed distinct count;
+    the cohort-size table rides a (cohort)-keyed count off the firsts
+    aggregate. No windows, no driver scalars."""
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    j = (
+        activity.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .where(F.col("day_offset").between(0, max_offset))
+    )
+    ret = j.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    return (
+        ret.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+            F.expr("(1000000L * n_users) div cohort_users")
+            .alias("retained_pct_e6"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessionization via window functions: new session when
     the per-user inter-event gap exceeds ``gap_min`` minutes. Integer
@@ -219,6 +268,32 @@ def value_quantiles(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- oracle SQL
 
 ORACLE_SQL = {
+    "rel_cohort_retention": f"""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+j AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+         a.user_id
+  FROM activity a JOIN firsts f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND {RETENTION_DAYS}
+),
+ret AS (
+  SELECT cohort_day, day_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM j GROUP BY cohort_day, day_offset
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_day
+)
+SELECT r.cohort_day, CAST(r.day_offset AS INTEGER) AS day_offset, r.n_users,
+       CAST((1000000 * r.n_users) // s.cohort_users AS BIGINT)
+         AS retained_pct_e6
+FROM ret r JOIN sizes s USING (cohort_day)
+""",
     "rel_asof_join": """
 SELECT p.event_id, p.user_id, r.ref_event, r.ref_value
 FROM (SELECT * FROM events WHERE event_type = 'click') p

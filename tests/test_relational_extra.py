@@ -69,3 +69,33 @@ def test_quantiles_discrete_rank_rule(spark):
     rows = [(i, t, 1, "click", float(i)) for i in range(1, 11)]
     r = value_quantiles(_ev(spark, rows)).collect()[0]
     assert (r.p50, r.p90, r.p99) == (5.0, 9.0, 10.0)
+
+
+def test_cohort_retention_closed_form(spark):
+    from search_engine_spark.ops.relational import cohort_retention
+
+    d = lambda day, h=9: datetime(2024, 3, day, h, 0, 0)  # noqa: E731
+    rows = [
+        # cohort Mar-1: users 1,2,3. Day1: 1,2 return. Day2: 1 returns.
+        (1, d(1), 1, "click", 0.0), (2, d(1), 2, "click", 0.0),
+        (3, d(1), 3, "click", 0.0),
+        (4, d(2), 1, "click", 0.0), (5, d(2), 2, "click", 0.0),
+        (6, d(3), 1, "click", 0.0),
+        # same-day repeat must not double-count (user 2, Mar-2, 2 events)
+        (7, d(2, 18), 2, "click", 0.0),
+        # cohort Mar-2: user 9 only, never returns
+        (8, d(2), 9, "click", 0.0),
+        # beyond-horizon activity is cut (user 3 on Mar-12, offset 11)
+        (9, d(12), 3, "click", 0.0),
+    ]
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]):
+            (r["n_users"], r["retained_pct_e6"])
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-03-01", 0): (3, 1_000_000),
+        ("2024-03-01", 1): (2, 666_666),      # truncating, not rounding
+        ("2024-03-01", 2): (1, 333_333),
+        ("2024-03-02", 0): (1, 1_000_000),
+    }
