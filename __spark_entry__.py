@@ -441,6 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cohort_retention": lambda s, d: relational.cohort_retention(
             _t(s, d, "events")
         ),
+        "search_suggest_next": lambda s, d: search_sql.suggest_next_terms(
+            s, _t(s, d, "documents")
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

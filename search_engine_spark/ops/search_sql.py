@@ -523,6 +523,48 @@ def suggest_terms(
     )
 
 
+SUGGEST_CONTEXT = "merge"  # gate probe: complete after this term
+
+
+def suggest_next_terms(
+    spark: SparkSession, docs: DataFrame, context: str = SUGGEST_CONTEXT,
+    k: int = SUGGEST_K,
+) -> DataFrame:
+    """Context-aware query completion: the top-``k`` terms that FOLLOW
+    ``context`` in the corpus, ranked by bigram occurrence count
+    (n DESC, term ASC) → (term, n). The "suggest the next query word"
+    feature (Google-style), complementing :func:`suggest_terms`'
+    prefix typeahead — the corpus bigram table doubles as the
+    completion model the way it doubles as the LM in
+    textstats.bigram_loglik.
+
+    Scale shape: ONE bigram extraction pass (array zip over the bound
+    token column, no posexplode self-join) filtered to the context
+    BEFORE the aggregation — the (w1 = context) predicate prunes at
+    the explode, so the count never materializes the full bigram
+    table; top-k is TakeOrderedAndProject."""
+    toks = docs.select(tokens_col("text").alias("toks"))
+    nxt = (
+        toks.where(F.array_contains("toks", context))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .where(F.col("bg.w1") == context)
+        .select(F.col("bg.w2").alias("term"))
+    )
+    return (
+        nxt.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def candidate_page(
     spark: SparkSession, docs: DataFrame, terms: list[str], page: int = 0,
     size: int = CANDIDATE_K,
@@ -1381,6 +1423,16 @@ ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_suffix": _scores_cte([], q_cte=_suffix_q_cte(QUERY_SUFFIX))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_suggest_next": f"""
+WITH toks AS (SELECT {_T} AS t FROM documents),
+big AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+)
+SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n
+FROM big WHERE w1 = '{SUGGEST_CONTEXT}'
+GROUP BY w2 ORDER BY n DESC, term ASC LIMIT {SUGGEST_K}
+""",
     "search_suggest": f"""
 WITH {_POST},
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term)

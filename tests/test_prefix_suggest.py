@@ -144,3 +144,18 @@ def test_engine_suffix_query_equals_manual_expansion(spark, ix):
 def test_engine_suffix_no_match_empty(spark, ix):
     eng = QueryEngine(spark, ix)
     assert eng.bm25("*zzqx", k=5).collect() == []
+
+
+def test_suggest_next_counts_bigrams(spark):
+    from search_engine_spark.ops.search_sql import suggest_next_terms
+
+    rows = [
+        (1, "merge sort merge sort merge join"),
+        (2, "merge sort again"),
+        (3, "no context here"),
+        (4, "ends with merge"),        # trailing context: no successor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["term"], r["n"])
+           for r in suggest_next_terms(spark, docs, "merge", k=5).collect()]
+    assert got == [("sort", 3), ("join", 1)]
