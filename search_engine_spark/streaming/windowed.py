@@ -56,6 +56,31 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def trending_terms_stream(
+    events: DataFrame, watermark: str = "2 hours", text_col: str = "props"
+) -> DataFrame:
+    """Watermarked per-window term counts over a text-bearing event
+    stream — the state backbone of a "trending queries/terms" feature:
+    (window_start, term, n). Tokenization (the frozen §8.1 JVM
+    expression) and the explode run INSIDE the stream, so state is
+    keyed by (window, term) and bounded by watermark eviction ×
+    vocabulary (Heaps-sublinear), never by event count. Per-window
+    top-k ranking is a batch query over the sink — streaming append
+    mode emits each window's final counts exactly once at watermark
+    expiry, which is what makes the sink-side rank correct.
+    The batch twin (same expression tree on a static frame) is
+    asserted identical in tests."""
+    from search_engine_spark.ops.sqltwin import tokens_col
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(F.window("ts", "1 hour"), "term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "term", "n")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, out_dir: str
 ) -> None:

@@ -196,3 +196,57 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(out)).count() == n1
+
+
+def test_trending_terms_stream_equals_batch(spark, events_dir):
+    """Streaming windowed term counts ≡ the same expression tree run
+    batch over the full input (complete-mode memory sink)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops.sqltwin import tokens_col
+    from search_engine_spark.streaming.windowed import trending_terms_stream
+
+    # the driver's props column is numeric JSON (no tokens); trend over
+    # a synthesized text-bearing stream split across files
+    from datetime import datetime
+
+    tmp = events_dir.parent / "trend_in"
+    rows = []
+    terms = ["merge", "sort", "join", "scan", "filter"]
+    for i in range(200):
+        t = datetime(2024, 5, 1, i % 13, (i * 7) % 60, 0)
+        txt = f"{terms[i % 5]} {terms[(i * 3) % 5]} query"
+        rows.append((i, t, i % 9, "search", 0.0, txt))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).repartition(4).write.mode("overwrite").parquet(str(tmp))
+
+    stream = trending_terms_stream(read_events_stream(spark, str(tmp)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("trending_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["term"]): r["n"]
+        for r in spark.sql("SELECT * FROM trending_mem").collect()
+    }
+    batch = (
+        spark.read.parquet(str(tmp))
+        .select("ts", F.explode(tokens_col("props")).alias("term"))
+        .groupBy(F.window("ts", "1 hour"), "term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "term", "n")
+    )
+    want = {
+        (str(r["window_start"]), r["term"]): r["n"] for r in batch.collect()
+    }
+    assert got == want and got
+    # sink-side per-window top-3 is well-defined on the final counts
+    top = sorted(got.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1]))
+    assert top
