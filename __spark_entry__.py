@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest_next": lambda s, d: search_sql.suggest_next_terms(
             s, _t(s, d, "documents")
         ),
+        "search_bm25_topk_typo2": lambda s, d: search_sql.bm25_topk_typo2(
+            s, _t(s, d, "documents"), search_sql.QUERY_TYPO2
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

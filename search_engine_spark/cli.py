@@ -33,6 +33,8 @@ always-on spider/indexer loop).
 Query flags (reference-parity surface):
     --spell         edit-distance-1 vocabulary spell correction (≤3
                     suggestions/word, the aspell-path analogue)
+    --fuzzy=2       ED-2 correction (Lucene FuzzyQuery maxEdits=2;
+                    SymSpell depth-2 deletion index, distance-first rank)
     --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
     --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
     --total         also print the total-hits count (GetTotalPages)
@@ -108,6 +110,7 @@ def _extend(corpus_path: str, index_dir: str) -> None:
 
 
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
+           fuzzy: int = 1,
            page: int = 0, mode: str = "bm25", total: bool = False,
            phrase: bool = False, near: int = 0, ordered: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
@@ -176,7 +179,7 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
     if spell:
         from search_engine_spark.functions.tokenize import query_terms
 
-        expanded = eng.expand_query_terms(query_terms(query))
+        expanded = eng.expand_query_terms(query_terms(query), max_edit=fuzzy)
         print(f"query terms after spell correction: {expanded}")
         query = " ".join(expanded)
     rows = eng.search(query, k=k, page_num=page, mode=mode).collect()
@@ -272,7 +275,10 @@ def main(argv: list[str]) -> int:
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
         _query(args[2], args[3], int(args[4]) if len(args) > 4 else 10,
-               spell="--spell" in flags, page=page, mode=mode,
+               spell="--spell" in flags or any(f.startswith("--fuzzy=") for f in flags),
+               fuzzy=next((int(f.split("=", 1)[1]) for f in flags
+                           if f.startswith("--fuzzy=")), 1),
+               page=page, mode=mode,
                total="--total" in flags, phrase="--phrase" in flags,
                near=next((int(f.split("=", 1)[1]) for f in flags
                           if f.startswith("--near=")), 0),

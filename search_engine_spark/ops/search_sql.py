@@ -36,6 +36,7 @@ from search_engine_spark.ops.sqltwin import (
 QUERY_MAIN = ["spark", "join", "window"]  # in-vocabulary multi-term query
 QUERY_MIXED = ["filter", "stream", "zzzunknownzzz"]  # includes an OOV term
 QUERY_TYPO = ["spark", "joinx", "windov"]  # two misspellings, ED-1 from vocab
+QUERY_TYPO2 = ["spark", "wimdov"]  # a TWO-edit misspelling of "window"
 # batch-retrieval workload (offline eval / training-data retrieval):
 # many queries scored in ONE job — shared index scan, one shuffle total
 BATCH_QUERIES = {
@@ -402,6 +403,52 @@ def bm25_topk_typo(
     """BM25 top-k with query-side spell correction (VERDICT r01 item 4):
     misspelled terms retrieve via their ED-1 vocabulary expansion."""
     return bm25_topk(spark, docs, expand_terms(spark, docs, terms), k)
+
+
+def expand_terms_fuzzy2(
+    spark: SparkSession, docs: DataFrame, raw_terms: list[str],
+    max_sugg: int = MAX_SUGGESTIONS,
+) -> DataFrame:
+    """ED-2 spell correction (Lucene FuzzyQuery's default
+    ``maxEdits=2``): OOV words take their ≤``max_sugg`` strongest
+    vocabulary neighbors within edit distance 2, ranked distance-first
+    (lev ASC, df DESC, term ASC — Lucene boosts nearer corrections
+    above more frequent farther ones). Expression-only levenshtein
+    scan so DuckDB can twin it; the engine path
+    (plans/query.py::expand_query_terms(max_edit=2)) serves the same
+    set from a SymSpell depth-2 deletion index instead of a scan."""
+    vocab = (
+        postings(docs).groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    q = inline_table(
+        spark, [(t,) for t in sorted(set(raw_terms))], "qterm string"
+    )
+    kept = q.join(
+        vocab, q.qterm == vocab.term, "left_semi"
+    ).select(F.col("qterm").alias("term"))
+    oov = q.join(vocab, q.qterm == vocab.term, "left_anti")
+    cand = (
+        oov.crossJoin(vocab)
+        .withColumn("lev", F.levenshtein("qterm", "term"))
+        .where(F.col("lev").between(1, 2))
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("lev"), F.desc("df"), F.asc("term")
+    )
+    sugg = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_sugg)
+        .select("term")
+    )
+    return kept.union(sugg).distinct()
+
+
+def bm25_topk_typo2(
+    spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK
+) -> DataFrame:
+    """BM25 top-k with ED-2 spell correction — two-edit misspellings
+    still retrieve (Lucene FuzzyQuery maxEdits=2)."""
+    return bm25_topk(spark, docs, expand_terms_fuzzy2(spark, docs, terms), k)
 
 
 def prefix_expand(
@@ -1190,6 +1237,24 @@ sugg AS (
 q AS (SELECT DISTINCT term FROM (SELECT term FROM kept UNION ALL SELECT term FROM sugg))"""
 
 
+def _spell2_q_cte(terms: list[str], max_sugg: int = MAX_SUGGESTIONS) -> str:
+    """DuckDB twin of :func:`expand_terms_fuzzy2`: vocab pass-through +
+    top-3 ED≤2 suggestions by (lev ASC, df DESC, term ASC)."""
+    return f"""qraw(term) AS (VALUES {_q_values(terms)}),
+kept AS (SELECT q.term FROM qraw q JOIN dfq v USING (term)),
+oov AS (SELECT term FROM qraw EXCEPT SELECT term FROM kept),
+sugg AS (
+  SELECT term FROM (
+    SELECT o.term AS oterm, v.term,
+           row_number() OVER (PARTITION BY o.term
+                              ORDER BY levenshtein(o.term, v.term) ASC,
+                                       v.df DESC, v.term ASC) AS rk
+    FROM oov o JOIN dfq v ON levenshtein(o.term, v.term) BETWEEN 1 AND 2
+  ) WHERE rk <= {max_sugg}
+),
+q AS (SELECT DISTINCT term FROM (SELECT term FROM kept UNION ALL SELECT term FROM sugg))"""
+
+
 def _prefix_q_cte(raw_terms: list[str], max_exp: int = MAX_EXPANSIONS) -> str:
     """DuckDB twin of :func:`prefix_expand`: literal pass-through +
     per-prefix top-``max_exp`` expansion by (df DESC, term ASC)."""
@@ -1388,6 +1453,8 @@ FROM anch
     "search_bm25_topk_oov": _scores_cte(QUERY_MIXED)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo": _scores_cte(QUERY_TYPO, spell=True)
+    + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_topk_typo2": _scores_cte([], q_cte=_spell2_q_cte(QUERY_TYPO2))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_lang": f"""
 WITH fdocs AS (SELECT * FROM documents WHERE lang = 'en'),

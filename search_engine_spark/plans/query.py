@@ -73,6 +73,7 @@ class QueryEngine:
             self.docs = self.docs.cache()
             self.prior = self.prior.cache()
         self._del_ix: DataFrame | None = None
+        self._del_ix2: DataFrame | None = None
         # Lucene-model deletes: tombstoned docs are excluded from every
         # result immediately; postings/stats still contain them until
         # compact_index physically drops them (documented divergence of
@@ -212,30 +213,59 @@ class QueryEngine:
         return per_doc.select("doc_id", score.alias("score"), "matched")
 
     # ---- spell correction (reference spell-checker.go:27-57 analogue) ----
-    def _deletion_index(self) -> DataFrame:
+    def _deletion_index(self, depth: int = 1) -> DataFrame:
         """SymSpell-style vocabulary deletion index, built lazily and
-        cached: (variant, term, df) where variant ∈ {term} ∪ its 1-char
-        deletions. Two strings are within edit distance 1 iff their
-        variant sets intersect, so OOV lookup is a broadcast join on
+        cached per depth: (variant, term, df) where variant ∈ {term} ∪
+        its ≤``depth``-char deletions. Two strings are within edit
+        distance d iff their depth-d deletion sets intersect (SymSpell's
+        deletes-only guarantee), so OOV lookup is a broadcast join on
         ``variant`` + a cheap levenshtein verify — never a vocab scan
         per query (the scan would be O(|V|) per OOV word at 10^12-file
-        vocab sizes)."""
-        if self._del_ix is None:
+        vocab sizes). Depth 2 costs O(L²) variants per term (≤ ~300 at
+        the 25-char cap) — the standard SymSpell space-for-time trade,
+        built only when a caller first asks for ``max_edit=2``."""
+        del1 = (
+            "transform(sequence(1, length(term)),"
+            " i -> concat(substring(term, 1, i-1),"
+            " substring(term, i+1, length(term))))"
+        )
+        # delete positions p < q of the original in one expression
+        del2 = (
+            "IF(length(term) >= 2,"
+            " flatten(transform(sequence(1, length(term) - 1),"
+            "  p -> transform(sequence(p + 1, length(term)),"
+            "   q -> concat(substring(term, 1, p-1),"
+            "    substring(term, p+1, q-p-1),"
+            "    substring(term, q+1, length(term)))))),"
+            " array())"
+        )
+        if depth == 1:
+            if self._del_ix is None:
+                variants = F.expr(f"array_union(array(term), {del1})")
+                self._del_ix = self.terms.select(
+                    "term", "df", F.explode(variants).alias("variant")
+                ).cache()
+            return self._del_ix
+        if self._del_ix2 is None:
             variants = F.expr(
-                "array_union(array(term), transform(sequence(1, length(term)),"
-                " i -> concat(substring(term, 1, i-1),"
-                " substring(term, i+1, length(term)))))"
+                f"array_distinct(concat(array(term), {del1}, {del2}))"
             )
-            self._del_ix = self.terms.select(
+            self._del_ix2 = self.terms.select(
                 "term", "df", F.explode(variants).alias("variant")
             ).cache()
-        return self._del_ix
+        return self._del_ix2
 
-    def expand_query_terms(self, terms: list[str], max_sugg: int = 3) -> list[str]:
+    def expand_query_terms(self, terms: list[str], max_sugg: int = 3,
+                           max_edit: int = 1) -> list[str]:
         """Vocabulary pass-through for known terms; for OOV terms, the
-        ≤``max_sugg`` strongest edit-distance-1 vocabulary neighbors
-        (df DESC, term ASC) — the public analogue of the reference's
-        aspell suggestions (≤3 per word, deduped)."""
+        ≤``max_sugg`` strongest vocabulary neighbors within edit
+        distance ``max_edit`` — ED-1 ranked (df DESC, term ASC), the
+        public analogue of the reference's aspell suggestions (≤3 per
+        word, deduped); ``max_edit=2`` (Lucene FuzzyQuery's default
+        maxEdits) ranks distance-first (lev ASC, df DESC, term ASC) so
+        a near correction beats a frequent far one, served from the
+        depth-2 deletion index — still a broadcast variant join, never
+        a vocab scan."""
         if not terms:
             return []
         present = {
@@ -246,20 +276,35 @@ class QueryEngine:
         oov = [t for t in terms if t not in present]
         if not oov:
             return sorted(present)
-        qv = [
-            (t, v)
-            for t in oov
-            for v in {t, *(t[:i] + t[i + 1:] for i in range(len(t)))}
-        ]
-        qdf = inline_table(self.spark, qv, "qterm string, variant string")
+
+        def dels(t: str) -> set[str]:
+            return {t[:i] + t[i + 1:] for i in range(len(t))}
+
+        qv_set = {(t, v) for t in oov for v in {t, *dels(t)}}
+        if max_edit >= 2:
+            qv_set |= {
+                (t, v2)
+                for t in oov
+                for v in dels(t)
+                for v2 in dels(v)
+            }
+        qdf = inline_table(
+            self.spark, sorted(qv_set), "qterm string, variant string"
+        )
         cand = (
-            self._deletion_index()
+            self._deletion_index(depth=max_edit)
             .join(F.broadcast(qdf), "variant")
-            .where(F.levenshtein("qterm", "term") == 1)
-            .select("qterm", "term", "df")
+            .withColumn("lev", F.levenshtein("qterm", "term"))
+            .where(F.col("lev").between(1, max_edit))
+            .select("qterm", "term", "df", "lev")
             .distinct()
         )
-        w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+        order = (
+            [F.desc("df"), F.asc("term")]
+            if max_edit == 1
+            else [F.asc("lev"), F.desc("df"), F.asc("term")]
+        )
+        w = Window.partitionBy("qterm").orderBy(*order)
         sugg = {
             r["term"]
             for r in cand.withColumn("rk", F.row_number().over(w))
@@ -354,7 +399,7 @@ class QueryEngine:
 
     # ---- primary: pure BM25 top-k ----
     def bm25(self, query: str, k: int = 10, wand: bool | None = None,
-             spell: bool = False, page: int = 0, min_match: int = 1,
+             spell: bool = False, fuzzy: int = 1, page: int = 0, min_match: int = 1,
              exclude: list[str] | None = None,
              after: tuple[float, int, str, int] | None = None,
              collapse: str | None = None) -> DataFrame:
@@ -417,7 +462,7 @@ class QueryEngine:
         else:
             terms = query_terms(query)
         if spell:
-            terms = self.expand_query_terms(terms)
+            terms = self.expand_query_terms(terms, max_edit=fuzzy)
         exclude = sorted(set(exclude or []))
         if collapse is not None and after is not None:
             raise ValueError("collapse does not compose with an `after` "

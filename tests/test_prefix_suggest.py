@@ -159,3 +159,49 @@ def test_suggest_next_counts_bigrams(spark):
     got = [(r["term"], r["n"])
            for r in suggest_next_terms(spark, docs, "merge", k=5).collect()]
     assert got == [("sort", 3), ("join", 1)]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_engine_fuzzy2_matches_vocab_scan(spark, ix):
+    """ED-2 expansion from the depth-2 SymSpell deletion index ==
+    a full-vocabulary levenshtein scan with the same distance-first
+    ranking (SymSpell's deletes-only candidate set has no false
+    negatives within max_edit)."""
+    eng = QueryEngine(spark, ix)
+    vocab = [(r["term"], r["df"]) for r in
+             eng.terms.select("term", "df").collect()]
+    typo = "mxrgx"  # 2 edits from "merge"
+    cand = sorted(
+        ((_lev(typo, t), -df, t) for t, df in vocab
+         if 1 <= _lev(typo, t) <= 2),
+    )[:3]
+    want = sorted({t for _, _, t in cand})
+    got = eng.expand_query_terms([typo], max_edit=2)
+    assert got == want and "merge" in got
+    # ED-1 matches its own scan (df-ranked) — empty for this 2-edit typo
+    ed1 = sorted(((-df, t) for t, df in vocab if _lev(typo, t) == 1))[:3]
+    assert eng.expand_query_terms([typo], max_edit=1) == sorted(
+        t for _, t in ed1
+    )
+    # known terms pass through untouched at either depth
+    assert eng.expand_query_terms(["merge"], max_edit=2) == ["merge"]
+
+
+def test_engine_fuzzy2_bm25_retrieves(spark, ix):
+    eng = QueryEngine(spark, ix)
+    got = eng.bm25("mxrgx", k=5, spell=True, fuzzy=2).collect()
+    want = eng.bm25(" ".join(eng.expand_query_terms(["mxrgx"], max_edit=2)),
+                    k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ] and got
