@@ -56,10 +56,12 @@ def lpa_fixed(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         )
         cnt = nb.groupBy("id", "label").agg(F.count("*").alias("cnt"))
         # most frequent neighbor label, smaller label on ties:
-        # max_by over (cnt, -label) — an aggregate, not a window, so a
-        # hub's neighbor histogram folds map-side
+        # min_by over (-cnt, label) — an aggregate, not a window, so a
+        # hub's neighbor histogram folds map-side. Negating cnt (≥ 1,
+        # bounded by degree) rather than label keeps arbitrary long ids
+        # safe (−label would wrap for ids near Long.MIN)
         new = cnt.groupBy("id").agg(
-            F.expr("max_by(label, struct(cnt, -label))").alias("newlab")
+            F.expr("min_by(label, struct(-cnt, label))").alias("newlab")
         )
         labels = (
             labels.join(new, "id", "left")
