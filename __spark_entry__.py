@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_typo2": lambda s, d: search_sql.bm25_topk_typo2(
             s, _t(s, d, "documents"), search_sql.QUERY_TYPO2
         ),
+        "search_bm25_must": lambda s, d: search_sql.bm25_topk_must(
+            s, _t(s, d, "documents"), *search_sql.QUERY_MUST
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

@@ -35,6 +35,10 @@ Query flags (reference-parity surface):
                     suggestions/word, the aspell-path analogue)
     --fuzzy=2       ED-2 correction (Lucene FuzzyQuery maxEdits=2;
                     SymSpell depth-2 deletion index, distance-first rank)
+    --must=a,b      per-term MUST clauses (Lucene BooleanQuery MUST:
+                    doc must contain every listed term; they score too)
+    --qs            Lucene-style query-string syntax: +must -not
+                    term* *term term~2 "quoted phrase words"
     --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
     --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
     --total         also print the total-hits count (GetTotalPages)
@@ -110,7 +114,7 @@ def _extend(corpus_path: str, index_dir: str) -> None:
 
 
 def _query(index_dir: str, query: str, k: int, spell: bool = False,
-           fuzzy: int = 1,
+           fuzzy: int = 1, qs: bool = False, must: list[str] | None = None,
            page: int = 0, mode: str = "bm25", total: bool = False,
            phrase: bool = False, near: int = 0, ordered: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
@@ -121,6 +125,24 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
+    if qs:
+        from search_engine_spark.functions.querylang import parse_query
+
+        p = parse_query(query)
+        print(f"parsed: should={p.terms} must={p.require} "
+              f"not={p.exclude} phrases={p.phrases} fuzzy~{p.fuzzy}")
+        rows = eng.bm25(
+            p.query_string(), k=k, page=page,
+            require=p.require or None, exclude=p.exclude or None,
+            spell=p.fuzzy > 0, fuzzy=max(p.fuzzy, 1),
+            min_match=min_match,
+        ).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (qs-bm25, matched "
+                  f"{r['matched']}, doc {r['doc_id']})")
+        return
     if explain:
         rows = eng.explain(query, k=k).collect()
         if not rows:
@@ -140,9 +162,9 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
             print(f"{r['path']}: {r['score']:.6f}  (syn-bm25, matched "
                   f"{r['matched']} of {len(groups)} groups, doc {r['doc_id']})")
         return
-    if min_match > 1 or exclude or collapse:
+    if min_match > 1 or exclude or must or collapse:
         rows = eng.bm25(query, k=k, page=page, min_match=min_match,
-                        exclude=exclude,
+                        exclude=exclude, require=must,
                         collapse=collapse or None).collect()
         if not rows:
             print("(no hits)")
@@ -287,6 +309,9 @@ def main(argv: list[str]) -> int:
                                if f.startswith("--min-match=")), 1),
                exclude=next((f.split("=", 1)[1].split(",") for f in flags
                              if f.startswith("--not=")), None),
+               must=next((f.split("=", 1)[1].split(",") for f in flags
+                          if f.startswith("--must=")), None),
+               qs="--qs" in flags,
                syn=next((f.split("=", 1)[1] for f in flags
                          if f.startswith("--syn=")), ""),
                explain="--explain" in flags,

@@ -1,0 +1,71 @@
+"""Lucene-QueryParser-style query-string syntax → engine call plan.
+
+The reference exposes a single search box (`services/engine/internal/
+handlers/search.handler.go` takes the raw string); power syntax is the
+Lucene convention every search UI inherits. Supported subset, mapped
+onto capabilities the engine already has:
+
+=============  =====================================================
+``term``       SHOULD (plain disjunctive BM25 term)
+``+term``      MUST → ``require=`` (doc must contain it; still scores)
+``-term``      MUST_NOT → ``exclude=``
+``term*``      trailing-wildcard prefix expansion (stays in the query;
+               ``QueryEngine.bm25`` expands it)
+``*term``      leading-wildcard suffix expansion (same)
+``term~``      fuzzy, ED-1; ``term~2`` → ED-2 → ``spell/fuzzy=``
+``"a b"``      quoted phrase → ``phrase=`` (two-phase rescore boost)
+=============  =====================================================
+
+Parsing is purely lexical (whitespace tokens, one quoted span at a
+time) — no grouping, no field prefixes, no OR/AND keywords; those
+compose through the engine's explicit API instead. Unknown sigils
+pass through untouched (the tokenizer drops punctuation anyway, so a
+stray ``(`` can't corrupt the term stream)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[str] = field(default_factory=list)    # SHOULD (may carry * wildcards)
+    require: list[str] = field(default_factory=list)  # MUST
+    exclude: list[str] = field(default_factory=list)  # MUST_NOT
+    phrases: list[str] = field(default_factory=list)  # quoted spans
+    fuzzy: int = 0                                    # max ~N seen (0 = none)
+
+    def query_string(self) -> str:
+        """The SHOULD part (incl. wildcards and phrase words — phrase
+        words still retrieve; the phrase itself boosts via rescore)."""
+        return " ".join([*self.terms, *self.phrases])
+
+
+_FUZZY = re.compile(r"^(?P<t>[^~\s]+)~(?P<d>[12])?$")
+
+
+def parse_query(raw: str) -> ParsedQuery:
+    out = ParsedQuery()
+    rest = raw
+    for m in re.finditer(r'"([^"]*)"', raw):
+        span = m.group(1).strip().lower()
+        if span:
+            out.phrases.append(span)
+    rest = re.sub(r'"[^"]*"', " ", rest)
+    for w in rest.split():
+        wl = w.lower()
+        if wl.startswith("+") and len(wl) > 1:
+            out.require.append(wl[1:])
+        elif wl.startswith("-") and len(wl) > 1:
+            out.exclude.append(wl[1:])
+        else:
+            fm = _FUZZY.match(wl)
+            if fm:
+                out.terms.append(fm.group("t"))
+                out.fuzzy = max(out.fuzzy, int(fm.group("d") or 1))
+            else:
+                out.terms.append(wl)
+    out.require = sorted(set(out.require))
+    out.exclude = sorted(set(out.exclude))
+    return out

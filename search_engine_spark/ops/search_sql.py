@@ -405,6 +405,36 @@ def bm25_topk_typo(
     return bm25_topk(spark, docs, expand_terms(spark, docs, terms), k)
 
 
+QUERY_MUST = (["filter", "stream"], ["join"])  # (SHOULD terms, MUST terms)
+
+
+def bm25_topk_must(
+    spark: SparkSession, docs: DataFrame, terms: list[str],
+    require: list[str], k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k with per-term MUST clauses (Lucene BooleanQuery
+    MUST + SHOULD): only docs containing EVERY required term qualify;
+    required terms also contribute to the score. The engine twin is
+    ``QueryEngine.bm25(require=)`` — a bucket+term pruned posting
+    decode into a doc_id semi-join, never a content read."""
+    allt = sorted({*terms, *require})
+    scored = bm25_scores(spark, docs, allt)
+    post = postings(docs)
+    req_ids = (
+        post.where(F.col("term").isin(list(require)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nr"))
+        .where(F.col("_nr") == len(set(require)))
+        .select("doc_id")
+    )
+    return (
+        scored.join(req_ids, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 def expand_terms_fuzzy2(
     spark: SparkSession, docs: DataFrame, raw_terms: list[str],
     max_sugg: int = MAX_SUGGESTIONS,
@@ -1456,6 +1486,17 @@ FROM anch
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo2": _scores_cte([], q_cte=_spell2_q_cte(QUERY_TYPO2))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_must": _scores_cte(sorted({*QUERY_MUST[0], *QUERY_MUST[1]}))
+    + f"""
+, req AS (
+  SELECT doc_id FROM post
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(QUERY_MUST[1])))})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(set(QUERY_MUST[1]))}
+)
+SELECT doc_id, score, matched FROM scored
+WHERE doc_id IN (SELECT doc_id FROM req)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
     "search_bm25_lang": f"""
 WITH fdocs AS (SELECT * FROM documents WHERE lang = 'en'),
 post AS (

@@ -401,6 +401,7 @@ class QueryEngine:
     def bm25(self, query: str, k: int = 10, wand: bool | None = None,
              spell: bool = False, fuzzy: int = 1, page: int = 0, min_match: int = 1,
              exclude: list[str] | None = None,
+             require: list[str] | None = None,
              after: tuple[float, int, str, int] | None = None,
              collapse: str | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
@@ -417,6 +418,11 @@ class QueryEngine:
         - ``exclude`` drops docs containing ANY of those terms
           (MUST_NOT): their posting lists are decoded (bucket+term
           pruned scan — never a content read) into a doc_id anti-join.
+        - ``require`` keeps only docs containing EVERY one of those
+          terms (MUST); required terms also join the scored term set
+          (Lucene MUST contributes to score). Forces the exhaustive
+          path (pre-top-k filter, see below); an OOV required term
+          empties the result, like Lucene.
 
         ``min_match`` keeps block-max pruning (r3, VERDICT item 3): the
         per-salt kernel is matched-count-aware — segments covered by
@@ -464,14 +470,20 @@ class QueryEngine:
         if spell:
             terms = self.expand_query_terms(terms, max_edit=fuzzy)
         exclude = sorted(set(exclude or []))
+        require = sorted(set(require or []))
+        if require:
+            # Lucene MUST: required terms both filter AND score
+            terms = sorted({*terms, *require})
         if collapse is not None and after is not None:
             raise ValueError("collapse does not compose with an `after` "
                              "cursor (see docstring)")
         idf_map, sum_df = self._term_info(terms)
-        if after is not None or collapse is not None:
+        if after is not None or collapse is not None or require:
             # these filters cut the candidate set by data WAND can't see
-            # (the cursor sort key / the full pre-collapse match set) —
-            # pre-top-k exactness forces the exhaustive path
+            # (the cursor sort key / the full pre-collapse match set /
+            # per-term MUST membership) — pre-top-k exactness forces the
+            # exhaustive path (future: require could ride the kernel's
+            # coverage machinery the way min_match does)
             wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -505,6 +517,19 @@ class QueryEngine:
                 .select("doc_id").distinct()
             )
             scored = scored.join(ex_ids, "doc_id", "left_anti")
+        if require and idf_map:
+            # MUST: keep docs containing EVERY required term — a
+            # bucket+term pruned posting decode (never a content read);
+            # an OOV required term yields no posting rows, so no doc
+            # reaches the count and the result is empty, like Lucene
+            req_ids = (
+                decode_blocks(self._query_blocks(require))
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("_nr"))
+                .where(F.col("_nr") == len(require))
+                .select("doc_id")
+            )
+            scored = scored.join(req_ids, "doc_id", "left_semi")
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
         if after is not None:
             c_s, c_m, c_p, c_d = after

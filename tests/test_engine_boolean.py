@@ -317,3 +317,36 @@ def test_must_not_rare_term_home_salt_leak(spark, tmp_path_factory):
     # exhaustive twin agrees
     got_ex = eng.bm25(rare, k=10, exclude=[common], wand=False).collect()
     assert {r["path"] for r in got_ex} == paths
+
+
+def test_must_rank_identity(booly):
+    """Per-term MUST (require=): only docs containing EVERY required
+    term qualify; required terms also score (Lucene MUST + SHOULD).
+    Rank-identical to the oracle's per-term containment filter over
+    the union term set; OOV required term empties the result."""
+    eng, ix = booly
+    should = ["binary", "tree"]
+    must = ["search"]
+    allt = sorted({*should, *must})
+    have = lambda d, t: d in ix.postings.get(t, {})  # noqa: E731
+    want = _rank(
+        [r for r in _oracle_candidates(ix, allt)
+         if all(have(r["doc_id"], t) for t in must)]
+    )[:K]
+    got = eng.bm25(" ".join(should), k=K, require=must).collect()
+    assert len(got) > 0
+    for r in got:
+        assert all(have(r["doc_id"], t) for t in must)
+    _assert_rank_identical(got, want)
+
+    # multi-term MUST via the CLI-equivalent args
+    must2 = ["search", "tree"]
+    want2 = _rank(
+        [r for r in _oracle_candidates(ix, allt)
+         if all(have(r["doc_id"], t) for t in must2)]
+    )[:K]
+    got2 = eng.bm25("binary", k=K, require=must2).collect()
+    _assert_rank_identical(got2, want2)
+
+    # OOV MUST term -> empty, like Lucene
+    assert eng.bm25("binary", k=K, require=["zzznopezzz"]).collect() == []

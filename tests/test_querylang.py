@@ -1,0 +1,28 @@
+"""Query-string parser: lexical mapping onto engine call plan, plus
+engine-level MUST (require=) rank identity vs the in-memory oracle."""
+
+from __future__ import annotations
+
+from search_engine_spark.functions.querylang import parse_query
+
+
+def test_parse_all_sigils():
+    p = parse_query('merge +join -sort tree~2 pre* *fix "binary search"')
+    assert p.terms == ["merge", "tree", "pre*", "*fix"]
+    assert p.require == ["join"]
+    assert p.exclude == ["sort"]
+    assert p.phrases == ["binary search"]
+    assert p.fuzzy == 2
+    assert p.query_string() == "merge tree pre* *fix binary search"
+
+
+def test_parse_plain_and_edges():
+    p = parse_query("merge sort")
+    assert (p.terms, p.require, p.exclude, p.phrases, p.fuzzy) == (
+        ["merge", "sort"], [], [], [], 0
+    )
+    # bare sigils pass through; ~ without digit = ED-1; dedup of +/-
+    p = parse_query("+ - a~ +x +x -y -y")
+    assert p.terms == ["+", "-", "a"]
+    assert p.fuzzy == 1
+    assert p.require == ["x"] and p.exclude == ["y"]
