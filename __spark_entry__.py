@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_must": lambda s, d: search_sql.bm25_topk_must(
             s, _t(s, d, "documents"), *search_sql.QUERY_MUST
         ),
+        "samp_weighted": lambda s, d: sampling.weighted_sample(
+            _t(s, d, "documents")
+        ),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

@@ -78,6 +78,43 @@ def bernoulli_sample(docs: DataFrame, rate_e6: int = RATE_E6) -> DataFrame:
     )
 
 
+WEIGHTED_K = 50          # weighted-sample gate size
+
+
+def weighted_sample(docs: DataFrame, k: int = WEIGHTED_K,
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    IPL 2006 — re-derived): each doc draws a deterministic uniform
+    u ∈ (0,1] from its hash bucket and takes key = ln(u)/w; the top-k
+    docs by key form an exact weighted sample — inclusion probability
+    proportional to weight, no replacement, no sequential pass. The
+    training-data use: quality- or length-weighted corpus subsetting
+    where plain Bernoulli over/under-samples the tails.
+
+    Deterministic end-to-end (the hash IS the randomness, namespaced
+    by SEED like every sampling op here), so reruns and the DuckDB
+    twin agree exactly. One scan + TakeOrderedAndProject — the sample
+    of a 10^12-row table is one pass, no shuffle beyond the top-k.
+    Weights must be ≥ 0; rows with w = 0 use w+1's floor of 1 via the
+    +1 shift (so empty docs are merely unlikely, not divide-by-zero).
+    Key rounded 6dp with a doc_id tie-break — the cross-engine float
+    protocol."""
+    u = (sample_bucket(F.col("doc_id")) + F.lit(1).cast("double")) / F.lit(
+        float(BUCKETS_E6 + 1)
+    )
+    w = (F.col(weight_col).cast("double") + F.lit(1.0))
+    key = F.round(F.log(u) / w, 6)
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _stratified_rank(docs: DataFrame, n_parts: int = STRAT_PARTITIONS) -> DataFrame:
     """(doc_id, lang, bucket, rk, n): exact global rank within each
     lang by (bucket, doc_id), and the stratum size — computed with the
@@ -239,6 +276,14 @@ def stratified_split(
 _BKT = _duck_bucket("doc_id")
 
 ORACLE_SQL = {
+    "samp_weighted": f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       round(ln(({_BKT} + 1.0) / {BUCKETS_E6 + 1}.0)
+             / (CAST(n_chars AS DOUBLE) + 1.0), 6) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {WEIGHTED_K}
+""",
     "samp_bernoulli": f"""
 SELECT doc_id, lang, {_BKT} AS bucket
 FROM documents

@@ -174,3 +174,49 @@ def test_stratified_split_exact_quotas_and_stability(spark):
     again = {(r["doc_id"], r["split"])
              for r in sampling.stratified_split(docs).collect()}
     assert {(r["doc_id"], r["split"]) for r in out} == again
+
+
+def test_weighted_sample_matches_reference_keys(spark):
+    """Efraimidis-Spirakis keys recomputed in pure Python (same md5
+    bucket, same ln(u)/w, same rounding) must give the identical
+    sample and order; heavy docs dominate the draw."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from search_engine_spark.ops.sampling import (
+        BUCKETS_E6,
+        SEED,
+        weighted_sample,
+    )
+
+    M31 = (1 << 31) - 1
+    rows = []
+    for i in range(200):
+        w = 5000 if i < 20 else 10   # 20 heavy docs, 180 light
+        rows.append((i, "en", "s", f"t{i}", w))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars int"
+    )
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}:{SEED}".encode()).hexdigest()[:15], 16)
+        bucket = (h % M31) % BUCKETS_E6
+        u = (bucket + 1) / (BUCKETS_E6 + 1)
+        return round(math.log(u) / (w + 1.0), 6)
+
+    want = sorted(
+        ((key(i, w), -i) for i, _, _, _, w in [(r[0], *r[1:]) for r in rows]),
+        reverse=True,
+    )[:30]
+    want_ids = [-ni for _, ni in want]
+    got = weighted_sample(docs, k=30).collect()
+    assert [r["doc_id"] for r in got] == want_ids
+    for r in got:
+        assert r["es_key"] == pytest.approx(key(r["doc_id"], r["weight"]),
+                                            abs=1e-9)
+    # inclusion tracks weight: the 20 heavy docs (10% of rows, ~97% of
+    # total weight) should dominate a 30-doc draw
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    assert heavy >= 15
