@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),
+        "rel_funnel": lambda s, d: relational.funnel(_t(s, d, "events")),
         # =================================================================
         # BACK — already green in CORRECTNESS_r01.json / r02.json.
         # =================================================================

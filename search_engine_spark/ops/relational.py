@@ -91,6 +91,48 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered conversion funnel
+
+
+def funnel(events: DataFrame,
+           steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel analysis (Amplitude/Mixpanel funnels): how many
+    users performed step 1, then step 2 STRICTLY AFTER their first
+    step 1, then step 3 strictly after that first step-2 — first-touch
+    semantics (each step anchors on the user's EARLIEST qualifying
+    event, the standard funnel definition). Output one row per step:
+    (step int, event_type, n_users, conv_pct_e6) where conv_pct_e6 is
+    conversion from step 1 in ×10^6 truncating fixed-point.
+
+    Plan shape: one user-keyed min-aggregation per step, each joined
+    back to the events scan on user_id — the same key family
+    throughout, so at scale every stage co-partitions; step count is a
+    tiny constant. No windows, no per-user event arrays (a whale user
+    with 10^6 events folds in the min() combiner)."""
+    cur = events.where(F.col("event_type") == steps[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    ).localCheckpoint()  # each step builds on the last: pin, don't recompute
+    counts = [cur.count()]
+    for s in steps[1:]:
+        cur = (
+            events.where(F.col("event_type") == s)
+            .join(cur, "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        ).localCheckpoint()
+        counts.append(cur.count())
+    spark = events.sparkSession
+    rows = [
+        (i + 1, steps[i], counts[i],
+         (1_000_000 * counts[i]) // counts[0] if counts[0] else 0)
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users long, conv_pct_e6 long"
+    )
+
+
 RETENTION_DAYS = 7  # day offsets 0..7 reported per cohort
 
 
@@ -268,6 +310,33 @@ def value_quantiles(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- oracle SQL
 
 ORACLE_SQL = {
+    "rel_funnel": f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t GROUP BY e.user_id
+),
+c AS (
+  SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+)
+SELECT CAST(step AS INTEGER) AS step, event_type, n_users,
+       CAST(CASE WHEN (SELECT n_users FROM c WHERE step = 1) > 0
+            THEN (1000000 * n_users) // (SELECT n_users FROM c WHERE step = 1)
+            ELSE 0 END AS BIGINT) AS conv_pct_e6
+FROM c
+""",
     "rel_cohort_retention": f"""
 WITH firsts AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

@@ -99,3 +99,32 @@ def test_cohort_retention_closed_form(spark):
         ("2024-03-01", 2): (1, 333_333),
         ("2024-03-02", 0): (1, 1_000_000),
     }
+
+
+def test_funnel_first_touch_ordering(spark):
+    from search_engine_spark.ops.relational import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 12, m, 0)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), 1, "view", 0.0), (2, t(1), 1, "click", 0.0),
+        (3, t(2), 1, "purchase", 0.0),
+        # user 2: click BEFORE first view — click doesn't count; a
+        # later click does, purchase then follows
+        (4, t(0), 2, "click", 0.0), (5, t(1), 2, "view", 0.0),
+        (6, t(2), 2, "click", 0.0), (7, t(3), 2, "purchase", 0.0),
+        # user 3: purchase before click → stops at click
+        (8, t(0), 3, "view", 0.0), (9, t(1), 3, "purchase", 0.0),
+        (10, t(2), 3, "click", 0.0),
+        # user 4: same-ts click as first view (strict >) → stops at view
+        (11, t(0), 4, "view", 0.0), (12, t(0), 4, "click", 0.0),
+        # user 5: never views
+        (13, t(0), 5, "click", 0.0), (14, t(1), 5, "purchase", 0.0),
+    ]
+    got = {r["step"]: (r["event_type"], r["n_users"], r["conv_pct_e6"])
+           for r in funnel(_ev(spark, rows)).collect()}
+    assert got == {
+        1: ("view", 4, 1_000_000),
+        2: ("click", 3, 750_000),
+        3: ("purchase", 2, 500_000),
+    }
