@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_must": lambda s, d: search_sql.bm25_topk_must(
             s, _t(s, d, "documents"), *search_sql.QUERY_MUST
         ),
+        "search_bm25_topk_boost": lambda s, d: search_sql.bm25_topk_boost(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),
@@ -611,9 +614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_3iter", "graph_kcore", "search_bm25_suffix",
         "sim_mmr_topk", "rel_cohort_retention", "search_suggest_next",
         "search_bm25_topk_typo2", "search_bm25_must", "samp_weighted",
-        "rel_funnel",
+        "rel_funnel", "search_bm25_topk_boost",
     ]
     demote = [
+        "mm_jpeg_dims",  # subsumed by the full-decode mm_jpeg_pixels row
         "sketch_quantiles_bottomk", "bpe_merges", "bpe_encode",
         "text_distinct_hll", "pack_sequences", "pack_occupancy",
         "samp_bernoulli", "samp_mixture", "dedup_minhash_signatures",

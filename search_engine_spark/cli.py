@@ -130,12 +130,13 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
 
         p = parse_query(query)
         print(f"parsed: should={p.terms} must={p.require} "
-              f"not={p.exclude} phrases={p.phrases} fuzzy~{p.fuzzy}")
+              f"not={p.exclude} phrases={p.phrases} fuzzy~{p.fuzzy} "
+              f"boosts={p.boosts}")
         rows = eng.bm25(
             p.query_string(), k=k, page=page,
             require=p.require or None, exclude=p.exclude or None,
             spell=p.fuzzy > 0, fuzzy=max(p.fuzzy, 1),
-            min_match=min_match,
+            min_match=min_match, boost=p.boosts or None,
         ).collect()
         if not rows:
             print("(no hits)")

@@ -13,6 +13,8 @@ onto capabilities the engine already has:
                ``QueryEngine.bm25`` expands it)
 ``*term``      leading-wildcard suffix expansion (same)
 ``term~``      fuzzy, ED-1; ``term~2`` → ED-2 → ``spell/fuzzy=``
+``term^2.5``   per-term boost → ``boost=`` (scales the term's BM25
+               contribution; composes with ``+``/``-`` sigils)
 ``"a b"``      quoted phrase → ``phrase=`` (two-phase rescore boost)
 =============  =====================================================
 
@@ -35,6 +37,7 @@ class ParsedQuery:
     exclude: list[str] = field(default_factory=list)  # MUST_NOT
     phrases: list[str] = field(default_factory=list)  # quoted spans
     fuzzy: int = 0                                    # max ~N seen (0 = none)
+    boosts: dict[str, float] = field(default_factory=dict)  # term -> ^weight
 
     def query_string(self) -> str:
         """The SHOULD part (incl. wildcards and phrase words — phrase
@@ -43,6 +46,7 @@ class ParsedQuery:
 
 
 _FUZZY = re.compile(r"^(?P<t>[^~\s]+)~(?P<d>[12])?$")
+_BOOST = re.compile(r"^(?P<t>.+)\^(?P<w>\d+(?:\.\d+)?)$")
 
 
 def parse_query(raw: str) -> ParsedQuery:
@@ -55,6 +59,16 @@ def parse_query(raw: str) -> ParsedQuery:
     rest = re.sub(r'"[^"]*"', " ", rest)
     for w in rest.split():
         wl = w.lower()
+        # boost suffix strips first (Lucene precedence: `+term^2` is a
+        # boosted MUST); a repeated boosted term keeps the LAST weight
+        bm = _BOOST.match(wl)
+        if bm and len(bm.group("t")) > 0:
+            wl = bm.group("t")
+            # boost keys are bare terms: strip MUST/NOT sigils and a
+            # fuzzy marker (`tree~1^2` boosts the expansion seed `tree`)
+            key = re.sub(r"~[12]?$", "", wl.lstrip("+-"))
+            if key:
+                out.boosts[key] = float(bm.group("w"))
         if wl.startswith("+") and len(wl) > 1:
             out.require.append(wl[1:])
         elif wl.startswith("-") and len(wl) > 1:

@@ -435,6 +435,60 @@ def bm25_topk_must(
     )
 
 
+QUERY_BOOST = [("window", 3.0), ("join", 1.0), ("filter", 0.5)]
+
+
+def bm25_topk_boost(
+    spark: SparkSession, docs: DataFrame,
+    weighted: list[tuple[str, float]] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k with per-term query-time boosts (Lucene
+    ``term^boost``, SURVEY §2.4 scoring family): each term's BM25
+    partial is multiplied by its weight before the per-doc sum —
+    algebraically a per-term idf scale, which is exactly how the engine
+    twin applies it (``QueryEngine.bm25(boost=)`` scales idf_map, so
+    block-max WAND upper bounds stay exact). ``matched`` counts terms,
+    not weight.
+
+    Scale shape: identical to :func:`bm25_scores` — the (term, weight)
+    side is a broadcast inline table; the one wide exchange is the
+    explode+groupBy the postings need anyway; top-k is
+    TakeOrderedAndProject."""
+    weighted = QUERY_BOOST if weighted is None else weighted
+    post = postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = inline_table(
+        spark,
+        sorted({(t, float(w)) for t, w in weighted}),
+        "term string, w double",
+    )
+    stats = _corpus_stats(docs)
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        m.withColumn("partial", F.col("w") * idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 def expand_terms_fuzzy2(
     spark: SparkSession, docs: DataFrame, raw_terms: list[str],
     max_sugg: int = MAX_SUGGESTIONS,
@@ -1357,6 +1411,37 @@ scored AS (
 )"""
 
 
+def _boost_scores_sql(weighted: list[tuple[str, float]], k: int = TOPK) -> str:
+    """DuckDB twin of :func:`bm25_topk_boost`: q carries (term, w) and
+    the BM25 partial scales by w inside the per-doc sum."""
+    vals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(set(weighted)))
+    return f"""
+WITH {_POST},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(term, w) AS (VALUES {vals}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(q.w * ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 _BATCH_SCORED_CTE = f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -1486,6 +1571,7 @@ FROM anch
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_typo2": _scores_cte([], q_cte=_spell2_q_cte(QUERY_TYPO2))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_topk_boost": _boost_scores_sql(QUERY_BOOST),
     "search_bm25_must": _scores_cte(sorted({*QUERY_MUST[0], *QUERY_MUST[1]}))
     + f"""
 , req AS (

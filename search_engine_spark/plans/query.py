@@ -403,7 +403,8 @@ class QueryEngine:
              exclude: list[str] | None = None,
              require: list[str] | None = None,
              after: tuple[float, int, str, int] | None = None,
-             collapse: str | None = None) -> DataFrame:
+             collapse: str | None = None,
+             boost: dict[str, float] | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
@@ -423,6 +424,10 @@ class QueryEngine:
           (Lucene MUST contributes to score). Forces the exhaustive
           path (pre-top-k filter, see below); an OOV required term
           empties the result, like Lucene.
+        - ``boost`` maps terms to query-time weights (Lucene
+          ``term^2.5``): each term's BM25 partial scales by its weight.
+          Composes with every mode — including WAND, which stays exact
+          because upper bounds derive from the scaled idf_map.
 
         ``min_match`` keeps block-max pruning (r3, VERDICT item 3): the
         per-salt kernel is matched-count-aware — segments covered by
@@ -478,6 +483,14 @@ class QueryEngine:
             raise ValueError("collapse does not compose with an `after` "
                              "cursor (see docstring)")
         idf_map, sum_df = self._term_info(terms)
+        if boost:
+            # Lucene query-time boost ≡ scaling the term's idf: both the
+            # exhaustive partials AND the WAND upper bounds derive from
+            # idf_map at query time (wand.py computes ub = idf·block_max
+            # per call), so a per-term scale keeps block-max pruning
+            # exact — no kernel change, no index change.
+            idf_map = {t: i * float(boost.get(t, 1.0))
+                       for t, i in idf_map.items()}
         if after is not None or collapse is not None or require:
             # these filters cut the candidate set by data WAND can't see
             # (the cursor sort key / the full pre-collapse match set /

@@ -350,3 +350,69 @@ def test_must_rank_identity(booly):
 
     # OOV MUST term -> empty, like Lucene
     assert eng.bm25("binary", k=K, require=["zzznopezzz"]).collect() == []
+
+
+def _oracle_boosted(ix, terms, boost):
+    """Boosted oracle: each term's BM25 partial scales by its weight
+    (Lucene query-time boost ≡ per-term idf scale)."""
+    from search_engine_spark.config import BM25_B, BM25_K1
+
+    cand = set()
+    for t in terms:
+        cand.update(ix.postings.get(t, {}).keys())
+    rows = []
+    for d in cand:
+        dl = ix.dl.get(d, 0)
+        norm_len = dl / ix.avgdl if ix.avgdl else 0.0
+        score, matched = 0.0, 0
+        for t in sorted(set(terms)):
+            tf = ix.postings.get(t, {}).get(d)
+            if tf is None:
+                continue
+            matched += 1
+            w = float(boost.get(t, 1.0))
+            score += (w * ix.idf(t) * (tf * (BM25_K1 + 1.0))
+                      / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * norm_len)))
+        rows.append({"doc_id": d, "score": score, "matched": matched,
+                     "path": ix.path[d]})
+    return rows
+
+
+def test_boost_rank_identity(booly):
+    """Per-term query boost (term^w): rank-identical to the boosted
+    oracle on both physical paths; matched counts terms, not weight;
+    boost=1.0 on every term is a no-op vs plain bm25."""
+    eng, ix = booly
+    terms = QUERY.split()
+    boost = {"binary": 2.5, "tree": 0.5}
+    want = _rank(_oracle_boosted(ix, terms, boost))[:K]
+    got = eng.bm25(QUERY, k=K, boost=boost).collect()
+    assert len(got) > 0
+    _assert_rank_identical(got, want)
+    # WAND path: scaled idf_map drives the upper bounds, stays exact
+    got_w = eng.bm25(QUERY, k=K, boost=boost, wand=True).collect()
+    _assert_rank_identical(got_w, want)
+    # identity boost == no boost
+    plain = eng.bm25(QUERY, k=K).collect()
+    unit = eng.bm25(QUERY, k=K, boost={t: 1.0 for t in terms}).collect()
+    _assert_rank_identical(unit, plain)
+
+
+def test_boost_composes_with_boolean_modes(booly):
+    """Boost composes with min_match and require (Lucene `+term^2`)."""
+    eng, ix = booly
+    terms = QUERY.split()
+    boost = {"search": 3.0}
+    want = _rank(
+        [r for r in _oracle_boosted(ix, terms, boost) if r["matched"] >= 2]
+    )[:K]
+    got = eng.bm25(QUERY, k=K, boost=boost, min_match=2).collect()
+    _assert_rank_identical(got, want)
+    have = lambda d, t: d in ix.postings.get(t, {})  # noqa: E731
+    want_m = _rank(
+        [r for r in _oracle_boosted(ix, terms, boost)
+         if have(r["doc_id"], "search")]
+    )[:K]
+    got_m = eng.bm25("binary tree", k=K, boost=boost,
+                     require=["search"]).collect()
+    _assert_rank_identical(got_m, want_m)

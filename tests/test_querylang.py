@@ -26,3 +26,17 @@ def test_parse_plain_and_edges():
     assert p.terms == ["+", "-", "a"]
     assert p.fuzzy == 1
     assert p.require == ["x"] and p.exclude == ["y"]
+
+
+def test_parse_boost_sigil():
+    p = parse_query("merge^2.5 +join^3 sort tree~1^2")
+    # boost strips before sigil handling: `+join^3` is a boosted MUST;
+    # `tree~1^2` boosts the fuzzy seed `tree`
+    assert p.terms == ["merge", "sort", "tree"]
+    assert p.boosts == {"merge": 2.5, "join": 3.0, "tree": 2.0}
+    assert p.require == ["join"]
+    assert p.fuzzy == 1
+    # repeated boosted term keeps the last weight; bare ^ passes through
+    p2 = parse_query("a^2 a^4 b^ ^3")
+    assert p2.boosts["a"] == 4.0
+    assert "b^" in p2.terms and "^3" in p2.terms
