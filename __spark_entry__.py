@@ -453,6 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk_boost": lambda s, d: search_sql.bm25_topk_boost(
             s, _t(s, d, "documents")
         ),
+        "search_bm25_field": lambda s, d: search_sql.bm25_topk_field(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

@@ -38,7 +38,8 @@ Query flags (reference-parity surface):
     --must=a,b      per-term MUST clauses (Lucene BooleanQuery MUST:
                     doc must contain every listed term; they score too)
     --qs            Lucene-style query-string syntax: +must -not
-                    term* *term term~2 "quoted phrase words"
+                    term* *term term~2 term^2.5 lang:py path:src/*
+                    "quoted phrase words"
     --page=N        result page (LIMIT k OFFSET N·k, store.go:85-98)
     --mode=cosine   reference-compat TF-IDF-cosine ranking (tf-idf.go)
     --total         also print the total-hits count (GetTotalPages)
@@ -131,12 +132,13 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
         p = parse_query(query)
         print(f"parsed: should={p.terms} must={p.require} "
               f"not={p.exclude} phrases={p.phrases} fuzzy~{p.fuzzy} "
-              f"boosts={p.boosts}")
+              f"boosts={p.boosts} fields={p.fields}")
         rows = eng.bm25(
             p.query_string(), k=k, page=page,
             require=p.require or None, exclude=p.exclude or None,
             spell=p.fuzzy > 0, fuzzy=max(p.fuzzy, 1),
             min_match=min_match, boost=p.boosts or None,
+            field=p.fields or None,
         ).collect()
         if not rows:
             print("(no hits)")

@@ -15,6 +15,10 @@ onto capabilities the engine already has:
 ``term~``      fuzzy, ED-1; ``term~2`` → ED-2 → ``spell/fuzzy=``
 ``term^2.5``   per-term boost → ``boost=`` (scales the term's BM25
                contribution; composes with ``+``/``-`` sigils)
+``lang:py``    field filter → ``field=`` (Lucene filter clause:
+               restricts hits by metadata, scoring unchanged; known
+               fields only so code tokens like ``std::vector`` stay
+               terms; trailing ``*`` = prefix match)
 ``"a b"``      quoted phrase → ``phrase=`` (two-phase rescore boost)
 =============  =====================================================
 
@@ -38,6 +42,7 @@ class ParsedQuery:
     phrases: list[str] = field(default_factory=list)  # quoted spans
     fuzzy: int = 0                                    # max ~N seen (0 = none)
     boosts: dict[str, float] = field(default_factory=dict)  # term -> ^weight
+    fields: dict[str, str] = field(default_factory=dict)    # field -> value
 
     def query_string(self) -> str:
         """The SHOULD part (incl. wildcards and phrase words — phrase
@@ -47,6 +52,12 @@ class ParsedQuery:
 
 _FUZZY = re.compile(r"^(?P<t>[^~\s]+)~(?P<d>[12])?$")
 _BOOST = re.compile(r"^(?P<t>.+)\^(?P<w>\d+(?:\.\d+)?)$")
+# closed field-name set: a generic name:value rule would eat code
+# tokens (`std::vector`, `http://…`); these are the engine's metadata
+# surface (QueryEngine meta_cols + path)
+_FIELD = re.compile(
+    r"^(?P<f>lang|repo|path|commit|title|keywords):(?P<v>\S+)$"
+)
 
 
 def parse_query(raw: str) -> ParsedQuery:
@@ -59,6 +70,12 @@ def parse_query(raw: str) -> ParsedQuery:
     rest = re.sub(r'"[^"]*"', " ", rest)
     for w in rest.split():
         wl = w.lower()
+        # field filters route out of term handling entirely (a repeated
+        # field keeps the last value, like Lucene QueryParser)
+        fm = _FIELD.match(wl)
+        if fm:
+            out.fields[fm.group("f")] = fm.group("v")
+            continue
         # boost suffix strips first (Lucene precedence: `+term^2` is a
         # boosted MUST); a repeated boosted term keeps the LAST weight
         bm = _BOOST.match(wl)

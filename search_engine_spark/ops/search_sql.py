@@ -489,6 +489,36 @@ def bm25_topk_boost(
     )
 
 
+FIELD_FILTER = ("lang", "en")
+
+
+def bm25_topk_field(
+    spark: SparkSession, docs: DataFrame,
+    terms: list[str] | None = None,
+    flt: tuple[str, str] = FIELD_FILTER, k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k restricted by a metadata field (Lucene FILTER clause,
+    ``lang:en``): scores and df/avgdl stay CORPUS-WIDE — the filter
+    only restricts which docs may rank. The deliberate contrast is
+    ``search_bm25_lang`` (corpus-filtered rebuild: stats recomputed
+    over the filtered corpus); both semantics exist in Lucene and they
+    rank differently. Engine twin: ``QueryEngine.bm25(field=)``.
+
+    Scale shape: the scored set is candidate-sized (≤ Σdf); the filter
+    column joins on doc_id (AQE picks the join strategy) and the top-k
+    is TakeOrderedAndProject — the filter never touches content."""
+    terms = QUERY_MAIN if terms is None else terms
+    col, val = flt
+    scored = bm25_scores(spark, docs, terms)
+    return (
+        scored.join(docs.select("doc_id", col), "doc_id")
+        .where(F.col(col) == val)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 def expand_terms_fuzzy2(
     spark: SparkSession, docs: DataFrame, raw_terms: list[str],
     max_sugg: int = MAX_SUGGESTIONS,
@@ -1572,6 +1602,12 @@ FROM anch
     "search_bm25_topk_typo2": _scores_cte([], q_cte=_spell2_q_cte(QUERY_TYPO2))
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
     "search_bm25_topk_boost": _boost_scores_sql(QUERY_BOOST),
+    "search_bm25_field": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT s.doc_id, s.score, s.matched
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.{FIELD_FILTER[0]} = '{FIELD_FILTER[1]}'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}""",
     "search_bm25_must": _scores_cte(sorted({*QUERY_MUST[0], *QUERY_MUST[1]}))
     + f"""
 , req AS (

@@ -404,7 +404,8 @@ class QueryEngine:
              require: list[str] | None = None,
              after: tuple[float, int, str, int] | None = None,
              collapse: str | None = None,
-             boost: dict[str, float] | None = None) -> DataFrame:
+             boost: dict[str, float] | None = None,
+             field: dict[str, str] | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
@@ -428,6 +429,15 @@ class QueryEngine:
           ``term^2.5``): each term's BM25 partial scales by its weight.
           Composes with every mode — including WAND, which stays exact
           because upper bounds derive from the scaled idf_map.
+        - ``field`` maps metadata columns to values (Lucene FILTER
+          clause, ``lang:py``): hits are restricted to docs matching
+          every (column, value) pair, scores/stats unchanged (unlike a
+          corpus-filtered rebuild, which recomputes df/avgdl). A
+          trailing ``*`` in the value is a prefix match; ``keywords``
+          matches by array membership; comparisons are caseless. Costs
+          zero extra joins — the predicate runs on the metadata surface
+          the result join materializes anyway. Forces the exhaustive
+          path (the filter cuts candidates by data WAND can't see).
 
         ``min_match`` keeps block-max pruning (r3, VERDICT item 3): the
         per-salt kernel is matched-count-aware — segments covered by
@@ -491,12 +501,13 @@ class QueryEngine:
             # exact — no kernel change, no index change.
             idf_map = {t: i * float(boost.get(t, 1.0))
                        for t, i in idf_map.items()}
-        if after is not None or collapse is not None or require:
+        if after is not None or collapse is not None or require or field:
             # these filters cut the candidate set by data WAND can't see
             # (the cursor sort key / the full pre-collapse match set /
-            # per-term MUST membership) — pre-top-k exactness forces the
-            # exhaustive path (future: require could ride the kernel's
-            # coverage machinery the way min_match does)
+            # per-term MUST membership / metadata values) — pre-top-k
+            # exactness forces the exhaustive path (future: require
+            # could ride the kernel's coverage machinery the way
+            # min_match does)
             wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -544,6 +555,23 @@ class QueryEngine:
             )
             scored = scored.join(req_ids, "doc_id", "left_semi")
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
+        if field:
+            surface = ("path", *self._meta_cols)
+            for col, val in sorted(field.items()):
+                if col not in surface:
+                    raise ValueError(
+                        f"field filter column {col!r} not in result "
+                        f"surface {list(surface)}"
+                    )
+                v = val.lower()
+                if col == "keywords":
+                    # keywords is array<string>: membership, not equality
+                    pred = F.array_contains(F.col(col), v)
+                elif v.endswith("*"):
+                    pred = F.lower(F.col(col)).startswith(v[:-1])
+                else:
+                    pred = F.lower(F.col(col)) == v
+                with_path = with_path.where(pred)
         if after is not None:
             c_s, c_m, c_p, c_d = after
             s, m, p = F.col("score"), F.col("matched"), F.col("path")

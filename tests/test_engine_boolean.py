@@ -416,3 +416,41 @@ def test_boost_composes_with_boolean_modes(booly):
     got_m = eng.bm25("binary tree", k=K, boost=boost,
                      require=["search"]).collect()
     _assert_rank_identical(got_m, want_m)
+
+
+def test_field_filter_rank_identity(booly):
+    """Lucene FILTER clause (field=): hits restricted by metadata,
+    scores unchanged (corpus-wide stats). Path-prefix fixture filter,
+    rank-identical to the oracle's candidate set cut by the same
+    predicate; composes with boost; unknown column raises."""
+    eng, ix = booly
+    terms = QUERY.split()
+    cand = _oracle_candidates(ix, terms)
+    prefixes = sorted({r["path"].rsplit("/", 1)[0] + "/" for r in cand})
+    pref = next(
+        p for p in prefixes
+        if 0 < sum(r["path"].startswith(p) for r in cand) < len(cand)
+    )
+    want = _rank([r for r in cand if r["path"].startswith(pref)])[:K]
+    got = eng.bm25(QUERY, k=K, field={"path": pref + "*"}).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["path"].startswith(pref)
+    _assert_rank_identical(got, want)
+    # scores are the UNFILTERED scores (filter clause, not a rebuild)
+    plain = {r["doc_id"]: r["score"] for r in eng.bm25(QUERY, k=200).collect()}
+    for r in got:
+        assert r["score"] == pytest.approx(plain[r["doc_id"]], rel=1e-9)
+    # composes with boost
+    boost = {"binary": 2.0}
+    want_b = _rank(
+        [r for r in _oracle_boosted(ix, terms, boost)
+         if r["path"].startswith(pref)]
+    )[:K]
+    got_b = eng.bm25(QUERY, k=K, field={"path": pref + "*"},
+                     boost=boost).collect()
+    _assert_rank_identical(got_b, want_b)
+    # exact-match form: no hits outside the value
+    assert eng.bm25(QUERY, k=K, field={"path": "zzz/nope"}).collect() == []
+    with pytest.raises(ValueError, match="field filter column"):
+        eng.bm25(QUERY, k=K, field={"nope": "x"})

@@ -40,3 +40,17 @@ def test_parse_boost_sigil():
     p2 = parse_query("a^2 a^4 b^ ^3")
     assert p2.boosts["a"] == 4.0
     assert "b^" in p2.terms and "^3" in p2.terms
+
+
+def test_parse_field_filters():
+    p = parse_query("lang:py merge path:src/pkg0/* -sort repo:Core")
+    assert p.fields == {"lang": "py", "path": "src/pkg0/*", "repo": "core"}
+    assert p.terms == ["merge"]
+    assert p.exclude == ["sort"]
+    # unknown field names stay ordinary terms (code tokens survive)
+    p2 = parse_query("std::vector foo:bar lang:en")
+    assert p2.terms == ["std::vector", "foo:bar"]
+    assert p2.fields == {"lang": "en"}
+    # repeated field keeps the last value
+    p3 = parse_query("lang:en lang:py")
+    assert p3.fields == {"lang": "py"}
