@@ -456,6 +456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_field": lambda s, d: search_sql.bm25_topk_field(
             s, _t(s, d, "documents")
         ),
+        "search_dismax_topk": lambda s, d: search_sql.dismax_topk(
+            s, _t(s, d, "documents")
+        ),
+        "search_percolate": lambda s, d: search_sql.percolate(
+            s, _t(s, d, "documents")
+        ),
+        "search_match_histogram": lambda s, d: search_sql.match_histogram(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

@@ -1297,6 +1297,150 @@ def bm25f_topk(
     )
 
 
+DISMAX_TIE = 0.3
+
+
+def dismax_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    tie: float = DISMAX_TIE, k: int = TOPK,
+) -> DataFrame:
+    """Disjunction-max top-k over (content, path) fields — Lucene
+    DisjunctionMaxQuery / ES ``dis_max`` with a tie_breaker: each field
+    scores INDEPENDENTLY (its own tf, df, dl, avgdl — the contrast to
+    BM25F, which merges tf pre-saturation), and the doc's score is
+    ``best + tie·(sum − best)``. Favors docs strong in ONE field over
+    docs mediocre in several; ``n_fields`` counts fields with any
+    match.
+
+    Plan shape: two narrow explode→groupBy legs (content postings is
+    the same aggregate plain BM25 needs; the path leg is token-count
+    sized, ~5 tokens/doc) union into one per-(doc, field) relation; the
+    final per-doc max/sum rides one doc_id-keyed aggregate;
+    TakeOrderedAndProject top-k. No content re-read between legs."""
+    terms = QUERY_BM25F if terms is None else terms
+    q = inline_table(spark, [(t,) for t in sorted(set(terms))], "term string")
+
+    def field_scores(toks: F.Column, tag: str) -> DataFrame:
+        post = (
+            docs.select("doc_id", F.explode(toks).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+        )
+        dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        dfq = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        stats = docs.select(F.count("*").alias("n")).crossJoin(
+            post.agg((F.sum("tf").cast("double")).alias("ttf"))
+        ).select("n", (F.col("ttf") / F.col("n")).alias("avgdl"))
+        m = (
+            post.join(F.broadcast(q), "term")
+            .join(dfq, "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            m.withColumn("partial", idf * tfn)
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("fs"))
+            .select("doc_id", F.lit(tag).alias("field"), "fs")
+        )
+
+    both = field_scores(tokens_col("text"), "content").unionByName(
+        field_scores(_path_tokens("source"), "path")
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("fs") + F.lit(tie) * (F.sum("fs") - F.max("fs")), 4
+            ).alias("score"),
+            F.count("*").cast("int").alias("n_fields"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "n_fields")
+    )
+
+
+# stored percolator queries: (query_id, terms, require_all) — ES
+# percolate semantics: require_all=True is a MUST conjunction,
+# False is a SHOULD disjunction (≥1 term)
+PERC_QUERIES = [
+    ("q_all_filter_join", ["filter", "join"], True),
+    ("q_any_stream_window", ["stream", "window"], False),
+    ("q_all_table_scan", ["table", "scan"], True),
+    ("q_any_commit_merge", ["commit", "merge"], False),
+]
+
+
+def percolate(
+    spark: SparkSession, docs: DataFrame,
+    queries: list[tuple[str, list[str], bool]] | None = None,
+) -> DataFrame:
+    """Reverse search (ES/Lucene percolator): the QUERIES are stored,
+    the DOCS are probes — for every doc, emit the stored queries it
+    matches (alerting / saved-search notification shape). A conjunctive
+    stored query matches when every term is present; a disjunctive one
+    when at least one is.
+
+    Scale shape: the stored-query table is broadcast (a percolator
+    registry is KB–MB); the only corpus-sized work is the postings
+    aggregate every other op shares, and the match test is one
+    (doc_id, qid)-keyed count — output bounded by matches, never
+    docs×queries materialized."""
+    queries = PERC_QUERIES if queries is None else queries
+    rows = [
+        (qid, t, len(sorted(set(terms))), bool(require_all))
+        for qid, terms, require_all in queries
+        for t in sorted(set(terms))
+    ]
+    qt = inline_table(
+        spark, sorted(rows),
+        "qid string, term string, n_terms int, require_all boolean",
+    )
+    post = postings(docs)  # already distinct (doc_id, term)
+    return (
+        post.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "qid", "n_terms", "require_all")
+        .agg(F.count("*").cast("int").alias("n_hit"))
+        .where((~F.col("require_all")) | (F.col("n_hit") == F.col("n_terms")))
+        .select("doc_id", "qid", "n_hit")
+    )
+
+
+HIST_WIDTH = 50
+
+
+def match_histogram(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    width: int = HIST_WIDTH,
+) -> DataFrame:
+    """ES histogram aggregation over the FULL match set: bucket the
+    matching docs by ``n_chars`` in fixed-width intervals, with per-
+    bucket doc count and score mass. Same one-pass shape as
+    ``search_facets`` — the scored set joins the metadata column and
+    aggregates once; integer bucket arithmetic (floor division) so the
+    bucket key is exact on both engines."""
+    terms = QUERY_MAIN if terms is None else terms
+    scored = bm25_scores(spark, docs, terms)
+    return (
+        scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(
+            (F.floor(F.col("n_chars") / width) * width)
+            .cast("long")
+            .alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("score"), 4).alias("sum_score"),
+        )
+    )
+
+
 def index_block_layout(docs: DataFrame) -> DataFrame:
     """The compressed index's block numbering as a window query:
     postings bucketed by term hash, row-numbered by doc_id within term,
@@ -1472,6 +1616,82 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _field_scored_cte(pref: str, tok_expr: str) -> str:
+    """Per-field scored CTE set for the dis_max twin: independent
+    tf/df/dl/avgdl from ``tok_expr``, per-doc float score ``fs``.
+    Expects a ``q(term)`` CTE in scope."""
+    return f"""{pref}post AS (
+  SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id, unnest({tok_expr}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+{pref}dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM {pref}post GROUP BY doc_id),
+{pref}df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM {pref}post GROUP BY term),
+{pref}stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM {pref}post)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+{pref}s AS (
+  SELECT p.doc_id,
+         sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * ({BM25_K1} + 1)) /
+               (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / st.avgdl))) AS fs
+  FROM {pref}post p
+  JOIN q USING (term)
+  JOIN {pref}df d ON d.term = p.term
+  JOIN {pref}dl l ON l.doc_id = p.doc_id
+  CROSS JOIN {pref}stats st
+  GROUP BY p.doc_id
+)"""
+
+
+def _dismax_sql(terms: list[str], tie: float = DISMAX_TIE,
+                k: int = TOPK) -> str:
+    """DuckDB twin of :func:`dismax_topk`: two independent per-field
+    scored CTEs, union, per-doc best + tie·(sum − best)."""
+    return f"""
+WITH q(term) AS (VALUES {_q_values(sorted(set(terms)))}),
+{_field_scored_cte('c', _T)},
+{_field_scored_cte('p', _duck_path_tokens('source'))},
+u AS (SELECT doc_id, fs FROM cs UNION ALL SELECT doc_id, fs FROM ps)
+SELECT doc_id,
+       round(max(fs) + {float(tie)} * (sum(fs) - max(fs)), 4) AS score,
+       CAST(count(*) AS INTEGER) AS n_fields
+FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _percolate_sql(
+    queries: list[tuple[str, list[str], bool]],
+) -> str:
+    """DuckDB twin of :func:`percolate`: the stored-query table as an
+    inline VALUES relation, match = per-(doc, qid) hit count vs the
+    all/any rule."""
+    rows = sorted(
+        (qid, t, len(sorted(set(terms))), bool(require_all))
+        for qid, terms, require_all in queries
+        for t in sorted(set(terms))
+    )
+    vals = ", ".join(
+        f"('{qid}', '{t}', {n}, {'TRUE' if ra else 'FALSE'})"
+        for qid, t, n, ra in rows
+    )
+    return f"""
+WITH {_POST},
+q(qid, term, n_terms, require_all) AS (VALUES {vals}),
+m AS (
+  SELECT p.doc_id, q.qid, q.n_terms, q.require_all,
+         CAST(count(*) AS INTEGER) AS n_hit
+  FROM post p JOIN q USING (term)
+  GROUP BY p.doc_id, q.qid, q.n_terms, q.require_all
+)
+SELECT doc_id, qid, n_hit FROM m
+WHERE (NOT require_all) OR n_hit = n_terms
+"""
+
+
 _BATCH_SCORED_CTE = f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -1608,6 +1828,15 @@ SELECT s.doc_id, s.score, s.matched
 FROM scored s JOIN documents d USING (doc_id)
 WHERE d.{FIELD_FILTER[0]} = '{FIELD_FILTER[1]}'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}""",
+    "search_dismax_topk": _dismax_sql(QUERY_BM25F),
+    "search_percolate": _percolate_sql(PERC_QUERIES),
+    "search_match_histogram": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT CAST((d.n_chars // {HIST_WIDTH}) * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(s.score), 4) AS sum_score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY 1""",
     "search_bm25_must": _scores_cte(sorted({*QUERY_MUST[0], *QUERY_MUST[1]}))
     + f"""
 , req AS (

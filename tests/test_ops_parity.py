@@ -231,3 +231,61 @@ def test_search_after_keyset(spark):
         spark, docs, ss.QUERY_MAIN, k=k, after=cur
     ).collect()
     assert [r["doc_id"] for r in got2b] == [r["doc_id"] for r in want2]
+
+
+def test_dismax_percolate_histogram_invariants(spark):
+    """Session-new retrieval ops, semantics beyond the oracle hash:
+    dis_max is monotone in the tie-breaker with tie=0 ≡ best field and
+    tie=1 ≡ field sum; percolate honors the all/any rule per stored
+    query; the histogram partitions the full match set exactly."""
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # --- dis_max: tie endpoints + monotonicity on a fixed doc set ---
+    k_all = 10_000  # large enough to rank every matching doc
+    by_tie = {
+        t: {r["doc_id"]: r["score"]
+            for r in ss.dismax_topk(spark, docs, tie=t, k=k_all).collect()}
+        for t in (0.0, 0.3, 1.0)
+    }
+    ids = set(by_tie[0.0])
+    assert ids == set(by_tie[0.3]) == set(by_tie[1.0]) and ids
+    for d in ids:
+        assert by_tie[0.0][d] <= by_tie[0.3][d] + 1e-4
+        assert by_tie[0.3][d] <= by_tie[1.0][d] + 1e-4
+    # n_fields=1 docs score identically at every tie (no other field)
+    one_field = {
+        r["doc_id"]
+        for r in ss.dismax_topk(spark, docs, tie=0.0, k=k_all).collect()
+        if r["n_fields"] == 1
+    }
+    assert one_field, "fixture should have single-field matches"
+    for d in one_field:
+        assert by_tie[0.0][d] == pytest.approx(by_tie[1.0][d], abs=1e-4)
+
+    # --- percolate: all/any rule per stored query ---
+    perc = ss.percolate(spark, docs).collect()
+    assert perc
+    rules = {qid: (set(terms), ra) for qid, terms, ra in ss.PERC_QUERIES}
+    post = {
+        (r["doc_id"], r["term"])
+        for r in ss.postings(docs).select("doc_id", "term").collect()
+    }
+    seen_qids = set()
+    for r in perc:
+        terms, require_all = rules[r["qid"]]
+        n_present = sum((r["doc_id"], t) in post for t in terms)
+        assert n_present == r["n_hit"]
+        assert n_present == len(terms) if require_all else n_present >= 1
+        seen_qids.add(r["qid"])
+    assert seen_qids == set(rules), "every stored query should fire"
+
+    # --- histogram: exact partition of the match set ---
+    scored = ss.bm25_scores(spark, docs, ss.QUERY_MAIN).collect()
+    hist = ss.match_histogram(spark, docs).collect()
+    assert sum(r["n_docs"] for r in hist) == len(scored)
+    assert all(r["bucket_lo"] % ss.HIST_WIDTH == 0 for r in hist)
+    assert sum(r["sum_score"] for r in hist) == pytest.approx(
+        sum(r["score"] for r in scored), abs=1e-2
+    )
