@@ -145,6 +145,16 @@ def _kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_fixed(_tri_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (≤3 hops) over the sparser
+    4096-node graph — frontier expansion with one edge-keyed join per
+    round (operators/bfs.py); chain-CTE DuckDB twin, one CTE per
+    round."""
+    from search_engine_spark.operators.bfs import bfs_hops
+
+    return bfs_hops(_tri_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def _cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on an adversarially CHAIN-shaped graph —
     the worst case for min-label propagation (rounds = diameter) and
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_match_histogram": lambda s, d: search_sql.match_histogram(
             s, _t(s, d, "documents")
         ),
+        "graph_bfs_3hop": _bfs_3hop,
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),
@@ -693,5 +704,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.kcore import oracle_sql_kcore
 
     out["graph_kcore"] = oracle_sql_kcore(_TRI_EDGES_SQL)
+    from search_engine_spark.operators.bfs import oracle_sql_bfs
+
+    out["graph_bfs_3hop"] = oracle_sql_bfs(_TRI_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out
