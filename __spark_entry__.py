@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _t(s, d, "documents")
         ),
         "graph_bfs_3hop": _bfs_3hop,
+        "search_prf_topk": lambda s, d: search_sql.prf_expanded_topk(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

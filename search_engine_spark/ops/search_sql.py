@@ -1297,6 +1297,84 @@ def bm25f_topk(
     )
 
 
+PRF_N_FB = 5      # feedback docs
+PRF_N_EXP = 3     # expansion terms
+PRF_ALPHA = 0.5   # expansion-term weight
+
+
+def prf_expanded_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    n_fb: int = PRF_N_FB, n_exp: int = PRF_N_EXP,
+    alpha: float = PRF_ALPHA, k: int = TOPK,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    Lavrenko & Croft relevance models, the RM3 interpolation shape):
+    run the query, take the top ``n_fb`` docs as pseudo-relevant,
+    mine ``n_exp`` expansion terms from them, and re-score with the
+    original terms at weight 1.0 + expansion terms at ``alpha`` —
+    riding the same per-term-weight algebra as ``bm25_topk_boost``.
+
+    Expansion ranking is INTEGER-deterministic by design: candidate
+    terms order by (Σtf within feedback docs DESC, corpus df ASC, term
+    ASC) — frequent in the feedback set, rare in the corpus — so both
+    engines cut the same top-``n_exp`` with no float-tie divergence
+    (the reason this is not a literal float RM1 estimate; documented
+    twin-stability trade, cf. the fixed-point graph ops).
+
+    Scale shape: pass 1 is the ordinary one-shuffle scored set;
+    feedback is k-row; expansion mining joins postings against a
+    BROADCAST n_fb-row doc set then aggregates vocab-sized rows;
+    pass 2 re-runs the one-shuffle scoring with ≤ |q|+n_exp terms.
+    Nothing corpus-sized happens twice except the postings aggregate
+    both passes share (AQE ReusedExchange)."""
+    terms = QUERY_MAIN if terms is None else terms
+    q_terms = sorted(set(terms))
+    post = postings(docs)
+    fb = (
+        bm25_scores(spark, docs, q_terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(n_fb)
+        .select("doc_id")
+    )
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    exp = (
+        post.join(F.broadcast(fb), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("s_tf"))
+        .where(~F.col("term").isin(q_terms))
+        .join(df_tbl, "term")
+        .orderBy(F.desc("s_tf"), F.asc("df"), F.asc("term"))
+        .limit(n_exp)
+        .select("term", F.lit(float(alpha)).alias("w"))
+    )
+    q2 = inline_table(
+        spark, [(t, 1.0) for t in q_terms], "term string, w double"
+    ).unionByName(exp)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = _corpus_stats(docs)
+    m = (
+        post.join(F.broadcast(q2), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.withColumn("partial", F.col("w") * idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "matched")
+    )
+
+
 DISMAX_TIE = 0.3
 
 
@@ -1616,6 +1694,48 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _prf_sql(terms: list[str], n_fb: int = PRF_N_FB,
+             n_exp: int = PRF_N_EXP, alpha: float = PRF_ALPHA,
+             k: int = TOPK) -> str:
+    """DuckDB twin of :func:`prf_expanded_topk`: feedback top-docs CTE,
+    integer-keyed expansion ranking, weighted re-score."""
+    q_terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in q_terms)
+    orig_vals = ", ".join(f"('{t}', 1.0)" for t in q_terms)
+    return (
+        _scores_cte(q_terms)
+        + f""",
+fb AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {n_fb}),
+exp AS (
+  SELECT p.term, {float(alpha)} AS w
+  FROM post p JOIN fb USING (doc_id)
+  JOIN dfq ON dfq.term = p.term
+  WHERE p.term NOT IN ({in_list})
+  GROUP BY p.term, dfq.df
+  ORDER BY CAST(sum(p.tf) AS BIGINT) DESC, dfq.df ASC, p.term ASC
+  LIMIT {n_exp}
+),
+q2(term, w) AS (
+  SELECT * FROM (VALUES {orig_vals}) UNION ALL SELECT term, w FROM exp
+),
+scored2 AS (
+  SELECT p.doc_id,
+         round(sum(q2.w * ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q2 USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored2
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+    )
+
+
 def _field_scored_cte(pref: str, tok_expr: str) -> str:
     """Per-field scored CTE set for the dis_max twin: independent
     tf/df/dl/avgdl from ``tok_expr``, per-doc float score ``fs``.
@@ -1829,6 +1949,7 @@ FROM scored s JOIN documents d USING (doc_id)
 WHERE d.{FIELD_FILTER[0]} = '{FIELD_FILTER[1]}'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}""",
     "search_dismax_topk": _dismax_sql(QUERY_BM25F),
+    "search_prf_topk": _prf_sql(QUERY_MAIN),
     "search_percolate": _percolate_sql(PERC_QUERIES),
     "search_match_histogram": _scores_cte(QUERY_MAIN)
     + f"""

@@ -289,3 +289,30 @@ def test_dismax_percolate_histogram_invariants(spark):
     assert sum(r["sum_score"] for r in hist) == pytest.approx(
         sum(r["score"] for r in scored), abs=1e-2
     )
+
+
+def test_prf_expansion_invariants(spark):
+    """Pseudo-relevance feedback: expansion only ADDS weighted partials,
+    so every doc's expanded score dominates its plain score; expansion
+    terms never include the original query; the op is deterministic."""
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in ss.bm25_scores(spark, docs, ss.QUERY_MAIN).collect()
+    }
+    got = ss.prf_expanded_topk(spark, docs).collect()
+    assert len(got) == 10
+    for r in got:
+        base = plain.get(r["doc_id"], 0.0)
+        assert r["score"] >= base - 1e-3
+        assert r["matched"] >= 1
+    # some hit gained score or matched terms vs the plain query
+    assert any(
+        r["score"] > plain.get(r["doc_id"], 0.0) + 1e-3
+        or r["matched"] > len(ss.QUERY_MAIN)
+        for r in got
+    )
+    again = ss.prf_expanded_topk(spark, docs).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
