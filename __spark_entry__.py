@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prf_topk": lambda s, d: search_sql.prf_expanded_topk(
             s, _t(s, d, "documents")
         ),
+        "rel_events_pivot": lambda s, d: relational.events_pivot(
+            _t(s, d, "events")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

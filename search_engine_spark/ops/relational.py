@@ -91,6 +91,51 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame,
+                 types: tuple[str, ...] = PIVOT_TYPES) -> DataFrame:
+    """Daily event-type pivot: one row per day, one count column per
+    event type (the BI crosstab every product-analytics tool renders).
+    Deliberately CONDITIONAL AGGREGATION, not ``DataFrame.pivot`` —
+    pivot's value-discovery pass is a second corpus scan and its output
+    columns depend on the data; a fixed, schema-stable column set keeps
+    the plan one scan + one day-keyed aggregate with map-side combine,
+    and makes the DuckDB twin the byte-identical FILTER form.
+    Types outside the fixed set land in ``n_other`` (never dropped
+    silently)."""
+    day = F.to_date("ts").alias("day")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in types
+    ]
+    aggs.append(
+        F.sum(F.when(~F.col("event_type").isin(*types), 1).otherwise(0))
+        .cast("long")
+        .alias("n_other")
+    )
+    return events.groupBy(day).agg(*aggs)
+
+
+def _pivot_sql(types: tuple[str, ...] = PIVOT_TYPES) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    in_list = ", ".join(f"'{t}'" for t in types)
+    return f"""
+SELECT CAST(ts AS DATE) AS day,
+       {cols},
+       CAST(count(*) FILTER (WHERE event_type NOT IN ({in_list})) AS BIGINT)
+         AS n_other
+FROM events
+GROUP BY 1
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")  # ordered conversion funnel
 
 
@@ -310,6 +355,7 @@ def value_quantiles(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- oracle SQL
 
 ORACLE_SQL = {
+    "rel_events_pivot": _pivot_sql(),
     "rel_funnel": f"""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
