@@ -5,7 +5,7 @@ via `justfile:47-48`): build an index from a corpus table, then run a
 query and print ``path: score`` per hit.
 
 Usage:
-    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams]
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
@@ -13,6 +13,7 @@ Usage:
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
+    python -m search_engine_spark.cli mlt    <index_dir> <doc_id> [k]   (needs build --termvecs)
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
@@ -58,6 +59,9 @@ Query flags (reference-parity surface):
                     (SynonymQuery, exact union-df)
     --explain       per-term score breakdown for the top-k hits
                     (Lucene explain(): tf, df, dl, idf, tfnorm, partial)
+    --prf           pseudo-relevance-feedback expansion (needs build
+                    --termvecs): top-5 hits' term vectors vote 3
+                    expansion terms, re-query with them at weight 0.5
 """
 
 from __future__ import annotations
@@ -94,13 +98,14 @@ def _demo(corpus_path: str, query: str, k: int) -> None:
 
 
 def _build(corpus_path: str, index_dir: str, positions: bool = False,
-           trigrams: bool = False) -> None:
+           trigrams: bool = False, termvecs: bool = False) -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.build import build_index
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-build")
-    cfg = EngineConfig(store_positions=positions, store_trigrams=trigrams)
+    cfg = EngineConfig(store_positions=positions, store_trigrams=trigrams,
+                       store_termvecs=termvecs)
     summary = build_index(spark, corpus_path, index_dir, cfg=cfg)
     print(summary)
 
@@ -120,7 +125,8 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
            phrase: bool = False, near: int = 0, ordered: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
            syn: str = "", explain: bool = False,
-           rescore: bool = False, collapse: str = "") -> None:
+           rescore: bool = False, collapse: str = "",
+           prf: bool = False) -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
@@ -155,6 +161,14 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
                   f"'{r['term']}' partial {r['partial']:.4f} "
                   f"(tf {r['tf']}, df {r['df']}, dl {r['dl']}, "
                   f"idf {r['idf']:.4f}, tfnorm {r['tfn']:.4f})")
+        return
+    if prf:
+        rows = eng.bm25_prf(query, k=k, page=page).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (prf-bm25, matched "
+                  f"{r['matched']}, doc {r['doc_id']})")
         return
     if syn:
         groups = [g.split("|") for g in syn.split(",") if g]
@@ -229,7 +243,8 @@ def main(argv: list[str]) -> int:
         _demo(args[2], args[3], int(args[4]) if len(args) > 4 else 10)
     elif cmd == "build":
         _build(args[2], args[3], positions="--positions" in flags,
-               trigrams="--trigrams" in flags)
+               trigrams="--trigrams" in flags,
+               termvecs="--termvecs" in flags)
     elif cmd == "extend":
         _extend(args[2], args[3])
     elif cmd == "compact":
@@ -285,6 +300,19 @@ def main(argv: list[str]) -> int:
             print("(no suggestions)")
         for r in rows:
             print(f"{r['term']}  (df {r['df']})")
+    elif cmd == "mlt":
+        from search_engine_spark.plans.query import QueryEngine
+        from search_engine_spark.session import get_spark
+
+        eng = QueryEngine(get_spark("se-mlt"), args[2])
+        rows = eng.more_like_this(
+            int(args[3]), k=int(args[4]) if len(args) > 4 else 10
+        ).collect()
+        if not rows:
+            print("(no similar docs)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  (mlt, matched "
+                  f"{r['matched']}, doc {r['doc_id']})")
     elif cmd == "regex":
         from search_engine_spark.plans.query import QueryEngine
         from search_engine_spark.session import get_spark
@@ -320,7 +348,8 @@ def main(argv: list[str]) -> int:
                explain="--explain" in flags,
                rescore="--rescore" in flags,
                collapse=next((f.split("=", 1)[1] for f in flags
-                              if f.startswith("--collapse=")), ""))
+                              if f.startswith("--collapse=")), ""),
+               prf="--prf" in flags)
     else:
         print(__doc__)
         return 2

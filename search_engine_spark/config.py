@@ -121,6 +121,12 @@ class EngineConfig:
     # QueryEngine.substring() answers cross-token substring queries from
     # it (candidate = trigram AND, verify = contains on survivors).
     store_trigrams: bool = False
+    # opt-in term-vectors sidecar (Lucene term vectors): per-doc top-m
+    # (term, tf) rows derived from the wave's already-written postings
+    # (no second tokenize), doc_id-pruned at read. Powers engine-side
+    # more_like_this() and bm25_prf() on the persisted index.
+    store_termvecs: bool = False
+    termvec_top_m: int = 20
     # link-prior refresh policy for extends: "always" reruns the full
     # edge-resolve + PageRank after every delta (exact, but the graph
     # pass is O(corpus) — per-micro-batch it dominates streaming ingest

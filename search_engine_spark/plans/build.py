@@ -45,7 +45,7 @@ import json
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.checkpoint import CheckpointLog, fs_exists
@@ -240,6 +240,28 @@ def _postings_stage(
             .partitionBy("gen", "part_id")
             .parquet(docs_path)
         )
+
+        # opt-in term-vectors sidecar (Lucene term vectors): per-doc
+        # top-m (term, tf), derived from the SAME wave postings read-
+        # back as keywords — never a second tokenize. File-sorted by
+        # doc_id so MLT/PRF seed lookups prune row groups.
+        if cfg.store_termvecs:
+            w_tv = Window.partitionBy("doc_id").orderBy(
+                F.desc("tf"), F.asc("term")
+            )
+            (
+                wave_postings
+                .withColumn("rk", F.row_number().over(w_tv))
+                .where(F.col("rk") <= cfg.termvec_top_m)
+                .drop("rk")
+                .withColumn("part_id", _part_col("doc_id", P))
+                .withColumn("gen", F.lit(gen).cast("int"))
+                .repartition(len(wave), "part_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .partitionBy("gen", "part_id")
+                .parquet(f"{index_dir}/termvecs")
+            )
 
         # lineage audit: input-side row counts from an INDEPENDENT
         # column-pruned scan of the source (part_id derives from

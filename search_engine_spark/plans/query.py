@@ -710,6 +710,80 @@ class QueryEngine:
             )
         )
 
+    def _termvecs(self) -> DataFrame:
+        """Lazy term-vectors sidecar (requires an index built with
+        ``EngineConfig(store_termvecs=True)``)."""
+        try:
+            return self.spark.read.parquet(f"{self.index_dir}/termvecs")
+        except Exception as e:  # AnalysisException: path missing
+            raise RuntimeError(
+                "more_like_this/bm25_prf need the term-vectors sidecar: "
+                "rebuild with EngineConfig(store_termvecs=True) "
+                "(cli: build --termvecs)"
+            ) from e
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       n_seed: int = 5) -> DataFrame:
+        """Lucene MoreLikeThis on the persisted index: the seed doc's
+        top-``n_seed`` terms by tf·idf (from the term-vectors sidecar —
+        a doc_id-pruned scan of ≤ top_m rows, never a content read)
+        become a disjunctive BM25 query; the seed itself is excluded.
+        Driver syncs are bounded: one ≤ top_m-row collect + the
+        ordinary term-dim lookup ``bm25`` does anyway."""
+        tv = (
+            self._termvecs()
+            .where(F.col("doc_id") == doc_id)
+            .select("term", "tf")
+            .collect()
+        )
+        if not tv:
+            raise ValueError(f"doc {doc_id} not in the term-vectors sidecar")
+        idf = self._idf_map([r["term"] for r in tv])
+        seeds = sorted(
+            tv,
+            key=lambda r: (-r["tf"] * idf.get(r["term"], 0.0), r["term"]),
+        )[:n_seed]
+        q = " ".join(r["term"] for r in seeds)
+        hits = self.bm25(q, k=k + 1)
+        return hits.where(F.col("doc_id") != doc_id).limit(k)
+
+    def bm25_prf(self, query: str, k: int = 10, n_fb: int = 5,
+                 n_exp: int = 3, alpha: float = 0.5,
+                 page: int = 0) -> DataFrame:
+        """Pseudo-relevance feedback on the persisted index (the engine
+        twin of ``ops/search_sql.prf_expanded_topk``): top-``n_fb``
+        hits' term vectors vote expansion terms by the pure-integer
+        key (Σtf, df, term); the re-query rides ``boost=`` (expansion
+        terms at ``alpha``), so block-max WAND pruning stays exact.
+
+        Driver syncs, all bounded: the n_fb-row feedback collect, a
+        ≤ n_fb·top_m-row term-vector collect, and one term-dim df
+        lookup — the same sync class as spell/typeahead."""
+        orig = query_terms(query)
+        fb = [r["doc_id"] for r in self.bm25(query, k=n_fb).collect()]
+        if not fb:
+            return self.bm25(query, k=k, page=page)
+        tv = (
+            self._termvecs()
+            .where(F.col("doc_id").isin(fb) & ~F.col("term").isin(orig))
+            .select("term", "tf")
+            .collect()
+        )
+        s_tf: dict[str, int] = {}
+        for r in tv:
+            s_tf[r["term"]] = s_tf.get(r["term"], 0) + r["tf"]
+        dfs = {
+            r["term"]: r["df"]
+            for r in self.terms.where(
+                F.col("term").isin(list(s_tf))
+            ).collect()
+        }
+        exp = sorted(s_tf, key=lambda t: (-s_tf[t], dfs.get(t, 0), t))[:n_exp]
+        expanded = " ".join(sorted({*orig, *exp}))
+        return self.bm25(
+            expanded, k=k, page=page, boost={t: alpha for t in exp}
+        )
+
     def bm25_batch(self, queries: dict[str, str], k: int = 10,
                    spell: bool = False) -> DataFrame:
         """Top-k for a BATCH of queries in one job → (query_id, doc_id,
