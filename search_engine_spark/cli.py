@@ -8,7 +8,7 @@ Usage:
     python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
-    python -m search_engine_spark.cli delete  <index_dir> <doc_id> [doc_id...]
+    python -m search_engine_spark.cli delete  <index_dir> <doc_id...> | --query="q" [--min-match=N]
     python -m search_engine_spark.cli query  <index_dir> "<query>" [k] [--spell --page=N --mode=bm25|cosine --total --phrase --rescore --near=W [--ordered] --collapse=repo]
     python -m search_engine_spark.cli substring <index_dir> <corpus.parquet> "<needle>" [k]
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
@@ -256,8 +256,20 @@ def main(argv: list[str]) -> int:
         from search_engine_spark.plans.build import delete_docs
         from search_engine_spark.session import get_spark
 
-        n = delete_docs(get_spark("se-delete"), args[2],
-                        [int(d) for d in args[3:]])
+        q = next((f.split("=", 1)[1] for f in flags
+                  if f.startswith("--query=")), None)
+        if q is not None:
+            # ES delete_by_query: tombstone EVERY live match
+            from search_engine_spark.plans.query import QueryEngine
+
+            spark = get_spark("se-delete")
+            mm = next((int(f.split("=", 1)[1]) for f in flags
+                       if f.startswith("--min-match=")), 1)
+            ids = QueryEngine(spark, args[2]).matching_ids(q, min_match=mm)
+            n = delete_docs(spark, args[2], ids)
+        else:
+            n = delete_docs(get_spark("se-delete"), args[2],
+                            [int(d) for d in args[3:]])
         print(f"tombstones: {n} (run compact to drop physically)")
     elif cmd == "verify":
         from search_engine_spark.plans.audit import verify_index

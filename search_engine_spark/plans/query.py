@@ -710,6 +710,26 @@ class QueryEngine:
             )
         )
 
+    def matching_ids(self, query: str, min_match: int = 1) -> DataFrame:
+        """All LIVE doc_ids matching ≥ ``min_match`` query terms — the
+        ES ``delete_by_query`` / ``_count`` candidate surface: no
+        scoring, no top-k, just one bucket+term pruned posting decode →
+        doc_id-keyed distinct-term count → tombstone anti-join. Feed
+        the result to ``plans.build.delete_docs`` (it accepts a
+        DataFrame) for Lucene-model delete-by-query; CLI:
+        ``delete <ix> --query="..." [--min-match=N]``."""
+        terms = query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        ids = (
+            decode_blocks(self._query_blocks(terms))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("_m"))
+            .where(F.col("_m") >= min_match)
+            .select("doc_id")
+        )
+        return self._live(ids)
+
     def _termvecs(self) -> DataFrame:
         """Lazy term-vectors sidecar (requires an index built with
         ``EngineConfig(store_termvecs=True)``)."""

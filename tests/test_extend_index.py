@@ -285,3 +285,44 @@ def test_delete_then_compact(spark, fixture_dir, tmp_path_factory, fixture_queri
           for r in spark.read.parquet(f"{ix_ref}/prior").collect()}
     assert set(pi) == set(pr)
     assert sum(abs(pi[d] - pr[d]) for d in pr) < 1e-6
+
+
+def test_delete_by_query(spark, fixture_dir, tmp_path_factory):
+    """ES delete_by_query: matching_ids finds exactly the live docs
+    containing >= min_match query terms; feeding it to delete_docs
+    tombstones them all, after which the same query has no hits and
+    unrelated queries keep theirs."""
+    from search_engine_spark.plans.build import build_index, delete_docs
+    from search_engine_spark.plans.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("delbyq")
+    ix = str(root / "ix")
+    build_index(spark, str(fixture_dir / "corpus.parquet"), ix)
+    eng = QueryEngine(spark, ix)
+
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet"))
+    from search_engine_spark.sources.corpus import with_identity
+    from search_engine_spark.functions.tokenize import tokenize_tf
+
+    rows = with_identity(corpus).select("doc_id", "content").collect()
+    has = lambda r, t: t in tokenize_tf(r["content"])  # noqa: E731
+    want_any = {r["doc_id"] for r in rows
+                if has(r, "binary") or has(r, "tree")}
+    want_both = {r["doc_id"] for r in rows
+                 if has(r, "binary") and has(r, "tree")}
+    got_any = {r["doc_id"] for r in eng.matching_ids("binary tree").collect()}
+    got_both = {
+        r["doc_id"]
+        for r in eng.matching_ids("binary tree", min_match=2).collect()
+    }
+    assert got_any == want_any and got_both == want_both
+    assert got_both < got_any
+
+    n = delete_docs(spark, ix, eng.matching_ids("binary tree", min_match=2))
+    assert n == len(want_both)
+    eng2 = QueryEngine(spark, ix)  # re-read tombstones
+    left = {r["doc_id"] for r in eng2.bm25("binary tree", k=500).collect()}
+    assert left == want_any - want_both  # conj matches gone, rest alive
+    assert eng2.matching_ids("binary tree", min_match=2).collect() == []
+    # empty-token query deletes nothing
+    assert eng2.matching_ids("123 ,,,").collect() == []
