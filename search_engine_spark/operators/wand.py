@@ -61,7 +61,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
                     k: int, k1: float = BM25_K1, b: float = BM25_B,
                     min_match: int = 1,
                     excluded: frozenset[str] | set[str] | None = None,
-                    salt_bits: int | None = None) -> pd.DataFrame:
+                    salt_bits: int | None = None,
+                    required: frozenset[str] | set[str] | None = None) -> pd.DataFrame:
     """Exact top-k (score ties kept) for one salt's blocks of the query
     terms; with ``min_match=m`` > 1, the top-k over docs matching ≥ m
     terms (minimumNumberShouldMatch), still with block-max pruning:
@@ -89,8 +90,24 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     salt is another group — they are fully scored there; here they
     could not see a salted excluded term's block and would resurface
     through the max-merge). With ``salt_bits=None`` (single-group
-    callers) all blocks are in this group and no filter is needed."""
+    callers) all blocks are in this group and no filter is needed.
+
+    ``required`` terms (MUST, r3) ride the kernel like ``min_match``
+    does: they score normally (they are in ``idf_map``), a segment not
+    covered by blocks of EVERY required term is skipped undecoded (a
+    doc's postings all live in blocks covering its segment), and per
+    doc a required-matched count — group-summed from the same decode —
+    must equal |required| before θ and the output. An OOV required term
+    has no blocks, so coverage never reaches |required| and the result
+    is empty, like Lucene. No home-salt filter is needed: a replicated
+    rare block can only PROVE genuine presence (postings are real data
+    wherever replicated), so a foreign partial row either truly
+    qualifies (underestimated score, dominated in the max-score merge —
+    the standard replication argument) or is dropped here while the
+    doc's home group decides correctly."""
     excluded = frozenset(excluded or ())
+    required = frozenset(required or ())
+    n_req = len(required)
     rows = pdf[pdf["term"].isin(idf_map)].reset_index(drop=True)
     nblk = len(rows)
     if nblk == 0:
@@ -138,6 +155,17 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     np.add.at(cdelta, np.searchsorted(bounds, firsts), 1)
     np.add.at(cdelta, np.searchsorted(bounds, lasts + 1), -1)
     coverage = np.cumsum(cdelta)[:nseg]
+
+    # MUST: per-block required flag + required-term coverage per
+    # segment (same disjoint-ranges argument as `coverage`)
+    req_flags = None
+    req_coverage = None
+    if n_req:
+        req_flags = rows["term"].isin(required).to_numpy()
+        rdelta = np.zeros(len(bounds), dtype=np.int64)
+        np.add.at(rdelta, np.searchsorted(bounds, firsts[req_flags]), 1)
+        np.add.at(rdelta, np.searchsorted(bounds, lasts[req_flags] + 1), -1)
+        req_coverage = np.cumsum(rdelta)[:nseg]
 
     # block → covered-segment incidence (index metadata only, no decode)
     s0 = np.searchsorted(bounds, firsts)
@@ -206,8 +234,10 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             break  # seg_ub sorted desc, θ monotone → nothing left can reach θ
         if coverage[si] < min_match:
             continue  # no doc here can match ≥ min_match terms
+        if n_req and req_coverage[si] < n_req:
+            continue  # a required term has no block here → no MUST doc
         lo, hi1 = int(bounds[si]), int(bounds[si + 1])
-        das, sas = [], []
+        das, sas, fas = [], [], []
         for bi in seg_blocks[si]:
             docs, part = _decode(bi)
             i0 = int(np.searchsorted(docs, lo, side="left"))
@@ -215,6 +245,10 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             if i1 > i0:
                 das.append(docs[i0:i1])
                 sas.append(part[i0:i1])
+                if n_req:
+                    fas.append(
+                        np.full(i1 - i0, int(req_flags[bi]), dtype=np.int64)
+                    )
         if not das:
             continue
         d = np.concatenate(das)
@@ -224,11 +258,18 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
         np.add.at(ss, inv, s)
         mm = np.zeros(ud.size, dtype=np.int64)
         np.add.at(mm, inv, 1)
+        rm = None
+        if n_req:
+            f = np.concatenate(fas)
+            rm = np.zeros(ud.size, dtype=np.int64)
+            np.add.at(rm, inv, f)
         if home is not None:
             q = home(ud)
             if not q.any():
                 continue
             ud, ss, mm = ud[q], ss[q], mm[q]
+            if rm is not None:
+                rm = rm[q]
         if exc_seg_blocks[si]:
             exd = []
             for bi in exc_seg_blocks[si]:
@@ -242,6 +283,16 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
                 if not q.any():
                     continue
                 ud, ss, mm = ud[q], ss[q], mm[q]
+                if rm is not None:
+                    rm = rm[q]
+        if rm is not None:
+            # MUST: θ and the output may only see docs matching every
+            # required term (rm is complete in-segment, same argument
+            # as mm below)
+            q = rm == n_req
+            if not q.any():
+                continue
+            ud, ss, mm = ud[q], ss[q], mm[q]
         if min_match > 1:
             # θ and the output may only see qualifying docs — a doc's
             # full (score, matched) come from ONE segment, so mm is
@@ -277,7 +328,8 @@ def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
               k: int, k1: float = BM25_K1, b: float = BM25_B,
               min_match: int = 1,
               excluded: frozenset[str] | set[str] | None = None,
-              salt_bits: int | None = None) -> DataFrame:
+              salt_bits: int | None = None,
+              required: frozenset[str] | set[str] | None = None) -> DataFrame:
     """Distributed block-max WAND: per-salt exact top-k → caller merges.
 
     ``blocks`` must already be filtered to the query's terms (bucket +
@@ -289,10 +341,13 @@ def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
     foreign partial rows are dropped or dominated in the max-merge.
     ``excluded`` + ``salt_bits`` enable in-kernel MUST_NOT (r3): blocks
     must then also carry the excluded terms' rows, and each group emits
-    only its home-salt docs (see wand_topk_group docstring)."""
+    only its home-salt docs (see wand_topk_group docstring).
+    ``required`` enables in-kernel MUST — required-coverage segment
+    skip + per-doc required-count filter (see wand_topk_group)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return wand_topk_group(pdf, idf_map, avgdl, k, k1, b, min_match,
-                               excluded=excluded, salt_bits=salt_bits)
+                               excluded=excluded, salt_bits=salt_bits,
+                               required=required)
 
     return blocks.groupBy("salt").applyInPandas(fn, schema=WAND_OUT_SCHEMA)

@@ -422,9 +422,12 @@ class QueryEngine:
           pruned scan — never a content read) into a doc_id anti-join.
         - ``require`` keeps only docs containing EVERY one of those
           terms (MUST); required terms also join the scored term set
-          (Lucene MUST contributes to score). Forces the exhaustive
-          path (pre-top-k filter, see below); an OOV required term
-          empties the result, like Lucene.
+          (Lucene MUST contributes to score). Keeps block-max pruning
+          (r3): the WAND kernel skips segments not covered by every
+          required term and filters per-doc required counts before θ;
+          the exhaustive path uses the pre-top-k posting-decode
+          semi-join. An OOV required term empties the result, like
+          Lucene.
         - ``boost`` maps terms to query-time weights (Lucene
           ``term^2.5``): each term's BM25 partial scales by its weight.
           Composes with every mode — including WAND, which stays exact
@@ -501,13 +504,12 @@ class QueryEngine:
             # exact — no kernel change, no index change.
             idf_map = {t: i * float(boost.get(t, 1.0))
                        for t, i in idf_map.items()}
-        if after is not None or collapse is not None or require or field:
+        if after is not None or collapse is not None or field:
             # these filters cut the candidate set by data WAND can't see
             # (the cursor sort key / the full pre-collapse match set /
-            # per-term MUST membership / metadata values) — pre-top-k
-            # exactness forces the exhaustive path (future: require
-            # could ride the kernel's coverage machinery the way
-            # min_match does)
+            # metadata values) — pre-top-k exactness forces the
+            # exhaustive path. require no longer does (r3): MUST rides
+            # the kernel's coverage machinery like min_match.
             wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -530,6 +532,7 @@ class QueryEngine:
                 self.stats["k1"], self.stats["b"], min_match,
                 excluded=ex or None,
                 salt_bits=int(self.stats["salt_bits"]) if ex else None,
+                required=frozenset(require) if require else None,
             ))
         else:
             scored = self._scores_exhaustive(list(idf_map), idf_map)
@@ -541,11 +544,13 @@ class QueryEngine:
                 .select("doc_id").distinct()
             )
             scored = scored.join(ex_ids, "doc_id", "left_anti")
-        if require and idf_map:
-            # MUST: keep docs containing EVERY required term — a
-            # bucket+term pruned posting decode (never a content read);
-            # an OOV required term yields no posting rows, so no doc
-            # reaches the count and the result is empty, like Lucene
+        if require and idf_map and not wand:
+            # MUST on the exhaustive path: keep docs containing EVERY
+            # required term — a bucket+term pruned posting decode
+            # (never a content read); an OOV required term yields no
+            # posting rows, so no doc reaches the count and the result
+            # is empty, like Lucene. (The WAND path already enforced
+            # MUST in-kernel: coverage skip + per-doc required count.)
             req_ids = (
                 decode_blocks(self._query_blocks(require))
                 .groupBy("doc_id")

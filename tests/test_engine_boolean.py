@@ -454,3 +454,52 @@ def test_field_filter_rank_identity(booly):
     assert eng.bm25(QUERY, k=K, field={"path": "zzz/nope"}).collect() == []
     with pytest.raises(ValueError, match="field filter column"):
         eng.bm25(QUERY, k=K, field={"nope": "x"})
+
+
+def test_must_wand_rank_identity(booly):
+    """r3: MUST (require=) rides the WAND kernel — forcing WAND gives
+    the identical qualifying top-k as the exhaustive path and the
+    oracle, alone and composed with min_match, exclude, and boost;
+    OOV MUST stays empty under WAND."""
+    eng, ix = booly
+    should = ["binary", "tree"]
+    have = lambda d, t: d in ix.postings.get(t, {})  # noqa: E731
+    for must in (["search"], ["search", "tree"]):
+        allt = sorted({*should, *must})
+        want = _rank(
+            [r for r in _oracle_candidates(ix, allt)
+             if all(have(r["doc_id"], t) for t in must)]
+        )[:K]
+        got = eng.bm25(" ".join(should), k=K, require=must,
+                       wand=True).collect()
+        assert len(got) > 0
+        _assert_rank_identical(got, want)
+    # + min_match over the union set
+    want_m = _rank(
+        [r for r in _oracle_candidates(ix, sorted({*should, "search"}))
+         if have(r["doc_id"], "search") and r["matched"] >= 2]
+    )[:K]
+    got_m = eng.bm25("binary tree", k=K, require=["search"],
+                     min_match=2, wand=True).collect()
+    _assert_rank_identical(got_m, want_m)
+    # + exclude (in-kernel NOT composes with in-kernel MUST)
+    banned = "merge"
+    want_x = _rank(
+        [r for r in _oracle_candidates(ix, sorted({*should, "search"}))
+         if have(r["doc_id"], "search") and not have(r["doc_id"], banned)]
+    )[:K]
+    got_x = eng.bm25("binary tree", k=K, require=["search"],
+                     exclude=[banned], wand=True).collect()
+    _assert_rank_identical(got_x, want_x)
+    # + boost
+    boost = {"search": 2.0}
+    want_b = _rank(
+        [r for r in _oracle_boosted(ix, sorted({*should, "search"}), boost)
+         if have(r["doc_id"], "search")]
+    )[:K]
+    got_b = eng.bm25("binary tree", k=K, require=["search"],
+                     boost=boost, wand=True).collect()
+    _assert_rank_identical(got_b, want_b)
+    # OOV MUST empties under WAND too
+    assert eng.bm25("binary", k=K, require=["zzznopezzz"],
+                    wand=True).collect() == []

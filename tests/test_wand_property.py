@@ -232,3 +232,61 @@ def test_wand_exclusion_home_salt_filter():
         excluded=frozenset({"x"}), salt_bits=None,
     )
     assert f_doc in set(leaked["doc_id"].astype(int))
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_required_equals_exhaustive(seed):
+    """r3 in-kernel MUST: required terms score normally, segments not
+    covered by every required term skip undecoded, and per-doc
+    required counts gate θ and the output — the kernel's qualifying
+    top-k equals the exhaustive contains-all filter + top-k, for every
+    required subset incl. the full conjunction, alone and composed
+    with min_match; an OOV required term empties the result."""
+    rng = random.Random(5000 + seed)
+    n_docs = rng.randint(5, 400)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+    postings = {}
+    for t in terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        const = rng.random() < 0.33
+        postings[t] = [
+            (d, 3 if const else rng.randint(1, 9), 50 if const else rng.randint(10, 90))
+            for d in docs
+        ]
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([1, 3, 10])
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16, 128]))
+    _, all_scores, all_matched = _exhaustive(postings, idf_map, k)
+    have = {t: {d for d, _tf, _dl in postings[t]} for t in terms}
+
+    subsets = [terms[:n] for n in range(1, len(terms) + 1)] + [terms[-2:]]
+    for req in subsets:
+        for m in (1, 2):
+            got = wand_topk_group(
+                blocks, idf_map, AVGDL, k,
+                min_match=m, required=frozenset(req),
+            )
+            qual = {
+                d: s for d, s in all_scores.items()
+                if all(d in have[t] for t in req) and all_matched[d] >= m
+            }
+            got_map = {
+                int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()
+            }
+            for d, s in got_map.items():
+                assert d in qual
+                assert s == pytest.approx(all_scores[d], rel=1e-12)
+            if not qual:
+                assert not got_map
+                continue
+            ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            kth = ranked[-1][1]
+            assert {d for d, s in qual.items() if s > kth} <= set(got_map)
+            assert {d for d, s in qual.items() if s == kth} <= set(got_map)
+
+    # OOV required term -> empty
+    got = wand_topk_group(
+        blocks, idf_map, AVGDL, k, required=frozenset({terms[0], "zzz"})
+    )
+    assert len(got) == 0
