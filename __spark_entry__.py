@@ -482,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_pivot": lambda s, d: relational.events_pivot(
             _t(s, d, "events")
         ),
+        "search_top_hits": lambda s, d: search_sql.top_hits_per_group(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

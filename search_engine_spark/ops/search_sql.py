@@ -1297,6 +1297,48 @@ def bm25f_topk(
     )
 
 
+TOP_HITS_N = 3
+
+
+def top_hits_per_group(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    n: int = TOP_HITS_N, group_col: str = "source",
+) -> DataFrame:
+    """ES ``top_hits`` aggregation: the top-``n`` hits per
+    ``group_col`` value (per-repo result panels) — the top-N
+    generalization of :func:`bm25_topk_collapse`'s best-1.
+
+    Scale shape: a naive window PARTITION BY group sorts a hot group's
+    entire candidate set in one task, so this is TWO-PHASE (the
+    pack_sequences / stratified-rank pattern): phase 1 ranks within
+    (group, doc_id-hash bucket) — bounded partitions — keeping ≤ n per
+    bucket; phase 2 ranks the survivors (≤ 32·n rows per group) within
+    the group. Both windows see candidate-sized, never corpus-sized,
+    input; the result is identical to the single-window twin because
+    any group-wide top-n row is necessarily in its bucket's top-n."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(spark, docs, terms or QUERY_MAIN)
+    j = scored.join(
+        docs.select("doc_id", F.col(group_col).alias("grp")), "doc_id"
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    w_local = Window.partitionBy(
+        "grp", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    ).orderBy(*order)
+    w_grp = Window.partitionBy("grp").orderBy(*order)
+    return (
+        j.withColumn("_lrk", F.row_number().over(w_local))
+        .where(F.col("_lrk") <= n)
+        .withColumn("rk", F.row_number().over(w_grp))
+        .where(F.col("rk") <= n)
+        .select(
+            F.col("grp").alias(group_col), "doc_id", "score", "matched",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 PRF_N_FB = 5      # feedback docs
 PRF_N_EXP = 3     # expansion terms
 PRF_ALPHA = 0.5   # expansion-term weight
@@ -1950,6 +1992,15 @@ WHERE d.{FIELD_FILTER[0]} = '{FIELD_FILTER[1]}'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}""",
     "search_dismax_topk": _dismax_sql(QUERY_BM25F),
     "search_prf_topk": _prf_sql(QUERY_MAIN),
+    "search_top_hits": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT source, doc_id, score, matched, rk FROM (
+  SELECT d.source, s.doc_id, s.score, s.matched,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY s.score DESC, s.doc_id ASC)
+              AS INTEGER) AS rk
+  FROM scored s JOIN documents d USING (doc_id)
+) WHERE rk <= {TOP_HITS_N}""",
     "search_percolate": _percolate_sql(PERC_QUERIES),
     "search_match_histogram": _scores_cte(QUERY_MAIN)
     + f"""

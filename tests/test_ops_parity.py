@@ -316,3 +316,36 @@ def test_prf_expansion_invariants(spark):
     )
     again = ss.prf_expanded_topk(spark, docs).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_top_hits_invariants(spark):
+    """top_hits: per-group ranks are 1..≤n contiguous, scores are the
+    unchanged disjunctive scores, each group's rows are its best by
+    (score desc, doc_id asc), and rank-1 rows == the collapse op."""
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = {
+        r["doc_id"]: (r["score"], r["matched"])
+        for r in ss.bm25_scores(spark, docs, ss.QUERY_MAIN).collect()
+    }
+    rows = ss.top_hits_per_group(spark, docs).collect()
+    assert rows
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        assert scored[r["doc_id"]] == (r["score"], r["matched"])
+        by_grp.setdefault(r["source"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= ss.TOP_HITS_N
+        key = [(-r["score"], r["doc_id"]) for r in rs]
+        assert key == sorted(key)
+    best1 = {
+        (r["source"], r["doc_id"])
+        for r in ss.bm25_topk_collapse(
+            spark, docs, ss.QUERY_MAIN, k=10_000
+        ).collect()
+    }
+    got1 = {(r["source"], r["doc_id"]) for r in rows if r["rk"] == 1}
+    assert got1 == best1
