@@ -647,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_topk", "rel_cohort_retention", "search_suggest_next",
         "search_bm25_topk_typo2", "search_bm25_must", "samp_weighted",
         "rel_funnel", "search_bm25_topk_boost",
+        # session-late additions, never verified by driver or judge
+        "search_bm25_field", "search_dismax_topk", "search_percolate",
+        "search_match_histogram", "graph_bfs_3hop", "search_prf_topk",
+        "rel_events_pivot", "search_top_hits",
     ]
     demote = [
         "mm_jpeg_dims",  # subsumed by the full-decode mm_jpeg_pixels row
@@ -655,6 +659,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samp_bernoulli", "samp_mixture", "dedup_minhash_signatures",
         "sim_lsh_signatures", "sim_pq_codes", "rel_events_hourly",
         "mm_blob_metadata",
+        # displaced for the 8 session-new rows: each keeps r2-judge-green
+        # provenance (VERDICT.md) and a stronger sibling in the window
+        "sim_ivfpq_recall",       # sim_ann_recall stays
+        "sim_ivf_assignments",    # composed inside sim_ivfpq_topk
+        "dedup_simhash",          # dedup_simhash_pairs stays
+        "rel_top_parts_per_brand",  # rel_top_customers_by_region stays
+        "mm_wav_features",        # decoder pytest-pinned; plumbing row stays
+        "mm_video_frames",        # mm_mjpeg_frames is the stronger video row
+        "dedup_span_coverage",    # dedup_span_pairs stays
+        "sim_ann_ivf_topk",       # sim_ivfpq_topk stays
     ]
     order = list(q)
     assert all(k in order[:50] for k in demote)
