@@ -14,6 +14,7 @@ Usage:
     python -m search_engine_spark.cli regex  <index_dir> <corpus.parquet> "<pattern>" [k]
     python -m search_engine_spark.cli suggest <index_dir> <prefix> [k]
     python -m search_engine_spark.cli mlt    <index_dir> <doc_id> [k]   (needs build --termvecs)
+    python -m search_engine_spark.cli count  <index_dir> "<query>" [--min-match=N]
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
@@ -312,6 +313,14 @@ def main(argv: list[str]) -> int:
             print("(no suggestions)")
         for r in rows:
             print(f"{r['term']}  (df {r['df']})")
+    elif cmd == "count":
+        from search_engine_spark.plans.query import QueryEngine
+        from search_engine_spark.session import get_spark
+
+        mm = next((int(f.split("=", 1)[1]) for f in flags
+                   if f.startswith("--min-match=")), 1)
+        eng = QueryEngine(get_spark("se-count"), args[2])
+        print(eng.matching_ids(args[3], min_match=mm).count())
     elif cmd == "mlt":
         from search_engine_spark.plans.query import QueryEngine
         from search_engine_spark.session import get_spark
