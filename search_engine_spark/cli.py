@@ -145,7 +145,7 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
             require=p.require or None, exclude=p.exclude or None,
             spell=p.fuzzy > 0, fuzzy=max(p.fuzzy, 1),
             min_match=min_match, boost=p.boosts or None,
-            field=p.fields or None,
+            field=p.fields or None, phrases=p.phrases or None,
         ).collect()
         if not rows:
             print("(no hits)")

@@ -19,7 +19,9 @@ onto capabilities the engine already has:
                restricts hits by metadata, scoring unchanged; known
                fields only so code tokens like ``std::vector`` stay
                terms; trailing ``*`` = prefix match)
-``"a b"``      quoted phrase → ``phrase=`` (two-phase rescore boost)
+``"a b"``      quoted phrase → ``phrases=`` (pre-top-k adjacency
+               FILTER over the positional sidecar, Lucene quoted-
+               phrase semantics; words still score disjunctively)
 =============  =====================================================
 
 Parsing is purely lexical (whitespace tokens, one quoted span at a

@@ -405,7 +405,8 @@ class QueryEngine:
              after: tuple[float, int, str, int] | None = None,
              collapse: str | None = None,
              boost: dict[str, float] | None = None,
-             field: dict[str, str] | None = None) -> DataFrame:
+             field: dict[str, str] | None = None,
+             phrases: list[str] | None = None) -> DataFrame:
         """Disjunctive BM25 top-k. ``wand=None`` (default) picks the
         physical strategy by cost: exhaustive decode below
         ``cfg.wand_min_postings`` candidate postings, block-max WAND
@@ -441,6 +442,17 @@ class QueryEngine:
           zero extra joins — the predicate runs on the metadata surface
           the result join materializes anyway. Forces the exhaustive
           path (the filter cuts candidates by data WAND can't see).
+        - ``phrases`` (Lucene quoted phrases in a query string,
+          ``"binary search" tree``): each phrase is a pre-top-k FILTER
+          — only docs containing the exact in-order token sequence
+          qualify — resolved against the positional sidecar
+          (``store_positions=True``; raises without it). Phrase WORDS
+          score through the ordinary disjunctive terms (the query-
+          string parser includes them in the SHOULD set); the phrase
+          itself contributes adjacency as a filter, not a virtual-term
+          score (documented simplification of Lucene PhraseQuery
+          scoring — ``phrase()``/``rescore()`` are the scored paths).
+          Forces the exhaustive path like require/field.
 
         ``min_match`` keeps block-max pruning (r3, VERDICT item 3): the
         per-salt kernel is matched-count-aware — segments covered by
@@ -504,12 +516,13 @@ class QueryEngine:
             # exact — no kernel change, no index change.
             idf_map = {t: i * float(boost.get(t, 1.0))
                        for t, i in idf_map.items()}
-        if after is not None or collapse is not None or field:
+        if after is not None or collapse is not None or field or phrases:
             # these filters cut the candidate set by data WAND can't see
             # (the cursor sort key / the full pre-collapse match set /
-            # metadata values) — pre-top-k exactness forces the
-            # exhaustive path. require no longer does (r3): MUST rides
-            # the kernel's coverage machinery like min_match.
+            # metadata values / positional adjacency) — pre-top-k
+            # exactness forces the exhaustive path. require no longer
+            # does (r3): MUST rides the kernel's coverage machinery
+            # like min_match.
             wand = False
         elif wand is None:
             wand = sum_df >= self.cfg.wand_min_postings
@@ -559,6 +572,11 @@ class QueryEngine:
                 .select("doc_id")
             )
             scored = scored.join(req_ids, "doc_id", "left_semi")
+        if phrases and idf_map:
+            for ph in phrases:
+                ids = self._phrase_ids(ph)
+                if ids is not None:
+                    scored = scored.join(ids, "doc_id", "left_semi")
         with_path = self._live(scored).join(self.docs, "doc_id", "left")
         if field:
             surface = ("path", *self._meta_cols)
@@ -713,6 +731,36 @@ class QueryEngine:
                 (F.col("idf") * tfn).alias("partial"),
                 "score",
             )
+        )
+
+    def _phrase_ids(self, phrase: str) -> DataFrame | None:
+        """doc_ids containing the exact in-order token sequence of
+        ``phrase`` (the quoted-phrase FILTER leg of ``bm25``): a
+        term-pruned positions scan → shared leg-offset groupBy —
+        occurrence-count-free, just existence. Returns None for a
+        phrase that tokenizes empty (no-op filter); raises without the
+        positional sidecar."""
+        from search_engine_spark.functions.tokenize import tokenize
+        from search_engine_spark.ops.phrase import occurrences_from_positions
+
+        pterms = tokenize(phrase)
+        if not pterms:
+            return None
+        try:
+            positions = self.spark.read.parquet(f"{self.index_dir}/positions")
+        except Exception as e:  # noqa: BLE001 - missing sidecar
+            raise ValueError(
+                "quoted-phrase filters need the positional sidecar — "
+                "build with EngineConfig(store_positions=True) "
+                "(cli: build --positions)"
+            ) from e
+        pp = positions.where(
+            F.col("term").isin(sorted(set(pterms)))
+        ).select("doc_id", "term", F.explode("positions").alias("pos"))
+        return (
+            occurrences_from_positions(pp, pterms)
+            .select("doc_id")
+            .distinct()
         )
 
     def matching_ids(self, query: str, min_match: int = 1) -> DataFrame:

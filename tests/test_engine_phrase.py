@@ -167,3 +167,47 @@ def test_engine_near_validates_terms(spark, pos_index):
     eng = QueryEngine(spark, ix)
     with pytest.raises(ValueError):
         eng.near("merge", "merge")
+
+
+def test_bm25_quoted_phrase_filter(spark, pos_index):
+    """r3: quoted phrases in bm25(phrases=) are pre-top-k FILTERS
+    (Lucene query-string quoted phrase): only docs containing the exact
+    in-order sequence qualify, scores stay the plain disjunctive BM25
+    of the word set; composes with min_match; empty-tokenizing phrases
+    are no-ops; a phrase that never occurs empties the result."""
+    ix, corpus = pos_index
+    q = _pick_phrase(spark, corpus)
+    eng = QueryEngine(spark, ix)
+    docs_frame = with_identity(corpus).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    have = {
+        r["doc_id"]
+        for r in ops_phrase.phrase_occurrences(docs_frame, tokenize(q))
+        .select("doc_id").distinct().collect()
+    }
+    assert have
+    plain = {r["doc_id"]: r["score"]
+             for r in eng.bm25(q, k=500).collect()}
+    got = eng.bm25(q, k=500, phrases=[q]).collect()
+    assert got
+    assert {r["doc_id"] for r in got} == have & set(plain)
+    for r in got:
+        assert r["score"] == pytest.approx(plain[r["doc_id"]], rel=1e-9)
+    # composes with min_match (both words required anyway for 2 terms)
+    got_m = eng.bm25(q, k=500, phrases=[q], min_match=2).collect()
+    assert {r["doc_id"] for r in got_m} <= {r["doc_id"] for r in got}
+    # no-op and never-occurring phrases
+    assert {r["doc_id"] for r in eng.bm25(q, k=500, phrases=["',,,'"]).collect()} \
+        == set(plain)
+    assert eng.bm25(q, k=10, phrases=["zzznope yyynope"]).collect() == []
+
+
+def test_quoted_phrase_filter_requires_positions(spark, fixture_dir,
+                                                 tmp_path_factory):
+    ix = str(tmp_path_factory.mktemp("qs_nopos") / "ix")
+    corpus = spark.read.parquet(str(fixture_dir / "corpus.parquet")).limit(30)
+    build_index_df(spark, corpus, ix)
+    eng = QueryEngine(spark, ix)
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.bm25("binary search", k=5, phrases=["binary search"]).collect()
