@@ -48,7 +48,8 @@ class ParsedQuery:
 
     def query_string(self) -> str:
         """The SHOULD part (incl. wildcards and phrase words — phrase
-        words still retrieve; the phrase itself boosts via rescore)."""
+        words still retrieve; the phrase itself filters via
+        ``bm25(phrases=)`` over the positional sidecar)."""
         return " ".join([*self.terms, *self.phrases])
 
 
