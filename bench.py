@@ -150,6 +150,11 @@ def main() -> int:
                 spark, docs, search_sql.QUERY_MAIN)),
             ("dedup_clusters_star", lambda: dedup.dedup_clusters(docs)),
             ("text_bigram_ll", lambda: textstats.bigram_loglik(docs)),
+            ("search_dismax", lambda: search_sql.dismax_topk(spark, docs)),
+            ("search_percolate", lambda: search_sql.percolate(spark, docs)),
+            ("search_prf", lambda: search_sql.prf_expanded_topk(spark, docs)),
+            ("search_top_hits", lambda: search_sql.top_hits_per_group(
+                spark, docs)),
             # triangles: 65536-node projection at bench scale — the
             # gate's 4096-mod graph densifies quadratically with sf
             # (a modular-projection artifact, not a workload property)
