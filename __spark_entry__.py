@@ -485,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_top_hits": lambda s, d: search_sql.top_hits_per_group(
             s, _t(s, d, "documents")
         ),
+        "search_did_you_mean": lambda s, d: search_sql.did_you_mean(
+            s, _t(s, d, "documents")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

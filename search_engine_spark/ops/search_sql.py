@@ -1297,6 +1297,152 @@ def bm25f_topk(
     )
 
 
+QUERY_DYM = ["joinx", "windov"]  # adjacent typo pair; fix = "join window"
+DYM_CAND = 3
+DYM_K = 3
+
+
+def did_you_mean(
+    spark: SparkSession, docs: DataFrame,
+    raw_terms: list[str] | None = None,
+    n_cand: int = DYM_CAND, k: int = DYM_K,
+) -> DataFrame:
+    """Whole-query "did you mean" (the Google-style full-query
+    correction, composing the spell and next-term machinery): each
+    query position proposes its top-``n_cand`` ED≤1 vocabulary
+    candidates (lev ASC, df DESC, term ASC — exact terms rank first at
+    lev 0), the ≤ n_cand^L combinations are ranked by corpus BIGRAM
+    support of their adjacent pairs, then total df, then the corrected
+    string — an ALL-INTEGER key, so the twin cuts identically (the
+    same determinism rule as the PRF expansion).
+
+    Scale shape: the vocab leg is the dictionary-sized levenshtein
+    scan the ED-twin ops already use (engine-side this is the SymSpell
+    index instead); the bigram aggregate is bounded by distinct
+    bigrams (the bigram_loglik argument) and joins the candidate
+    combos BROADCAST (≤ n_cand^L rows). Nothing corpus-sized beyond
+    those two aggregates."""
+    from pyspark.sql import Window
+
+    raw_terms = QUERY_DYM if raw_terms is None else raw_terms
+    L = len(raw_terms)
+    post = postings(docs)
+    vocab = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    rawt = inline_table(
+        spark, [(i, t) for i, t in enumerate(raw_terms)],
+        "pos int, raw string",
+    )
+    cand = (
+        rawt.join(vocab, F.levenshtein(F.col("raw"), F.col("term")) <= 1)
+        .withColumn("lev", F.levenshtein("raw", "term"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("pos").orderBy(
+                    F.asc("lev"), F.desc("df"), F.asc("term")
+                )
+            ),
+        )
+        .where(F.col("rk") <= n_cand)
+        .select("pos", "term", "df")
+    )
+    combo = cand.where(F.col("pos") == 0).select(
+        F.col("term").alias("t0"), F.col("df").alias("d0")
+    )
+    for i in range(1, L):
+        ci = cand.where(F.col("pos") == i).select(
+            F.col("term").alias(f"t{i}"), F.col("df").alias(f"d{i}")
+        )
+        combo = combo.crossJoin(ci)
+    toks = docs.select(tokens_col("text").alias("t"))
+    occ = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bg_total = F.lit(0).cast("long")
+    for i in range(L - 1):
+        o = occ.select(
+            F.col("w1").alias(f"_a{i}"), F.col("w2").alias(f"_b{i}"),
+            F.col("n").alias(f"_n{i}"),
+        )
+        combo = combo.join(
+            o,
+            (F.col(f"t{i}") == F.col(f"_a{i}"))
+            & (F.col(f"t{i + 1}") == F.col(f"_b{i}")),
+            "left",
+        ).drop(f"_a{i}", f"_b{i}")
+        bg_total = bg_total + F.coalesce(F.col(f"_n{i}"), F.lit(0))
+    return (
+        combo.select(
+            F.concat_ws(" ", *[F.col(f"t{i}") for i in range(L)])
+            .alias("query"),
+            bg_total.alias("bigram_n"),
+            sum(
+                [F.col(f"d{i}") for i in range(1, L)], F.col("d0")
+            ).cast("long").alias("sum_df"),
+        )
+        .orderBy(F.desc("bigram_n"), F.desc("sum_df"), F.asc("query"))
+        .limit(k)
+    )
+
+
+def _dym_sql(raw_terms: list[str], n_cand: int = DYM_CAND,
+             k: int = DYM_K) -> str:
+    """DuckDB twin of :func:`did_you_mean` (generated per position)."""
+    L = len(raw_terms)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(raw_terms))
+    combo_from = ", ".join(
+        f"(SELECT * FROM cand WHERE pos = {i}) c{i}" for i in range(L)
+    )
+    combo_cols = ", ".join(
+        f"c{i}.term AS t{i}, c{i}.df AS d{i}" for i in range(L)
+    )
+    occ_joins = "\n".join(
+        f"LEFT JOIN occ o{i} ON o{i}.w1 = combo.t{i} AND o{i}.w2 = combo.t{i + 1}"
+        for i in range(L - 1)
+    )
+    bg_sum = " + ".join(f"coalesce(o{i}.n, 0)" for i in range(L - 1))
+    qcat = " || ' ' || ".join(f"t{i}" for i in range(L))
+    df_sum = " + ".join(f"d{i}" for i in range(L))
+    return f"""
+WITH {_POST},
+toks AS (SELECT {_T} AS t FROM documents),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+raw(pos, raw) AS (VALUES {vals}),
+cand AS (
+  SELECT pos, term, df FROM (
+    SELECT r.pos, v.term, v.df,
+           row_number() OVER (PARTITION BY r.pos
+             ORDER BY levenshtein(r.raw, v.term) ASC, v.df DESC,
+                      v.term ASC) AS rk
+    FROM raw r JOIN dfq v ON levenshtein(r.raw, v.term) <= 1
+  ) WHERE rk <= {n_cand}
+),
+big AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+occ AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1, w2),
+combo AS (SELECT {combo_cols} FROM {combo_from})
+SELECT {qcat} AS query,
+       CAST({bg_sum} AS BIGINT) AS bigram_n,
+       CAST({df_sum} AS BIGINT) AS sum_df
+FROM combo
+{occ_joins}
+ORDER BY bigram_n DESC, sum_df DESC, query ASC
+LIMIT {k}
+"""
+
+
 TOP_HITS_N = 3
 
 
@@ -1992,6 +2138,7 @@ WHERE d.{FIELD_FILTER[0]} = '{FIELD_FILTER[1]}'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}""",
     "search_dismax_topk": _dismax_sql(QUERY_BM25F),
     "search_prf_topk": _prf_sql(QUERY_MAIN),
+    "search_did_you_mean": _dym_sql(QUERY_DYM),
     "search_top_hits": _scores_cte(QUERY_MAIN)
     + f"""
 SELECT source, doc_id, score, matched, rk FROM (

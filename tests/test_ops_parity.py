@@ -349,3 +349,19 @@ def test_top_hits_invariants(spark):
     }
     got1 = {(r["source"], r["doc_id"]) for r in rows if r["rk"] == 1}
     assert got1 == best1
+
+
+def test_did_you_mean_invariants(spark):
+    """did_you_mean: the typo pair corrects to a real bigram; an
+    already-correct query ranks ITSELF first (exact terms are lev-0
+    candidates); ranking keys are integers (determinism)."""
+    from search_engine_spark.ops import search_sql as ss
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = ss.did_you_mean(spark, docs).collect()
+    assert got and got[0]["query"] == "join window"
+    assert got[0]["bigram_n"] > 0
+    ok = ss.did_you_mean(spark, docs, raw_terms=["join", "window"]).collect()
+    assert ok[0]["query"] == "join window"
+    again = ss.did_you_mean(spark, docs).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
