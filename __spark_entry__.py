@@ -488,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_did_you_mean": lambda s, d: search_sql.did_you_mean(
             s, _t(s, d, "documents")
         ),
+        "rel_rolling_value": lambda s, d: relational.rolling_user_value(
+            _t(s, d, "events")
+        ),
         "samp_weighted": lambda s, d: sampling.weighted_sample(
             _t(s, d, "documents")
         ),

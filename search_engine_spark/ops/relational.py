@@ -91,6 +91,61 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def rolling_user_value(events: DataFrame,
+                       days: int = ROLLING_DAYS) -> DataFrame:
+    """Per-event trailing-window aggregate: for every event, the count
+    and integer-cents value sum of the SAME user's events in the
+    preceding ``days`` days inclusive — the rolling-retention /
+    recent-activity feature every event store computes (a RANGE window
+    frame, the one windowing shape sessionize/rollup/quantiles don't
+    cover). Frame key is epoch SECONDS (integer) on both engines, so
+    equal-timestamp ties land inside the frame identically; money sums
+    are integer cents (the house float-free rule).
+
+    Scale shape: one user-keyed exchange; the range frame sorts within
+    (user) partitions — bounded by per-user event counts, the same
+    exposure as rel_sessionize's lag window (a whale user is one
+    partition; salt-split would break the frame semantics, so the cap
+    is documented, not hidden)."""
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    e = events.select(
+        "event_id", "user_id", "ts",
+        F.unix_timestamp("ts").alias("__sec"), cents.alias("__cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-(days * 86400), 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.sum("__cents").over(w).cast("long").alias("sum_trailing_cents"),
+    )
+
+
+def _rolling_sql(days: int = ROLLING_DAYS) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {days * 86400} PRECEDING AND CURRENT ROW)
+"""
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -356,6 +411,7 @@ def value_quantiles(events: DataFrame) -> DataFrame:
 
 ORACLE_SQL = {
     "rel_events_pivot": _pivot_sql(),
+    "rel_rolling_value": _rolling_sql(),
     "rel_funnel": f"""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
