@@ -656,7 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-late additions, never verified by driver or judge
         "search_bm25_field", "search_dismax_topk", "search_percolate",
         "search_match_histogram", "graph_bfs_3hop", "search_prf_topk",
-        "rel_events_pivot", "search_top_hits",
+        "rel_events_pivot", "search_top_hits", "search_did_you_mean",
+        "rel_rolling_value",
     ]
     demote = [
         "mm_jpeg_dims",  # subsumed by the full-decode mm_jpeg_pixels row
@@ -675,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames",        # mm_mjpeg_frames is the stronger video row
         "dedup_span_coverage",    # dedup_span_pairs stays
         "sim_ann_ivf_topk",       # sim_ivfpq_topk stays
+        "rel_sessionize",         # streaming twin keeps it pytest-pinned
+        "dedup_embedding_pairs",  # sim_* LSH/exact-verify family stays
     ]
     order = list(q)
     assert all(k in order[:50] for k in demote)
