@@ -651,6 +651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_daily_anomalies": lambda s, d: relational.daily_anomalies(
             _t(s, d, "events")
         ),
+        "search_bm25_decay": lambda s, d: search_sql.bm25_topk_decay(
+            s, _t(s, d, "documents")
+        ),
+        "search_rank_feature": lambda s, d: search_sql.rank_feature_topk(
+            s, _t(s, d, "documents")
+        ),
+        "search_bm25_stem": lambda s, d: search_sql.bm25_topk_stem(
+            s, _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

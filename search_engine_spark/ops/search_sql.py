@@ -1707,6 +1707,169 @@ def match_histogram(
     )
 
 
+DECAY_OFFSET_D = 30   # grace period before decay starts (days)
+DECAY_SCALE_D = 90    # at offset+scale days the multiplier equals DECAY_RATE
+DECAY_RATE = 0.5
+AGE_MOD = 365         # deterministic pseudo-age: doc_id mod 365 days
+
+
+def _age_days() -> F.Column:
+    """Deterministic pseudo-recency in days derived from doc_id (the
+    driver's documents table carries no timestamp; a real deployment
+    uses the doc's date column here). Double-mod keeps the result
+    non-negative on both engines regardless of doc_id sign."""
+    return (F.col("doc_id") % AGE_MOD + AGE_MOD) % AGE_MOD
+
+
+def bm25_topk_decay(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """ES function_score with an exponential recency decay
+    (`exp` decay function: multiplier = rate^(max(0, age−offset)/scale))
+    — fresher docs outrank stale ones at equal text relevance, the
+    standard news/commerce ranking blend.
+
+    The multiplier applies to the 4dp-rounded BM25 score and the result
+    re-rounds to 4dp, so both engines multiply identical doubles.
+    Scale shape: the decay is a per-row expression on the already-
+    aggregated scored set — zero extra joins or shuffles beyond
+    ``bm25_scores``; top-k stays TakeOrderedAndProject. On the
+    compressed-index path this multiplier would cap WAND upper bounds
+    by the partition's max multiplier; here the op stays exhaustive
+    (the full match set is scored anyway)."""
+    terms = QUERY_MAIN if terms is None else terms
+    scored = bm25_scores(spark, docs, terms)
+    age = _age_days()
+    mult = F.exp(
+        F.log(F.lit(DECAY_RATE))
+        * F.greatest(F.lit(0.0), (age - DECAY_OFFSET_D).cast("double"))
+        / F.lit(float(DECAY_SCALE_D))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("score") * mult, 4).alias("score"),
+            "matched",
+            age.cast("int").alias("age_days"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+RF_PIVOT = 256    # rank_feature saturation pivot (chars)
+RF_WEIGHT = 2.0   # boost weight of the feature clause
+
+
+def rank_feature_topk(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """ES rank_feature query (saturation form): score = BM25 +
+    w·f/(f+pivot) over a numeric per-doc feature — here ``n_chars``
+    stands in for the stored feature (pagerank, popularity, …). The
+    saturation keeps the feature's contribution bounded by ``w`` no
+    matter how large the raw value, exactly Lucene's
+    FeatureField#newSaturationQuery.
+
+    Scale shape: one narrow (doc_id, n_chars) join onto the scored
+    set — the feature column rides the same doc-keyed exchange; at
+    production scale it lives in the doc-metadata sidecar the engine
+    already broadcasts per-hit."""
+    terms = QUERY_MAIN if terms is None else terms
+    scored = bm25_scores(spark, docs, terms)
+    sat = F.col("n_chars").cast("double") / (
+        F.col("n_chars").cast("double") + F.lit(float(RF_PIVOT))
+    )
+    return (
+        scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") + F.lit(RF_WEIGHT) * sat, 4).alias("score"),
+            "matched",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+QUERY_STEM = ["windows", "joins"]  # plural forms; s-stem → in-vocab terms
+
+
+def _stem_col(c: F.Column) -> F.Column:
+    """Minimal English s-stemmer (Lucene EnglishMinimalStemFilter /
+    Harman's s-stemmer): strip one trailing 's' from terms of length ≥4
+    unless they end in 'ss'/'us'/'is'. Pure CASE + substring — the one
+    stemming rule expressible identically in Spark SQL and DuckDB
+    (RE2 has no lookbehind, so no regex)."""
+    strip = (
+        (F.length(c) >= 4)
+        & c.endswith("s")
+        & ~c.endswith("ss")
+        & ~c.endswith("us")
+        & ~c.endswith("is")
+    )
+    return F.when(strip, F.substring(c, F.lit(1), F.length(c) - 1)).otherwise(c)
+
+
+def stem_py(t: str) -> str:
+    """Driver-side twin of :func:`_stem_col` for query-term analysis."""
+    if len(t) >= 4 and t.endswith("s") and not t.endswith(("ss", "us", "is")):
+        return t[:-1]
+    return t
+
+
+def bm25_topk_stem(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k under a stemming analyzer: the s-stemmer runs on BOTH
+    the indexed tokens and the query terms (the analyzer symmetry every
+    Lucene analysis chain guarantees), so 'windows' matches docs
+    containing 'window' and plural/singular variants share one posting
+    list (tf sums, df unions — the index-side merge a query-time
+    synonym expansion can't replicate).
+
+    Scale shape: identical to :func:`bm25_scores` — the stem is a
+    per-token expression inside the same explode→groupBy, zero extra
+    passes."""
+    terms = QUERY_STEM if terms is None else terms
+    toks = tokens_col("text")
+    post = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", _stem_col(F.col("tok")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = inline_table(
+        spark, [(t,) for t in sorted({stem_py(t) for t in terms})], "term string"
+    )
+    stats = _corpus_stats(docs)  # n + avgdl are stem-invariant (tf conserved)
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def index_block_layout(docs: DataFrame) -> DataFrame:
     """The compressed index's block numbering as a window query:
     postings bucketed by term hash, row-numbered by doc_id within term,
@@ -1849,6 +2012,52 @@ scored AS (
   CROSS JOIN stats
   GROUP BY p.doc_id
 )"""
+
+
+def _duck_stem(col: str) -> str:
+    """DuckDB twin of :func:`_stem_col` (s-stemmer CASE)."""
+    return (
+        f"CASE WHEN len({col}) >= 4 AND {col} LIKE '%s'"
+        f" AND NOT ({col} LIKE '%ss' OR {col} LIKE '%us' OR {col} LIKE '%is')"
+        f" THEN substr({col}, 1, len({col}) - 1) ELSE {col} END"
+    )
+
+
+def _stem_scores_sql(terms: list[str], k: int = TOPK) -> str:
+    """DuckDB twin of :func:`bm25_topk_stem`: the s-stemmer runs inside
+    the postings CTE and on the literal query terms."""
+    stemmed = sorted({stem_py(t) for t in terms})
+    vals = ", ".join(f"('{t}')" for t in stemmed)
+    return f"""
+WITH post AS (
+  SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id, {_duck_stem('t')} AS term
+        FROM (SELECT doc_id, unnest({_T}) AS t FROM documents))
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _boost_scores_sql(weighted: list[tuple[str, float]], k: int = TOPK) -> str:
@@ -2089,6 +2298,29 @@ GROUP BY f.facet, f.value
 """,
     "search_bm25_topk": _scores_cte(QUERY_MAIN)
     + f"\nSELECT doc_id, score, matched FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}",
+    "search_bm25_decay": _scores_cte(QUERY_MAIN)
+    + f""",
+dec AS (
+  SELECT doc_id,
+         round(score * exp(ln({DECAY_RATE})
+               * greatest(0.0, CAST(((doc_id % {AGE_MOD}) + {AGE_MOD}) % {AGE_MOD}
+                                    - {DECAY_OFFSET_D} AS DOUBLE))
+               / {DECAY_SCALE_D}.0), 4) AS score,
+         matched,
+         CAST(((doc_id % {AGE_MOD}) + {AGE_MOD}) % {AGE_MOD} AS INTEGER) AS age_days
+  FROM scored
+)
+SELECT doc_id, score, matched, age_days FROM dec
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
+    "search_rank_feature": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT s.doc_id,
+       round(s.score + {RF_WEIGHT} * CAST(d.n_chars AS DOUBLE)
+             / (CAST(d.n_chars AS DOUBLE) + {RF_PIVOT}.0), 4) AS score,
+       s.matched
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
+    "search_bm25_stem": _stem_scores_sql(QUERY_STEM),
     "search_collapse_topk": _scores_cte(QUERY_MAIN)
     + f""",
 best AS (
