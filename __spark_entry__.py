@@ -275,6 +275,12 @@ GROUP BY doc_id, term
 """
 
 
+def _adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.linkpred import adamic_adar
+
+    return adamic_adar(_tri_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
@@ -660,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_stem": lambda s, d: search_sql.bm25_topk_stem(
             s, _t(s, d, "documents")
         ),
+        "graph_adamic_adar": _adamic_adar,
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current
@@ -759,5 +766,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.bfs import oracle_sql_bfs
 
     out["graph_bfs_3hop"] = oracle_sql_bfs(_TRI_EDGES_SQL)
+    from search_engine_spark.operators.linkpred import oracle_sql_adamic_adar
+
+    out["graph_adamic_adar"] = oracle_sql_adamic_adar(_TRI_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out

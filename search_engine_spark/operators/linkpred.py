@@ -1,0 +1,146 @@
+"""Link prediction over the backlink graph: Adamic-Adar scores for
+non-adjacent node pairs (Adamic & Adar, "Friends and neighbors on the
+Web", Social Networks 2003 — re-derived from the published formula).
+
+For a candidate pair (a, b) the score is Σ_z 1/ln(deg(z)) over their
+common neighbors z — rare shared neighbors certify similarity far more
+than hub neighbors. This is the standard "pages that should link but
+don't" / related-document signal a crawl pipeline computes from the
+same edge sink PageRank reads (the reference stores the graph,
+`services/spider/internal/repository/*`; prediction analytics are part
+of the training-pipeline surface added on top).
+
+Cross-engine protocol: each center contributes the INTEGER
+floor(10^6 / ln(deg)) so per-pair scores are exact integer sums; both
+engines floor the same double (one ln, one divide).
+
+100 TB posture — the wedge fan-out is the whole game:
+
+- pair generation self-joins the adjacency list on the CENTER node, so
+  a degree-d hub alone emits d²/2 candidate rows into one join key —
+  the same "last reducer" the triangle counter dodges via orientation.
+  Orientation doesn't apply here (the pair needs BOTH endpoints, not a
+  DAG), so the guard is the classic top-degree cutoff: centers above
+  ``max_center_degree`` are EXCLUDED (their per-pair weight
+  1/ln(deg) is the smallest in the graph, so the dropped mass is the
+  least informative — the standard approximation in production
+  similarity pipelines). The cap bounds the worst key at cap²/2 rows
+  and is part of the operator's contract (the oracle applies the same
+  cutoff), not a hidden truncation.
+- everything else is node-keyed joins and a (a, b)-keyed aggregate
+  with map-side combine; existing edges leave via a broadcast-unfit
+  but co-partitioned anti-join on the same (a, b) key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+TOP_PAIRS = 100
+MAX_CENTER_DEGREE = 10_000
+
+
+def adamic_adar(
+    edges: DataFrame, k: int = TOP_PAIRS,
+    max_center_degree: int = MAX_CENTER_DEGREE,
+) -> DataFrame:
+    """(src, dst) edge list (directed duplicates / self-loops allowed)
+    → top-``k`` non-adjacent pairs (a, b, common_neighbors, score_e6),
+    a < b, ordered by (score_e6 desc, a, b)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("u"),
+            F.greatest("src", "dst").cast("long").alias("v"),
+        )
+        .distinct()
+        # reused 3×: degree count, adjacency, existing-edge anti-join
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    centers = (
+        deg.where((F.col("degree") >= 2) & (F.col("degree") <= max_center_degree))
+        .select(
+            F.col("node").alias("z"),
+            F.floor(F.lit(float(E6)) / F.log(F.col("degree").cast("double")))
+            .cast("long")
+            .alias("w_e6"),
+        )
+    )
+    az = adj.join(centers, "z")
+    a1 = az.select("z", F.col("nbr").alias("a"), "w_e6")
+    a2 = az.select(F.col("z").alias("z2"), F.col("nbr").alias("b"))
+    pairs = a1.join(
+        a2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b"))
+    ).select("a", "b", "w_e6")
+    scores = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum("w_e6").cast("long").alias("score_e6"),
+    )
+    non_adjacent = scores.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        non_adjacent.orderBy(F.desc("score_e6"), F.asc("a"), F.asc("b"))
+        .limit(k)
+        .select("a", "b", "common_neighbors", "score_e6")
+    )
+
+
+def oracle_sql_adamic_adar(
+    edges_sql: str, k: int = TOP_PAIRS,
+    max_center_degree: int = MAX_CENTER_DEGREE,
+) -> str:
+    """DuckDB twin of :func:`adamic_adar` over ``edges_sql`` (a SELECT
+    yielding src, dst): same canonicalization, same degree cutoff, same
+    integer floor weights."""
+    return f"""
+WITH edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+adj AS (
+  SELECT u AS z, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS z, u AS nbr FROM und
+),
+centers AS (
+  SELECT node AS z,
+         CAST(floor({E6}.0 / ln(CAST(degree AS DOUBLE))) AS BIGINT) AS w_e6
+  FROM deg WHERE degree >= 2 AND degree <= {max_center_degree}
+),
+pairs AS (
+  SELECT a1.nbr AS a, a2.nbr AS b, c.w_e6
+  FROM adj a1
+  JOIN centers c ON c.z = a1.z
+  JOIN adj a2 ON a2.z = a1.z AND a1.nbr < a2.nbr
+),
+scores AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(w_e6) AS BIGINT) AS score_e6
+  FROM pairs GROUP BY a, b
+)
+SELECT s.a, s.b, s.common_neighbors, s.score_e6
+FROM scores s
+ANTI JOIN und ON und.u = s.a AND und.v = s.b
+ORDER BY s.score_e6 DESC, s.a ASC, s.b ASC
+LIMIT {k}
+"""
