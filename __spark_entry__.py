@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _t(s, d, "documents")
         ),
         "graph_adamic_adar": _adamic_adar,
+        "text_zipf_slope": lambda s, d: textstats.zipf_slope(
+            _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

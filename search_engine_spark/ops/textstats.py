@@ -24,7 +24,7 @@ Each Spark op has a DuckDB oracle twin in ``ORACLE_SQL`` (same math,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.ops.sqltwin import (
@@ -443,6 +443,84 @@ def cooccur_pmi(docs: DataFrame, top_v: int = PMI_TOP_V,
     )
 
 
+ZIPF_TOP = 500  # rank-frequency ranks entering the regression
+
+
+def zipf_slope(docs: DataFrame, top: int = ZIPF_TOP) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope
+    of ln(df) on ln(rank) for the ``top`` most-frequent terms — the
+    one-number corpus-health diagnostic (natural text sits near −1;
+    boilerplate-heavy or templated corpora flatten, synthetic noise
+    steepens). Cf. the Gopher/CCNet corpus-audit statistics.
+
+    Output one row (n_terms, slope, intercept), 4dp. Determinism: the
+    rank order is (df desc, term asc) — fully tied down; sums are the
+    closed-form OLS integer-count formulation over ``top`` doubles
+    (house 4dp float protocol, cf. :func:`unigram_loglik`).
+
+    Scale shape: one term-keyed aggregate (the df table every other op
+    shares), a ``top``-row TakeOrderedAndProject, and a single-row
+    aggregate over those ``top`` rows — the regression itself never
+    touches the corpus."""
+    dft = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    ranked = (
+        dft.orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("df"), F.asc("term"))
+            ),
+        )
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("df").cast("double"))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+    )
+    slope = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_terms")
+    return agg.select(
+        "n_terms",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT df, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM dft ORDER BY df DESC, term ASC LIMIT {ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         sum(ln(CAST(r AS DOUBLE))) AS sx,
+         sum(ln(CAST(df AS DOUBLE))) AS sy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(df AS DOUBLE))) AS sxy
+  FROM ranked
+)
+SELECT n_terms,
+       round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) AS slope,
+       round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+             / n_terms, 4) AS intercept
+FROM s
+"""
+
+
 _UNIGRAM_SQL = f"""
 WITH post AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -528,6 +606,7 @@ GROUP BY o.doc_id
 
 
 ORACLE_SQL = {
+    "text_zipf_slope": _ZIPF_SQL,
     "text_unigram_ll": _UNIGRAM_SQL,
     "text_bigram_ll": _BIGRAM_SQL,
     "text_keywords": f"""
