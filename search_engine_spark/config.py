@@ -68,6 +68,14 @@ class EngineConfig:
     # "jvm" (identical rules as whole-stage-codegen expressions; no
     # Python workers — see functions/tokenize.py::extract_postings_jvm)
     tokenizer: str = "pandas"
+    # opt-in analyzer stage (Lucene EnglishMinimalStemFilter): s-stem
+    # every indexed token AND every query term, so plural/singular
+    # variants share one posting list (tf sums, df unions). Applied
+    # inside the tokenize kernels — zero extra passes — and recorded in
+    # stats.json as ``analyzer``; extend/compact inherit the index's
+    # analyzer (an index property, not a per-run choice). Default off:
+    # the frozen-spec tokenizer (§8.1) is the reference contract.
+    stem: bool = False
     # posting-run codec: "vbyte", "packed" (word-aligned fixed-width,
     # k=64//w values per uint64 word), or "auto" (per-run analytic pick
     # of whichever is smaller — framed with a 1-byte header so mixed

@@ -70,6 +70,44 @@ def tokenize_tf(text: str) -> dict[str, int]:
     return dict(Counter(tokenize(text)))
 
 
+def stem_token(tok: str) -> str:
+    """Minimal English s-stemmer (Lucene EnglishMinimalStemFilter /
+    Harman's s-stemmer): strip one trailing 's' from tokens of length
+    ≥ 4 unless they end in 'ss'/'us'/'is'. The opt-in analyzer stage
+    (``EngineConfig.stem``) — applied symmetrically at index and query
+    time like every Lucene analysis chain. Scalar twin of the
+    vectorized/JVM forms below (property-pinned in test_tokenize)."""
+    if len(tok) >= 4 and tok.endswith("s") and not tok.endswith(("ss", "us", "is")):
+        return tok[:-1]
+    return tok
+
+
+def stem_term_col(c):
+    """:func:`stem_token` as a pure JVM Column expression."""
+    from pyspark.sql import functions as F
+
+    strip = (
+        (F.length(c) >= 4)
+        & c.endswith("s")
+        & ~c.endswith("ss")
+        & ~c.endswith("us")
+        & ~c.endswith("is")
+    )
+    return F.when(strip, F.substring(c, F.lit(1), F.length(c) - 1)).otherwise(c)
+
+
+def _stem_series(t: pd.Series) -> pd.Series:
+    """:func:`stem_token` vectorized over a pandas string Series."""
+    mask = (
+        t.str.len().ge(4)
+        & t.str.endswith("s")
+        & ~t.str.endswith("ss")
+        & ~t.str.endswith("us")
+        & ~t.str.endswith("is")
+    )
+    return t.mask(mask, t.str[:-1])
+
+
 def query_terms(query: str) -> list[str]:
     """Query pipeline: same tokenizer, then distinct (sorted for
     determinism). Reference: mock-speller split + set-dedupe
@@ -87,7 +125,9 @@ def _empty_postings() -> pd.DataFrame:
     )
 
 
-def _postings_from_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
+def _postings_from_batch(
+    pdf: pd.DataFrame, text_col: str, stem: bool = False
+) -> pd.DataFrame:
     """Vectorized pandas kernel: (doc_id, <text_col>) batch → postings."""
     if len(pdf) == 0:
         return _empty_postings()
@@ -109,6 +149,11 @@ def _postings_from_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     flat = flat[flat["term"].str.isalpha().to_numpy()]
     if len(flat) == 0:
         return _empty_postings()
+    if stem:
+        # analyzer stage: stem BEFORE the tf groupby so plural/singular
+        # variants merge into one posting row inside the kernel — the
+        # index-side merge costs zero extra passes or shuffles
+        flat = flat.assign(term=_stem_series(flat["term"]))
     tf = flat.groupby(["row", "term"], sort=False).size().rename("tf").reset_index()
     dl = tf.groupby("row", sort=False)["tf"].sum().rename("dl")
     tf = tf.join(dl, on="row")
@@ -122,7 +167,7 @@ def _postings_from_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     )
 
 
-def make_postings_mapper(text_col: str = "content"):
+def make_postings_mapper(text_col: str = "content", stem: bool = False):
     """Factory for the ``mapInPandas`` function: select(doc_id, text_col)
     upstream so Catalyst prunes every other column before the Arrow
     exchange (the reference's analogue is wiping ``pages.html`` after
@@ -133,19 +178,20 @@ def make_postings_mapper(text_col: str = "content"):
 
         disable_thp()
         for pdf in batches:
-            yield _postings_from_batch(pdf, text_col)
+            yield _postings_from_batch(pdf, text_col, stem)
 
     return mapper
 
 
-def extract_postings(df, text_col: str = "content"):
+def extract_postings(df, text_col: str = "content", stem: bool = False):
     """corpus DataFrame (must carry ``doc_id``) → (doc_id, term, tf, dl).
 
     One narrow Arrow-batched pass; no shuffle. ``dl`` is identical on
-    every posting row of a doc.
+    every posting row of a doc (token count — analyzer-invariant: the
+    stem stage merges variants' tf but never drops tokens).
     """
     return df.select("doc_id", text_col).mapInPandas(
-        make_postings_mapper(text_col), schema=POSTINGS_SCHEMA
+        make_postings_mapper(text_col, stem), schema=POSTINGS_SCHEMA
     )
 
 
@@ -174,7 +220,7 @@ def jvm_tokens_col(text_col: str):
     )
 
 
-def extract_positions_jvm(df, text_col: str = "content"):
+def extract_positions_jvm(df, text_col: str = "content", stem: bool = False):
     """Positional postings for the persisted index (opt-in,
     ``EngineConfig.store_positions``): (doc_id, term, positions
     array<int>, dl) — 0-based token positions from the same frozen
@@ -189,6 +235,10 @@ def extract_positions_jvm(df, text_col: str = "content"):
     from pyspark.sql import functions as F
 
     toks = jvm_tokens_col(text_col)
+    if stem:
+        # stem before posexplode: merged variants' positions union into
+        # one sorted list via the same collect_list/sort_array
+        toks = F.transform(toks, stem_term_col)
     return (
         df.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.size("toks").cast("int").alias("dl"),
@@ -200,7 +250,7 @@ def extract_positions_jvm(df, text_col: str = "content"):
     )
 
 
-def extract_postings_jvm(df, text_col: str = "content"):
+def extract_postings_jvm(df, text_col: str = "content", stem: bool = False):
     """JVM-only twin of :func:`extract_postings` — same output schema.
 
     Why it exists: the Arrow/pandas path is the mandated architecture
@@ -218,6 +268,8 @@ def extract_postings_jvm(df, text_col: str = "content"):
     from pyspark.sql import functions as F
 
     toks = jvm_tokens_col(text_col)
+    if stem:
+        toks = F.transform(toks, stem_term_col)
     return (
         df.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.size("toks").cast("int").alias("dl"),

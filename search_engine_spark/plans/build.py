@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
+from dataclasses import replace as _cfg_replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -154,7 +155,8 @@ def _postings_stage(
             extract_postings_jvm if cfg.tokenizer == "jvm" else extract_postings
         )
         postings = extractor(
-            subset.select("doc_id", "part_id", "content"), "content"
+            subset.select("doc_id", "part_id", "content"), "content",
+            stem=cfg.stem,
         )
         # mapInPandas consumed (doc_id, content); re-derive part_id from
         # doc_id (deterministic) for the partitioned write.
@@ -191,7 +193,9 @@ def _postings_stage(
         # parquet row groups on the term predicate
         if cfg.store_positions:
             (
-                extract_positions_jvm(subset.select("doc_id", "content"))
+                extract_positions_jvm(
+                    subset.select("doc_id", "content"), stem=cfg.stem
+                )
                 .withColumn("part_id", _part_col("doc_id", P))
                 .withColumn("gen", F.lit(gen).cast("int"))
                 .repartition(len(wave), "part_id")
@@ -379,6 +383,7 @@ def _index_stage(
         ),
         "k1": cfg.k1,
         "b": cfg.b,
+        "analyzer": "stem" if cfg.stem else "plain",
         "build_id": build_id,
         # lineage granularity: lets tooling map checkpoint partition_id
         # (= gen·P + part_id) back to (gen, part_id) without the cfg
@@ -611,6 +616,10 @@ def extend_index_df(
     if generation == 0:
         raise ValueError("generation 0 is the base build; got extend(gen=0)")
 
+    # the analyzer is an index property: a delta tokenized differently
+    # from the base would split posting lists — inherit it
+    cfg = _inherit_analyzer(spark, index_dir, cfg)
+
     delta = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
@@ -742,6 +751,21 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _inherit_analyzer(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig
+) -> EngineConfig:
+    """Force ``cfg.stem`` to the landed index's analyzer (stats.json).
+    Extends/compactions must tokenize like the base build or variants
+    split across posting lists; a missing/legacy stats file (e.g. an
+    extend resuming before its first _index_stage) leaves cfg as-is."""
+    try:
+        landed = read_stats(spark, index_dir)
+    except Exception:  # noqa: BLE001 - no stats yet (interrupted build)
+        return cfg
+    want = landed.get("analyzer", "plain") == "stem"
+    return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -760,6 +784,7 @@ def compact_index(
     block density and exact corpus stats.
     """
     cfg = cfg or EngineConfig()
+    cfg = _inherit_analyzer(spark, index_dir, cfg)
     t0 = time.time()
     build_id = uuid.uuid4().hex[:12]
     ckpt = CheckpointLog(spark, f"{index_dir}/_checkpoint")

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.functions.inline import inline_table
-from search_engine_spark.functions.tokenize import query_terms
+from search_engine_spark.functions.tokenize import query_terms, stem_token
 from search_engine_spark.functions.xxhash import spark_xxhash64_str
 from search_engine_spark.operators.compress import decode_blocks
 from search_engine_spark.operators.scoring import partial_scores, rank_order
@@ -86,6 +86,29 @@ class QueryEngine:
         if not self._n_tombs:
             return scored
         return scored.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+
+    def _qterms(self, query: str) -> list[str]:
+        """Query-side analysis chain: frozen tokenizer, then — iff the
+        index was built with ``EngineConfig.stem`` (stats.json
+        ``analyzer``) — the same s-stemmer the build kernels applied,
+        so query terms land in the index's term space (Lucene analyzer
+        symmetry). Wildcard/prefix/suggest probes bypass the stemmer,
+        exactly like Lucene's un-analyzed multi-term queries — they
+        match the stemmed vocabulary literally."""
+        terms = query_terms(query)
+        if self.stats.get("analyzer", "plain") == "stem":
+            terms = sorted({stem_token(t) for t in terms})
+        return terms
+
+    def _qtokens(self, query: str) -> list[str]:
+        """Ordered, non-deduping analysis (phrase legs): frozen
+        tokenizer + the index's stemmer, position-preserving."""
+        from search_engine_spark.functions.tokenize import tokenize
+
+        toks = tokenize(query)
+        if self.stats.get("analyzer", "plain") == "stem":
+            toks = [stem_token(t) for t in toks]
+        return toks
 
     # ---- helpers ----
     @staticmethod
@@ -494,9 +517,9 @@ class QueryEngine:
         the boolean filters."""
         if "*" in query:
             query, expansions = self.expand_prefix_terms(query)
-            terms = sorted({*query_terms(query), *expansions})
+            terms = sorted({*self._qterms(query), *expansions})
         else:
-            terms = query_terms(query)
+            terms = self._qterms(query)
         if spell:
             terms = self.expand_query_terms(terms, max_edit=fuzzy)
         exclude = sorted(set(exclude or []))
@@ -701,7 +724,7 @@ class QueryEngine:
         Cost: the query terms' blocks are decoded once (same pruned
         scan as scoring) and joined to the broadcast k-row top-k —
         k·|q| output rows, content never read."""
-        terms = query_terms(query)
+        terms = self._qterms(query)
         idf_map, _ = self._term_info(terms)
         if not idf_map:
             return self.spark.createDataFrame(
@@ -743,7 +766,7 @@ class QueryEngine:
         from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
-        pterms = tokenize(phrase)
+        pterms = self._qtokens(phrase)
         if not pterms:
             return None
         try:
@@ -771,7 +794,7 @@ class QueryEngine:
         the result to ``plans.build.delete_docs`` (it accepts a
         DataFrame) for Lucene-model delete-by-query; CLI:
         ``delete <ix> --query="..." [--min-match=N]``."""
-        terms = query_terms(query)
+        terms = self._qterms(query)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
         ids = (
@@ -832,7 +855,7 @@ class QueryEngine:
         Driver syncs, all bounded: the n_fb-row feedback collect, a
         ≤ n_fb·top_m-row term-vector collect, and one term-dim df
         lookup — the same sync class as spell/typeahead."""
-        orig = query_terms(query)
+        orig = self._qterms(query)
         fb = [r["doc_id"] for r in self.bm25(query, k=n_fb).collect()]
         if not fb:
             return self.bm25(query, k=k, page=page)
@@ -869,7 +892,7 @@ class QueryEngine:
         queries cost one job instead of Q dispatches, and the scan side
         is the union of their block sets (shared terms decoded once).
         """
-        qterms = {qid: query_terms(qtext) for qid, qtext in queries.items()}
+        qterms = {qid: self._qterms(qtext) for qid, qtext in queries.items()}
         if spell:
             qterms = {q: self.expand_query_terms(ts) for q, ts in qterms.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -921,7 +944,7 @@ class QueryEngine:
         from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
-        phrase_terms = tokenize(query)
+        phrase_terms = self._qtokens(query)
         out_schema = ("doc_id long, pf int, score double, path string"
                       + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         if not phrase_terms:
@@ -963,7 +986,7 @@ class QueryEngine:
         from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
-        phrase_terms = tokenize(query)
+        phrase_terms = self._qtokens(query)
         cand = self.bm25(query, k=window_size)
         if not phrase_terms:
             return cand.withColumn("pf", F.lit(0)).withColumn(
@@ -1181,7 +1204,7 @@ class QueryEngine:
         172-186`, SURVEY §2.4 A5). Decodes only matching blocks; for
         display-only counts at huge scale swap countDistinct for
         approx_count_distinct (same plan shape)."""
-        terms = query_terms(query)
+        terms = self._qterms(query)
         idf_map = self._idf_map(terms)
         if not idf_map:
             return 0
@@ -1204,7 +1227,7 @@ class QueryEngine:
         shuffle join to the docs dims → stack-unpivot → single pass of
         low-cardinality groupBys (combiner-friendly: shuffle rows =
         #values per mapper)."""
-        terms = query_terms(query)
+        terms = self._qterms(query)
         idf_map = self._idf_map(terms)
         out_schema = ("facet string, value string, n_docs long, "
                       "max_score double, sum_score double")
@@ -1234,9 +1257,9 @@ class QueryEngine:
         Trailing-``*`` tokens expand like :meth:`bm25`."""
         if "*" in query:
             query, expansions = self.expand_prefix_terms(query)
-            terms = sorted({*query_terms(query), *expansions})
+            terms = sorted({*self._qterms(query), *expansions})
         else:
-            terms = query_terms(query)
+            terms = self._qterms(query)
         if spell:
             terms = self.expand_query_terms(terms)
         idf_map = self._idf_map(terms)
