@@ -673,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": lambda s, d: hybrid.hybrid_rrf_topk(
             s, _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
+        "sim_filtered_topk": lambda s, d: similarity.filtered_cosine_topk(
+            _t(s, d, "embeddings")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

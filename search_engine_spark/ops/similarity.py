@@ -110,6 +110,48 @@ def cosine_topk(emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES) -> Da
     )
 
 
+def filtered_cosine_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Metadata-filtered exact kNN — the "same lang/repo/tenant only"
+    vector search every production ANN store exposes (ES kNN ``filter``,
+    FAISS IDSelector, pgvector WHERE): candidates are restricted to the
+    query's own ``label`` class BEFORE the top-k cut (pre-filter
+    semantics — always k true neighbors from the allowed set, where
+    post-filtering a plain top-k can starve below k).
+
+    Plan shape: the filter lands in the crossJoin condition, so the
+    distance expression evaluates only on allowed pairs — at scale the
+    same predicate pushes into the IVF/LSH candidate scan (partition
+    prune on a label-partitioned vector table) and the distance-eval
+    count drops by the filter's selectivity, the whole point of
+    pre-filtered ANN."""
+    qs = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("qlabel"),
+    )
+    cands = emb.select("vec_id", "embedding", "label")
+    joined = cands.join(
+        F.broadcast(qs),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("qlabel")),
+    )
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    scored = joined.select(
+        "query_id", "vec_id", "label", F.round(cos, 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 MMR_LAMBDA = 0.7       # relevance weight; diversity weight written as the
 MMR_DIV = 0.3          # LITERAL 0.3 on both engines (1.0-0.7 in IEEE is
 #                        0.30000000000000004 — a cross-engine hash hazard)
@@ -928,6 +970,23 @@ scored AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+""",
+    "sim_filtered_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label, round({_COS}, 4) AS cosine
+  FROM embeddings c JOIN q
+    ON c.vec_id <> q.query_id AND c.label = q.qlabel
+), ranked AS (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOPK}
 """,
     "sim_lsh_signatures": f"""
