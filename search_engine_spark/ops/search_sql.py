@@ -1707,6 +1707,50 @@ def match_histogram(
     )
 
 
+COMPOSITE_SIZE = 8
+COMPOSITE_AFTER = ("en", "src2")  # after-key cursor: (lang, source)
+
+
+def composite_agg(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    size: int = COMPOSITE_SIZE,
+    after: tuple[str, str] | None = COMPOSITE_AFTER,
+) -> DataFrame:
+    """ES composite aggregation: pageable multi-source buckets over the
+    FULL matching set — buckets keyed (lang, source) in key order, one
+    page of ``size`` buckets strictly AFTER the ``after`` cursor. The
+    scale-safe bucket pagination: where a terms-agg must materialize
+    (and re-sort) every bucket per request, the after-key predicate
+    prunes buckets BEFORE the page cut, so deep bucket paging costs the
+    same as page 1 — the aggregation twin of keyset (search_after)
+    document paging.
+
+    Plan shape: the one-shuffle scored set joins doc metadata, one
+    (lang, source)-keyed aggregate with map-side combine, the cursor
+    filter on the aggregate output, TakeOrderedAndProject for the
+    page."""
+    terms = QUERY_MAIN if terms is None else terms
+    scored = bm25_scores(spark, docs, terms)
+    buckets = (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("score"), 4).alias("sum_score"),
+        )
+    )
+    if after is not None:
+        buckets = buckets.where(
+            F.struct("lang", "source")
+            > F.struct(F.lit(after[0]).alias("lang"), F.lit(after[1]).alias("source"))
+        )
+    return (
+        buckets.orderBy(F.asc("lang"), F.asc("source"))
+        .limit(size)
+        .select("lang", "source", "n_docs", "sum_score")
+    )
+
+
 DECAY_OFFSET_D = 30   # grace period before decay starts (days)
 DECAY_SCALE_D = 90    # at offset+scale days the multiplier equals DECAY_RATE
 DECAY_RATE = 0.5
@@ -2321,6 +2365,15 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
     "search_bm25_stem": _stem_scores_sql(QUERY_STEM),
+    "search_composite_agg": _scores_cte(QUERY_MAIN)
+    + f"""
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(s.score), 4) AS sum_score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+HAVING (d.lang, d.source) > ('{COMPOSITE_AFTER[0]}', '{COMPOSITE_AFTER[1]}')
+ORDER BY d.lang ASC, d.source ASC LIMIT {COMPOSITE_SIZE}""",
     "search_collapse_topk": _scores_cte(QUERY_MAIN)
     + f""",
 best AS (
