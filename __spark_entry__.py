@@ -697,6 +697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_match_histogram", "graph_bfs_3hop", "search_prf_topk",
         "rel_events_pivot", "search_top_hits", "search_did_you_mean",
         "rel_rolling_value",
+        # continuation-session additions (also never verified by driver
+        # or judge; local parity mirror green)
+        "rel_event_transitions", "rel_active_users_rolling",
+        "rel_daily_anomalies", "search_bm25_decay", "search_rank_feature",
+        "search_bm25_stem", "graph_adamic_adar", "text_zipf_slope",
+        "search_hybrid_rrf", "sim_filtered_topk", "search_composite_agg",
     ]
     demote = [
         "mm_jpeg_dims",  # subsumed by the full-decode mm_jpeg_pixels row
@@ -717,6 +723,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk",       # sim_ivfpq_topk stays
         "rel_sessionize",         # streaming twin keeps it pytest-pinned
         "dedup_embedding_pairs",  # sim_* LSH/exact-verify family stays
+        # displaced for the 11 continuation-session rows: every one is
+        # r2-judge-verified AND pytest-pinned (double coverage), while
+        # the promoted rows have never been verified by driver or judge
+        "sim_ann_lsh_topk",       # sim_ivfpq_topk + sim_ann_recall stay
+        "sim_pq_adc_topk",        # composed inside sim_ivfpq_topk
+        "dedup_ngram_jaccard",    # the LSH verify stage; dedup_lsh_pairs stays
+        "dedup_survivors_quality",  # dedup_clusters stays
+        "rel_asof_join",          # pytest + union-window plan audited
+        "rel_events_rollup",      # grouping-sets twin, pytest-pinned
+        "rel_value_quantiles",    # integer-rank protocol, pytest-pinned
+        "mm_extract_features",    # plumbing row; real decoders stay
+        "mm_image_resize",        # pytest:test_multimodal pins the resample
+        "graph_pagerank_5iter",   # pytest ≤1e-6 + judge r2 bit-exact
+        "graph_hits_5iter",       # pytest test_hits + judge r2
     ]
     order = list(q)
     assert all(k in order[:50] for k in demote)
