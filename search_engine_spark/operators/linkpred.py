@@ -77,7 +77,9 @@ def adamic_adar(
             .alias("w_e6"),
         )
     )
-    az = adj.join(centers, "z")
+    # both wedge legs read the weighted adjacency — persist so the
+    # degree join + cutoff filter run once, not per leg
+    az = adj.join(centers, "z").persist()
     a1 = az.select("z", F.col("nbr").alias("a"), "w_e6")
     a2 = az.select(F.col("z").alias("z2"), F.col("nbr").alias("b"))
     pairs = a1.join(
