@@ -163,6 +163,21 @@ def main() -> int:
                           (F.col("l_partkey") % 65536).alias("dst"))))(
                 __import__("search_engine_spark.operators.triangles",
                            fromlist=["x"]))),
+            # continuation-session ops
+            ("search_hybrid_rrf", lambda: (lambda h: h.hybrid_rrf_topk(
+                spark, docs, emb))(__import__(
+                    "search_engine_spark.ops.hybrid", fromlist=["x"]))),
+            # adamic-adar: same 65536-node projection rationale as
+            # triangles (the 4096-mod gate graph densifies with sf)
+            ("graph_adamic_adar", lambda: (lambda lp: lp.adamic_adar(
+                li.select((F.col("l_orderkey") % 65536).alias("src"),
+                          (F.col("l_partkey") % 65536).alias("dst"))))(
+                __import__("search_engine_spark.operators.linkpred",
+                           fromlist=["x"]))),
+            ("rel_event_transitions", lambda: relational.event_transitions(
+                spark.read.parquet(f"{sf_dir}/events.parquet"))),
+            ("rel_active_users_rolling", lambda: relational.active_users_rolling(
+                spark.read.parquet(f"{sf_dir}/events.parquet"))),
         ]:
             t0 = time.perf_counter()
             df_fn().count()
