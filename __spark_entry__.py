@@ -679,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composite_agg": lambda s, d: search_sql.composite_agg(
             s, _t(s, d, "documents")
         ),
+        "samp_temperature": lambda s, d: sampling.temperature_sample(
+            _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

@@ -229,6 +229,70 @@ def mixture_sample(
     )
 
 
+TEMP_ALPHA_E2 = 30   # α = 0.30 — mT5's temperature exponent (T = 1/α)
+TEMP_BUDGET_PCT = 40
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha_e2: int = TEMP_ALPHA_E2,
+    budget_pct: int = TEMP_BUDGET_PCT,
+) -> DataFrame:
+    """Temperature-scaled language mixture (mT5 / UNIMAX multilingual
+    training mix): per-lang target share ∝ n_lang^α with α < 1, so
+    low-resource languages are up-weighted relative to their corpus
+    share — the standard fix for English swamping a multilingual run
+    (Xue et al., mT5, NAACL'21 — re-derived from the published
+    sampling rule). α=1 degrades to proportional sampling; α=0 to
+    uniform-over-langs.
+
+    The DATA-DERIVED twin of :func:`mixture_sample` (whose shares are
+    caller-fixed literals): shares come from the observed per-lang
+    counts through one pow + one e6 round — the only float step; the
+    rate arithmetic after it is pure int64 (floor divisions), so both
+    engines derive bit-identical thresholds. Scale note: the
+    share·n_total·pct product is int64-safe to ~10^10 docs; beyond
+    that reorder into decimal(38) on both engines — a types-only
+    change.
+
+    Plan shape: identical to mixture_sample — one low-cardinality
+    count aggregate, rates broadcast back, selection stays a
+    scan-side hash-threshold filter (zero data shuffles)."""
+    tagged = docs.select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+    counts = tagged.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    powed = counts.withColumn(
+        "p", F.pow(F.col("n_lang").cast("double"), F.lit(alpha_e2 / 100.0))
+    )
+    tot = powed.agg(
+        F.sum("p").alias("sp"), F.sum("n_lang").alias("n_total")
+    )
+    rates = (
+        powed.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_e6",
+            F.round(F.lit(1_000_000.0) * F.col("p") / F.col("sp")).cast("long"),
+        )
+        .withColumn(
+            "rate_e6",
+            F.least(
+                F.lit(BUCKETS_E6).cast("long"),
+                F.expr(
+                    f"(share_e6 * n_total * {budget_pct})"
+                    " div (100 * n_lang)"
+                ),
+            ).cast("int"),
+        )
+        .select("lang", "rate_e6")
+    )
+    return (
+        tagged.join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_e6"))
+        .select("doc_id", "lang", "bucket", "rate_e6")
+    )
+
+
 TRAIN_PCT = 80
 VAL_PCT = 10
 
@@ -312,6 +376,29 @@ rates AS (
              (s.share_e6 * t.n_total * {MIXTURE_BUDGET_PCT} / 100.0 / 1000000.0)
              * {BUCKETS_E6} / c.n_lang) AS INTEGER)) AS rate_e6
   FROM counts c JOIN shares s USING (lang) CROSS JOIN tot t
+)
+SELECT g.doc_id, g.lang, g.bucket, r.rate_e6
+FROM tagged g JOIN rates r USING (lang)
+WHERE g.bucket < r.rate_e6
+""",
+    "samp_temperature": f"""
+WITH tagged AS (SELECT doc_id, lang, {_BKT} AS bucket FROM documents),
+counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM tagged GROUP BY lang),
+powed AS (
+  SELECT lang, n_lang,
+         pow(CAST(n_lang AS DOUBLE), {TEMP_ALPHA_E2 / 100.0}) AS p
+  FROM counts
+),
+tot AS (
+  SELECT sum(p) AS sp, CAST(sum(n_lang) AS BIGINT) AS n_total FROM powed
+),
+rates AS (
+  SELECT lang,
+         CAST(least(CAST({BUCKETS_E6} AS BIGINT),
+              (CAST(round(1000000.0 * p / t.sp) AS BIGINT)
+               * t.n_total * {TEMP_BUDGET_PCT}) // (100 * n_lang))
+           AS INTEGER) AS rate_e6
+  FROM powed CROSS JOIN tot t
 )
 SELECT g.doc_id, g.lang, g.bucket, r.rate_e6
 FROM tagged g JOIN rates r USING (lang)
