@@ -528,6 +528,7 @@ def build_index_df(
     # dynamic overwrite: re-running a wave replaces only its partitions
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    cfg = _pin_analyzer(spark, index_dir, cfg)
     corpus = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
@@ -754,16 +755,36 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
 def _inherit_analyzer(
     spark: SparkSession, index_dir: str, cfg: EngineConfig
 ) -> EngineConfig:
-    """Force ``cfg.stem`` to the landed index's analyzer (stats.json).
-    Extends/compactions must tokenize like the base build or variants
-    split across posting lists; a missing/legacy stats file (e.g. an
-    extend resuming before its first _index_stage) leaves cfg as-is."""
-    try:
-        landed = read_stats(spark, index_dir)
-    except Exception:  # noqa: BLE001 - no stats yet (interrupted build)
-        return cfg
-    want = landed.get("analyzer", "plain") == "stem"
-    return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+    """Force ``cfg.stem`` to the landed index's analyzer (the
+    analyzer.json marker, falling back to stats.json for pre-marker
+    indexes). Extends/compactions must tokenize like the base build or
+    variants split across posting lists; a missing/legacy marker (e.g.
+    an extend resuming before its first _index_stage) leaves cfg
+    as-is."""
+    for path in (f"{index_dir}/analyzer.json", f"{index_dir}/stats.json"):
+        try:
+            landed = _read_json(spark, path)
+        except Exception:  # noqa: BLE001 - marker/stats not landed yet
+            continue
+        want = landed.get("analyzer", "plain") == "stem"
+        return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+    return cfg
+
+
+def _pin_analyzer(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig
+) -> EngineConfig:
+    """Stage-1 analyzer pin for BASE builds: stats.json only lands at
+    the end of _index_stage, so a build interrupted mid-wave and
+    resumed with a different ``cfg.stem`` would mix analyzers across
+    waves of the same generation. The marker is written before the
+    first wave and wins over the resuming caller's cfg."""
+    path = f"{index_dir}/analyzer.json"
+    if fs_exists(spark, path):
+        want = _read_json(spark, path).get("analyzer", "plain") == "stem"
+        return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+    _write_json(spark, path, {"analyzer": "stem" if cfg.stem else "plain"})
+    return cfg
 
 
 def compact_index(
@@ -929,9 +950,9 @@ def _write_json(spark: SparkSession, path: str, payload: dict) -> None:
     out.close()
 
 
-def read_stats(spark: SparkSession, index_dir: str) -> dict:
+def _read_json(spark: SparkSession, path: str) -> dict:
     sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats.json")  # noqa: SLF001
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
     stream = fs.open(hpath)
     try:
@@ -939,3 +960,7 @@ def read_stats(spark: SparkSession, index_dir: str) -> dict:
     finally:
         stream.close()
     return json.loads(data.decode("utf-8"))
+
+
+def read_stats(spark: SparkSession, index_dir: str) -> dict:
+    return _read_json(spark, f"{index_dir}/stats.json")

@@ -103,6 +103,29 @@ def test_query_side_stems_symmetrically(spark, stem_index):
     assert sp == ss
 
 
+def test_resumed_build_inherits_pinned_analyzer(spark, tmp_path):
+    """A base build interrupted mid-wave and resumed with a DIFFERENT
+    cfg.stem must not mix analyzers: the analyzer.json marker written
+    before wave 0 wins over the resuming caller's cfg."""
+    ix = str(tmp_path / "ix")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index_df(
+            spark, _corpus(spark, DOCS), ix,
+            EngineConfig(stem=True, build_waves=2, build_partitions=4),
+            fail_after_waves=1,
+        )
+    # resume WITHOUT the stem flag — marker must override
+    build_index_df(
+        spark, _corpus(spark, DOCS), ix,
+        EngineConfig(stem=False, build_waves=2, build_partitions=4),
+    )
+    vocab = {r["term"] for r in spark.read.parquet(f"{ix}/terms").collect()}
+    assert "tree" in vocab and "trees" not in vocab
+    from search_engine_spark.plans.build import read_stats
+
+    assert read_stats(spark, ix)["analyzer"] == "stem"
+
+
 def test_extend_inherits_analyzer(spark, stem_index):
     # cfg says stem=False, but the landed index is stemmed — the delta
     # must tokenize with the index's analyzer, not the caller's cfg
