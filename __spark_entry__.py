@@ -682,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samp_temperature": lambda s, d: sampling.temperature_sample(
             _t(s, d, "documents")
         ),
+        "dedup_semantic_survivors": lambda s, d: similarity.semantic_dedup_survivors(
+            _t(s, d, "embeddings")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

@@ -467,6 +467,51 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
+SEM_TAU_4DP = "0.3"  # 4dp cosine threshold compared as a rounded literal
+
+
+def semantic_dedup_survivors(emb: DataFrame, tau_4dp: str = SEM_TAU_4DP) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540 — re-derived from the
+    published method): semantic deduplication INSIDE k-means clusters —
+    pairwise cosine is computed only among members of the same coarse
+    cluster, and of every pair above the threshold the lower vec_id
+    survives (the paper keeps one arbitrary member; lowest-id is the
+    deterministic choice). Output: the surviving (vec_id, cid) set.
+
+    Why clusters: all-pairs cosine is O(n²); SemDeDup's observation is
+    that semantic near-dups co-locate under a coarse quantizer, so the
+    pair work is Σ |cluster|² — bounded by the cluster granularity (at
+    10^9 vectors raise IVF_K so clusters stay ~10³; the same knob the
+    IVF index already owns). Reuses :func:`ivf_assignments` — the dedup
+    rides the retrieval index's own clustering, as in the paper.
+
+    Cross-engine: the comparison is on the 4dp-ROUNDED cosine against
+    a literal threshold — both engines round the same double, then
+    compare equal integers-in-decimal."""
+    asg = ivf_assignments(emb)
+    base = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    a = base.select(
+        "cid", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = base.select(
+        F.col("cid").alias("cid2"), F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    dominated = (
+        a.join(b, (F.col("cid") == F.col("cid2")) & (F.col("a") < F.col("b")))
+        .where(F.round(cos, 4) >= F.lit(float(tau_4dp)))
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        base.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "cid")
+    )
+
+
 PQ_M = 4       # subspaces (DIM/PQ_M dims each)
 PQ_K = 4       # codebook size per subspace
 PQ_ITERS = 2   # fixed Lloyd iterations per sub-codebook (oracle-twinned)
@@ -1039,6 +1084,22 @@ WHERE round({_DUCK_DOT.format(a='ea', b='eb')}
     "sim_ivf_assignments": f"""
 WITH {_duck_ivf_ctes()}
 SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM afin
+""",
+    "dedup_semantic_survivors": f"""
+WITH {_duck_ivf_ctes()},
+base AS (
+  SELECT e.vec_id, e.embedding, CAST(a.cid AS INTEGER) AS cid
+  FROM embeddings e JOIN afin a USING (vec_id)
+),
+dominated AS (
+  SELECT DISTINCT p2.vec_id
+  FROM base p1 JOIN base p2 ON p1.cid = p2.cid AND p1.vec_id < p2.vec_id
+  WHERE round({_DUCK_DOT.format(a="p1.embedding", b="p2.embedding")}
+        / ({_DUCK_NORM.format(a="p1.embedding")}
+           * {_DUCK_NORM.format(a="p2.embedding")}), 4) >= {SEM_TAU_4DP}
+)
+SELECT b.vec_id, b.cid FROM base b
+ANTI JOIN dominated d ON d.vec_id = b.vec_id
 """,
     "sim_ann_ivf_topk": f"""
 WITH {_duck_ivf_ctes()},
