@@ -57,6 +57,29 @@ def test_stem_token_rules():
     assert stem_token("tree") == "tree"      # no trailing s
 
 
+def test_stem_series_matches_scalar_property():
+    """Vectorized pandas stemmer ≡ the scalar rule on arbitrary
+    tokenizer-shaped strings (hypothesis)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.functions.tokenize import _stem_series
+
+    token = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=20))
+    def run(tokens):
+        got = _stem_series(pd.Series(tokens, dtype=object)).tolist()
+        assert got == [stem_token(t) for t in tokens]
+
+    run()
+
+
 def test_kernels_agree_under_stem(spark, fixture_dir):
     corpus = (
         spark.read.parquet(str(fixture_dir / "corpus.parquet"))
