@@ -100,6 +100,13 @@ class QueryEngine:
             terms = sorted({stem_token(t) for t in terms})
         return terms
 
+    def _alist(self, terms: list[str]) -> list[str]:
+        """Analyze an explicit term list (require/exclude/syn): dedupe,
+        sort, and — on a stemmed index — stem each term."""
+        if self.stats.get("analyzer", "plain") == "stem":
+            return sorted({stem_token(t) for t in terms})
+        return sorted(set(terms))
+
     def _qtokens(self, query: str) -> list[str]:
         """Ordered, non-deduping analysis (phrase legs): frozen
         tokenizer + the index's stemmer, position-preserving."""
@@ -522,8 +529,20 @@ class QueryEngine:
             terms = self._qterms(query)
         if spell:
             terms = self.expand_query_terms(terms, max_edit=fuzzy)
-        exclude = sorted(set(exclude or []))
-        require = sorted(set(require or []))
+        # boolean/boost term lists pass through the index's analyzer
+        # too (Lucene analyzes every clause of the query string): on a
+        # stemmed index `+trees` must hit the 'tree' posting list
+        exclude = self._alist(exclude or [])
+        require = self._alist(require or [])
+        if boost and self.stats.get("analyzer", "plain") == "stem":
+            merged: dict[str, float] = {}
+            for t, w in boost.items():
+                s = stem_token(t)
+                # variants folding onto one stem keep the strongest
+                # boost (deterministic; Lucene would sum clause scores,
+                # but our boost is a per-term weight, not a clause)
+                merged[s] = max(merged.get(s, 0.0), float(w))
+            boost = merged
         if require:
             # Lucene MUST: required terms both filter AND score
             terms = sorted({*terms, *require})
@@ -684,6 +703,7 @@ class QueryEngine:
 
         Union-df counts tombstoned docs until compaction, matching the
         engine's frozen-df idf convention for plain terms."""
+        groups = [self._alist(g) for g in groups]  # analyzer symmetry
         variants = sorted({t for g in groups for t in g})
         gmap = inline_table(
             self.spark,

@@ -126,6 +126,38 @@ def test_query_side_stems_symmetrically(spark, stem_index):
     assert sp == ss
 
 
+@pytest.fixture(scope="module")
+def stem_pos_index(spark, tmp_path_factory):
+    ix = str(tmp_path_factory.mktemp("stem_pos_ix") / "ix")
+    build_index_df(
+        spark, _corpus(spark, DOCS), ix,
+        EngineConfig(stem=True, store_positions=True,
+                     build_waves=1, build_partitions=4),
+    )
+    return ix
+
+
+def test_boolean_clauses_are_analyzed(spark, stem_pos_index):
+    """require/exclude lists pass through the stemmer too (Lucene
+    analyzes every clause): +trees on a stemmed index must hit the
+    'tree' posting list, and -stores must kill docs with 'store'."""
+    eng = QueryEngine(spark, stem_pos_index, cache_docs=False)
+    req = {r["path"] for r in
+           eng.bm25("binary keys", require=["trees"], k=5).collect()}
+    assert req == {"a/trees.py", "a/tree.py"}
+    # both tree docs contain store/stores → excluding the PLURAL form
+    # must remove them all
+    assert eng.bm25("tree", exclude=["stores"], k=5).count() == 0
+
+
+def test_phrase_is_analyzed(spark, stem_pos_index):
+    """Phrase legs stem position-preservingly: 'binary trees' matches
+    both the plural and the singular adjacency."""
+    eng = QueryEngine(spark, stem_pos_index, cache_docs=False)
+    hits = {r["path"] for r in eng.phrase("binary trees", k=5).collect()}
+    assert hits == {"a/trees.py", "a/tree.py"}
+
+
 def test_resumed_build_inherits_pinned_analyzer(spark, tmp_path):
     """A base build interrupted mid-wave and resumed with a DIFFERENT
     cfg.stem must not mix analyzers: the analyzer.json marker written
