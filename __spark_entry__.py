@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_survivors": lambda s, d: similarity.semantic_dedup_survivors(
             _t(s, d, "embeddings")
         ),
+        "mm_wav_spectrum": lambda s, d: multimodal.extract_audio_spectrum(
+            multimodal.with_tone_blob(_t(s, d, "documents"))
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

@@ -339,6 +339,71 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=MEDIA_FEATURE_SCHEMA)
 
 
+TONE_N = 128     # frames per tone window (integer cycles → clean DFT bins)
+TONE_AMP = 1000  # peak sample value of the synthesized sine
+
+
+def with_tone_blob(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic pure-tone WAV per doc: 16-bit mono,
+    8 kHz, ``TONE_N`` frames of a sine with exactly k = doc_id%20+4
+    cycles per window. Integer cycles mean zero spectral leakage, so
+    the window's DFT concentrates the tone in bin k and the oracle
+    predicts the dominant bin in closed form WITHOUT running a DFT —
+    the same decode-really/predict-cheaply contract as the PNG/JPEG
+    fixtures."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.arange(TONE_N)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                k = int(i % 20 + 4)
+                s = np.rint(
+                    TONE_AMP * np.sin(2.0 * np.pi * k * n / TONE_N)
+                ).astype(int)
+                payloads.append(make_wav([int(v) for v in s]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def extract_audio_spectrum(blobs: DataFrame) -> DataFrame:
+    """REAL spectral feature extraction — the audio analogue of the
+    pixel decoders: parse the WAV container (stdlib), run an rFFT over
+    the sample window, report the dominant non-DC bin. This is the
+    gate-checkable core of an audio training pipeline's front end
+    (log-mel/spectrogram features are banks of exactly these bins).
+
+    Scale shape: narrow ``mapInPandas``, only (doc_id, payload) cross
+    the Arrow boundary; the FFT is NumPy-vectorized per row, O(N log N)
+    on a constant window."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                a = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                spec = np.abs(np.fft.rfft(a))
+                k = int(np.argmax(spec[1:]) + 1)  # skip DC
+                rows.append((int(doc_id), len(a), k))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "dominant_bin"]
+            )
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, n_frames long, dominant_bin int"
+    )
+
+
 # n_bytes deliberately absent: the zlib-compressed payload size is
 # deterministic but not closed-form, so it can't be oracle-predicted
 IMAGE_FEATURE_SCHEMA = (
@@ -1179,6 +1244,12 @@ FROM documents
     # must extract from the synthesized payloads (with_media_blob):
     # 44-byte RIFF/PCM header + 2 bytes/frame; rms of a constant-
     # amplitude signal is the amplitude.
+    "mm_wav_spectrum": f"""
+SELECT doc_id,
+       CAST({TONE_N} AS BIGINT) AS n_frames,
+       CAST(doc_id % 20 + 4 AS INTEGER) AS dominant_bin
+FROM documents
+""",
     "mm_wav_features": """
 SELECT doc_id,
        'audio/wav' AS media_type,
