@@ -218,9 +218,10 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
                   f"doc {r['doc_id']})")
         return
     if spell:
-        from search_engine_spark.functions.tokenize import query_terms
-
-        expanded = eng.expand_query_terms(query_terms(query), max_edit=fuzzy)
+        # analyzer-aware tokenization (matches bm25(spell=True)): on a
+        # stemmed index, raw plurals are in-vocabulary only after the
+        # stem — checking the unstemmed form would mangle correct terms
+        expanded = eng.expand_query_terms(eng._qterms(query), max_edit=fuzzy)
         print(f"query terms after spell correction: {expanded}")
         query = " ".join(expanded)
     rows = eng.search(query, k=k, page_num=page, mode=mode).collect()

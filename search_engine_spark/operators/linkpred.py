@@ -94,10 +94,19 @@ def adamic_adar(
         ["a", "b"],
         "left_anti",
     )
-    return (
+    # materialize the bounded top-k, then release both caches — a
+    # long-lived session (gate driver, bench) must not accumulate
+    # edge-sized storage per call (cf. ops/bpe.py unpersist discipline)
+    rows = (
         non_adjacent.orderBy(F.desc("score_e6"), F.asc("a"), F.asc("b"))
         .limit(k)
         .select("a", "b", "common_neighbors", "score_e6")
+        .collect()
+    )
+    und.unpersist()
+    az.unpersist()
+    return edges.sparkSession.createDataFrame(
+        rows, "a long, b long, common_neighbors long, score_e6 long"
     )
 
 

@@ -489,10 +489,11 @@ def daily_anomalies(events: DataFrame) -> DataFrame:
     Cross-engine exactness: mean/variance are NOT computed via the
     engines' streaming variance aggregates (Welford accumulation order
     differs between engines); instead the z-score is algebraically
-    restated over three INTEGER sums per type — n days, Σcnt, Σcnt² —
-    so both engines evaluate round(1e4·(n·cnt − Σcnt) /
-    sqrt(n·(n·Σcnt² − Σcnt²))) from identical integers: one sqrt, one
-    divide, one round, bit-identical. Types with zero variance emit 0.
+    restated over three INTEGER sums per type — n days, S1 = Σcnt,
+    S2 = Σcnt² — so both engines evaluate
+    round(1e4·(n·cnt − S1) / sqrt(n·S2 − S1²)) from identical
+    integers: one sqrt, one divide, one round, bit-identical. Types
+    with zero variance emit 0.
 
     Scale shape: one (type, day)-keyed aggregate off the scan, then a
     |types|-row aggregate broadcast back — no window, no second scan."""

@@ -528,7 +528,10 @@ def build_index_df(
     # dynamic overwrite: re-running a wave replaces only its partitions
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    cfg = _pin_analyzer(spark, index_dir, cfg)
+    cfg = _pin_analyzer(
+        spark, index_dir, cfg,
+        resuming=resume and bool(ckpt.completed_partitions("postings")),
+    )
     corpus = with_identity(raw_corpus).withColumn(
         "part_id", _part_col("doc_id", cfg.build_partitions)
     )
@@ -758,29 +761,35 @@ def _inherit_analyzer(
     """Force ``cfg.stem`` to the landed index's analyzer (the
     analyzer.json marker, falling back to stats.json for pre-marker
     indexes). Extends/compactions must tokenize like the base build or
-    variants split across posting lists; a missing/legacy marker (e.g.
-    an extend resuming before its first _index_stage) leaves cfg
-    as-is."""
+    variants split across posting lists. Only a genuinely MISSING
+    marker/stats (legacy index, or an extend resuming before its first
+    _index_stage) leaves cfg as-is — a transient read error on an
+    existing file propagates rather than silently falling back to the
+    caller's cfg and splitting the term space."""
     for path in (f"{index_dir}/analyzer.json", f"{index_dir}/stats.json"):
-        try:
-            landed = _read_json(spark, path)
-        except Exception:  # noqa: BLE001 - marker/stats not landed yet
+        if not fs_exists(spark, path):
             continue
+        landed = _read_json(spark, path)
         want = landed.get("analyzer", "plain") == "stem"
         return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
     return cfg
 
 
 def _pin_analyzer(
-    spark: SparkSession, index_dir: str, cfg: EngineConfig
+    spark: SparkSession, index_dir: str, cfg: EngineConfig,
+    resuming: bool,
 ) -> EngineConfig:
     """Stage-1 analyzer pin for BASE builds: stats.json only lands at
     the end of _index_stage, so a build interrupted mid-wave and
     resumed with a different ``cfg.stem`` would mix analyzers across
     waves of the same generation. The marker is written before the
-    first wave and wins over the resuming caller's cfg."""
+    first wave and wins over the resuming caller's cfg ONLY on a
+    genuine resume (completed postings partitions exist) — a fresh or
+    restarted-from-zero build honors the caller's explicit flag and
+    re-pins the marker (no completed wave ⇒ every partition rewrites
+    anyway, so no mixing is possible)."""
     path = f"{index_dir}/analyzer.json"
-    if fs_exists(spark, path):
+    if resuming and fs_exists(spark, path):
         want = _read_json(spark, path).get("analyzer", "plain") == "stem"
         return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
     _write_json(spark, path, {"analyzer": "stem" if cfg.stem else "plain"})

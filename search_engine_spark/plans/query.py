@@ -783,7 +783,6 @@ class QueryEngine:
         occurrence-count-free, just existence. Returns None for a
         phrase that tokenizes empty (no-op filter); raises without the
         positional sidecar."""
-        from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
         pterms = self._qtokens(phrase)
@@ -961,7 +960,6 @@ class QueryEngine:
         count → broadcast stats joins → TakeOrderedAndProject.
         Token ORDER is preserved (``tokenize``, not the deduping
         ``query_terms``)."""
-        from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
         phrase_terms = self._qtokens(query)
@@ -1003,7 +1001,6 @@ class QueryEngine:
         outrank scattered-term docs of equal BM25, at O(window)
         positional cost regardless of corpus size. Requires
         ``store_positions=True``."""
-        from search_engine_spark.functions.tokenize import tokenize
         from search_engine_spark.ops.phrase import occurrences_from_positions
 
         phrase_terms = self._qtokens(query)
@@ -1077,6 +1074,10 @@ class QueryEngine:
         from search_engine_spark.ops.phrase import pair_counts_from_positions
 
         a, b = a.lower(), b.lower()
+        if self.stats.get("analyzer", "plain") == "stem":
+            # analyzer symmetry: the positions sidecar stores stemmed
+            # terms, so NEAR legs must stem like every other surface
+            a, b = stem_token(a), stem_token(b)
         out_schema = ("doc_id long, pf int, score double, path string"
                       + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         if a == b or not a or not b:

@@ -158,6 +158,34 @@ def test_phrase_is_analyzed(spark, stem_pos_index):
     assert hits == {"a/trees.py", "a/tree.py"}
 
 
+def test_near_is_analyzed(spark, stem_pos_index):
+    """NEAR legs stem like every other surface: the positions sidecar
+    stores stemmed terms, so plural legs must still match."""
+    eng = QueryEngine(spark, stem_pos_index, cache_docs=False)
+    plural = {r["path"] for r in eng.near("binary", "keys", window=6).collect()}
+    single = {r["path"] for r in eng.near("binary", "key", window=6).collect()}
+    assert plural == single and plural  # non-empty and identical
+
+
+def test_fresh_rebuild_honors_explicit_flag(spark, tmp_path):
+    """A COMPLETED build's marker must not override a deliberate full
+    rebuild with a different analyzer — the marker wins only on genuine
+    resumes (completed postings partitions present)."""
+    ix = str(tmp_path / "ix")
+    build_index_df(spark, _corpus(spark, DOCS), ix, CFG)  # stemmed
+    # deliberate rebuild WITHOUT stemming, resume disabled = fresh build
+    build_index_df(
+        spark, _corpus(spark, DOCS), ix,
+        EngineConfig(stem=False, build_waves=1, build_partitions=4),
+        resume=False,
+    )
+    vocab = {r["term"] for r in spark.read.parquet(f"{ix}/terms").collect()}
+    assert "trees" in vocab  # plural survives: the explicit flag won
+    from search_engine_spark.plans.build import read_stats
+
+    assert read_stats(spark, ix)["analyzer"] == "plain"
+
+
 def test_resumed_build_inherits_pinned_analyzer(spark, tmp_path):
     """A base build interrupted mid-wave and resumed with a DIFFERENT
     cfg.stem must not mix analyzers: the analyzer.json marker written
