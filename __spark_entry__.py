@@ -281,6 +281,12 @@ def _adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_tri_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.linkpred import jaccard_pairs
+
+    return jaccard_pairs(_tri_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
@@ -688,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_spectrum": lambda s, d: multimodal.extract_audio_spectrum(
             multimodal.with_tone_blob(_t(s, d, "documents"))
         ),
+        "graph_jaccard_pairs": _jaccard_pairs,
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current
@@ -811,5 +818,8 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.linkpred import oracle_sql_adamic_adar
 
     out["graph_adamic_adar"] = oracle_sql_adamic_adar(_TRI_EDGES_SQL)
+    from search_engine_spark.operators.linkpred import oracle_sql_jaccard
+
+    out["graph_jaccard_pairs"] = oracle_sql_jaccard(_TRI_EDGES_SQL)
     # graph_pagerank_prior: iterative fixpoint, intentionally no SQL twin
     return out

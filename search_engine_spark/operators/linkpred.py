@@ -110,6 +110,131 @@ def adamic_adar(
     )
 
 
+def jaccard_pairs(
+    edges: DataFrame, k: int = TOP_PAIRS,
+    max_center_degree: int = MAX_CENTER_DEGREE,
+) -> DataFrame:
+    """Jaccard neighbor-overlap link prediction — the other canonical
+    common-neighbor score (|N(a)∩N(b)| / |N(a)∪N(b)|; Liben-Nowell &
+    Kleinberg, CIKM'03 — re-derived): top-``k`` non-adjacent pairs
+    (a, b, common_neighbors, jaccard_e6), a < b, ordered by
+    (jaccard_e6 desc, a, b).
+
+    Same candidate machinery and ``max_center_degree`` cutoff as
+    :func:`adamic_adar` (common neighbors routed through capped
+    centers; the union term uses EXACT degrees, so the cutoff only
+    understates overlap through hub centers — the documented
+    approximation, oracle-matched). ×10^6 truncating fixed-point."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("u"),
+            F.greatest("src", "dst").cast("long").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .persist()
+    )
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    centers = deg.where(
+        (F.col("degree") >= 2) & (F.col("degree") <= max_center_degree)
+    ).select(F.col("node").alias("z"))
+    az = adj.join(centers, "z").persist()
+    a1 = az.select("z", F.col("nbr").alias("a"))
+    a2 = az.select(F.col("z").alias("z2"), F.col("nbr").alias("b"))
+    common = (
+        a1.join(a2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    scored = (
+        common.join(da, "a").join(db, "b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr(
+                f"({E6}L * common_neighbors)"
+                " div (da + db - common_neighbors)"
+            ).cast("long"),
+        )
+    )
+    non_adjacent = scored.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    rows = (
+        non_adjacent.orderBy(F.desc("jaccard_e6"), F.asc("a"), F.asc("b"))
+        .limit(k)
+        .select("a", "b", "common_neighbors", "jaccard_e6")
+        .collect()
+    )
+    und.unpersist()
+    deg.unpersist()
+    az.unpersist()
+    return edges.sparkSession.createDataFrame(
+        rows, "a long, b long, common_neighbors long, jaccard_e6 long"
+    )
+
+
+def oracle_sql_jaccard(
+    edges_sql: str, k: int = TOP_PAIRS,
+    max_center_degree: int = MAX_CENTER_DEGREE,
+) -> str:
+    """DuckDB twin of :func:`jaccard_pairs`."""
+    return f"""
+WITH edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+adj AS (
+  SELECT u AS z, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS z, u AS nbr FROM und
+),
+centers AS (
+  SELECT node AS z FROM deg
+  WHERE degree >= 2 AND degree <= {max_center_degree}
+),
+common AS (
+  SELECT a1.nbr AS a, a2.nbr AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj a1
+  JOIN centers c ON c.z = a1.z
+  JOIN adj a2 ON a2.z = a1.z AND a1.nbr < a2.nbr
+  GROUP BY a1.nbr, a2.nbr
+),
+scored AS (
+  SELECT cm.a, cm.b, cm.common_neighbors,
+         CAST(({E6} * cm.common_neighbors)
+              // (da.degree + db.degree - cm.common_neighbors) AS BIGINT)
+           AS jaccard_e6
+  FROM common cm
+  JOIN deg da ON da.node = cm.a
+  JOIN deg db ON db.node = cm.b
+)
+SELECT s.a, s.b, s.common_neighbors, s.jaccard_e6
+FROM scored s
+ANTI JOIN und ON und.u = s.a AND und.v = s.b
+ORDER BY s.jaccard_e6 DESC, s.a ASC, s.b ASC
+LIMIT {k}
+"""
+
+
 def oracle_sql_adamic_adar(
     edges_sql: str, k: int = TOP_PAIRS,
     max_center_degree: int = MAX_CENTER_DEGREE,
