@@ -1678,6 +1678,61 @@ def percolate(
     )
 
 
+# stored queries with MUST_NOT clauses: (qid, terms, require_all, exclude)
+PERC_NOT_QUERIES = [
+    ("q_all_filter_join_not_hash", ["filter", "join"], True, ["hash"]),
+    ("q_any_window_not_merge", ["window"], False, ["merge"]),
+    ("q_any_stream", ["stream"], False, []),
+]
+
+
+def percolate_not(
+    spark: SparkSession, docs: DataFrame,
+    queries: list[tuple[str, list[str], bool, list[str]]] | None = None,
+) -> DataFrame:
+    """Percolator with MUST_NOT clauses (the ES percolator's boolean
+    form): a stored query matches when its positive rule holds
+    (conjunctive = every term, disjunctive = ≥1) AND the doc contains
+    NONE of its excluded terms — saved-search alerting with negative
+    filters ("spark AND join but NOT hash").
+
+    Plan shape: the positive leg is :func:`percolate`'s broadcast-
+    registry count; exclusions are a second tiny broadcast join
+    producing the (doc, qid) pairs to suppress, removed by a
+    co-partitioned anti-join — the corpus is still touched exactly
+    once (the shared postings aggregate)."""
+    queries = PERC_NOT_QUERIES if queries is None else queries
+    pos_rows = [
+        (qid, t, len(sorted(set(terms))), bool(require_all))
+        for qid, terms, require_all, _ in queries
+        for t in sorted(set(terms))
+    ]
+    neg_rows = [
+        (qid, t)
+        for qid, _, _, exclude in queries
+        for t in sorted(set(exclude))
+    ]
+    qt = inline_table(
+        spark, sorted(pos_rows),
+        "qid string, term string, n_terms int, require_all boolean",
+    )
+    post = postings(docs)
+    matched = (
+        post.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "qid", "n_terms", "require_all")
+        .agg(F.count("*").cast("int").alias("n_hit"))
+        .where((~F.col("require_all")) | (F.col("n_hit") == F.col("n_terms")))
+        .select("doc_id", "qid", "n_hit")
+    )
+    if not neg_rows:
+        return matched
+    nt = inline_table(spark, sorted(neg_rows), "qid string, term string")
+    suppressed = (
+        post.join(F.broadcast(nt), "term").select("doc_id", "qid").distinct()
+    )
+    return matched.join(suppressed, ["doc_id", "qid"], "left_anti")
+
+
 HIST_WIDTH = 50
 
 
@@ -2253,6 +2308,44 @@ WHERE (NOT require_all) OR n_hit = n_terms
 """
 
 
+def _percolate_not_sql(
+    queries: list[tuple[str, list[str], bool, list[str]]],
+) -> str:
+    """DuckDB twin of :func:`percolate_not`: positive rule as in
+    :func:`_percolate_sql`, minus the (doc, qid) pairs hitting any
+    excluded term."""
+    pos = sorted(
+        (qid, t, len(sorted(set(terms))), bool(require_all))
+        for qid, terms, require_all, _ in queries
+        for t in sorted(set(terms))
+    )
+    vals = ", ".join(
+        f"('{qid}', '{t}', {n}, {'TRUE' if ra else 'FALSE'})"
+        for qid, t, n, ra in pos
+    )
+    neg = sorted(
+        (qid, t) for qid, _, _, exclude in queries for t in sorted(set(exclude))
+    )
+    nvals = ", ".join(f"('{qid}', '{t}')" for qid, t in neg)
+    return f"""
+WITH {_POST},
+q(qid, term, n_terms, require_all) AS (VALUES {vals}),
+nq(qid, term) AS (VALUES {nvals}),
+m AS (
+  SELECT p.doc_id, q.qid, q.n_terms, q.require_all,
+         CAST(count(*) AS INTEGER) AS n_hit
+  FROM post p JOIN q USING (term)
+  GROUP BY p.doc_id, q.qid, q.n_terms, q.require_all
+),
+sup AS (
+  SELECT DISTINCT p.doc_id, nq.qid FROM post p JOIN nq USING (term)
+)
+SELECT m.doc_id, m.qid, m.n_hit FROM m
+ANTI JOIN sup ON sup.doc_id = m.doc_id AND sup.qid = m.qid
+WHERE (NOT m.require_all) OR m.n_hit = m.n_terms
+"""
+
+
 _BATCH_SCORED_CTE = f"""
 WITH {_POST},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -2434,6 +2527,7 @@ SELECT source, doc_id, score, matched, rk FROM (
   FROM scored s JOIN documents d USING (doc_id)
 ) WHERE rk <= {TOP_HITS_N}""",
     "search_percolate": _percolate_sql(PERC_QUERIES),
+    "search_percolate_not": _percolate_not_sql(PERC_NOT_QUERIES),
     "search_match_histogram": _scores_cte(QUERY_MAIN)
     + f"""
 SELECT CAST((d.n_chars // {HIST_WIDTH}) * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
