@@ -698,6 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percolate_not": lambda s, d: search_sql.percolate_not(
             s, _t(s, d, "documents")
         ),
+        "search_bm25_highlight": lambda s, d: search_sql.bm25_topk_highlight(
+            s, _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

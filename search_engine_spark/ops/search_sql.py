@@ -227,6 +227,63 @@ def bm25_topk_snippets(
     )
 
 
+FRAG_LEN = 60      # rendered fragment length (chars)
+FRAG_LEFT = 20     # left context before each anchor
+MAX_FRAGS = 3
+
+
+def bm25_topk_highlight(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK, frag_len: int = FRAG_LEN,
+) -> DataFrame:
+    """Multi-fragment highlighting (ES ``highlight`` with
+    ``number_of_fragments``): per top-k hit, up to ``MAX_FRAGS``
+    NON-OVERLAPPING fragments, each anchored at the earliest occurrence
+    of a distinct query term — the upgrade over
+    :func:`bm25_topk_snippets`' single anchor. Greedy suppression:
+    anchors sort ascending and an anchor is kept only if it starts at
+    least ``frag_len`` past the previous KEPT anchor (the standard
+    highlighter passage rule); fragments renumber densely by position.
+
+    Scale shape: content is read only for the k hits (point lookups
+    after TakeOrderedAndProject); the anchor algebra is per-row array
+    expressions over ≤|q| positions — no extra shuffle beyond the k-row
+    window that renumbers fragments."""
+    terms = QUERY_MAIN if terms is None else terms
+    tset = sorted(set(terms))
+    assert len(tset) <= MAX_FRAGS, "highlighter supports ≤3 distinct terms"
+    top = bm25_topk(spark, docs, terms, k)
+    lowered = F.lower(F.col("text"))
+    arr = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.array(*[F.locate(t, lowered) for t in tset]),
+                lambda p: p > 0,
+            )
+        )
+    )
+    j = top.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "score", "text", arr.alias("ps")
+    )
+    p1, p2, p3 = (F.get("ps", i) for i in range(3))  # NULL out-of-bounds
+    k1 = p1
+    k2 = F.when(p2 >= p1 + frag_len, p2)
+    k3 = F.when(p3 >= F.coalesce(k2, p1) + frag_len, p3)
+    kept = F.filter(F.array(k1, k2, k3), lambda x: x.isNotNull())
+    frags = j.select(
+        "doc_id", "score", "text", F.explode(kept).alias("frag_start")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frag_start")
+    return frags.select(
+        "doc_id", "score",
+        F.row_number().over(w).cast("int").alias("frag_no"),
+        F.col("frag_start").cast("int").alias("frag_start"),
+        F.expr(
+            f"substring(text, greatest(1, frag_start - {FRAG_LEFT}), {frag_len})"
+        ).alias("fragment"),
+    )
+
+
 def bm25_topk_collapse(
     spark: SparkSession, docs: DataFrame, terms: list[str], k: int = TOPK,
     group_col: str = "source",
@@ -2528,6 +2585,42 @@ SELECT source, doc_id, score, matched, rk FROM (
 ) WHERE rk <= {TOP_HITS_N}""",
     "search_percolate": _percolate_sql(PERC_QUERIES),
     "search_percolate_not": _percolate_not_sql(PERC_NOT_QUERIES),
+    "search_bm25_highlight": _scores_cte(QUERY_MAIN)
+    + f""",
+topk AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+),
+anch AS (
+  SELECT t.doc_id, t.score, d.text,
+         list_sort(list_distinct(list_filter(
+           [{", ".join(f"strpos(lower(d.text), '{t}')" for t in sorted(set(QUERY_MAIN)))}],
+           p -> p > 0))) AS ps
+  FROM topk t JOIN documents d USING (doc_id)
+),
+pp AS (
+  SELECT doc_id, score, text, ps[1] AS p1, ps[2] AS p2, ps[3] AS p3 FROM anch
+),
+keeps AS (
+  SELECT doc_id, score, text, p1 AS k1,
+         CASE WHEN p2 >= p1 + {FRAG_LEN} THEN p2 END AS k2,
+         CASE WHEN p3 >= coalesce(CASE WHEN p2 >= p1 + {FRAG_LEN} THEN p2 END,
+                                  p1) + {FRAG_LEN}
+              THEN p3 END AS k3
+  FROM pp
+),
+f AS (
+  SELECT doc_id, score, text,
+         unnest(list_filter([k1, k2, k3], x -> x IS NOT NULL)) AS frag_start
+  FROM keeps
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frag_start)
+            AS INTEGER) AS frag_no,
+       CAST(frag_start AS INTEGER) AS frag_start,
+       substr(text, greatest(1, frag_start - {FRAG_LEFT}), {FRAG_LEN})
+         AS fragment
+FROM f""",
     "search_match_histogram": _scores_cte(QUERY_MAIN)
     + f"""
 SELECT CAST((d.n_chars // {HIST_WIDTH}) * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
