@@ -241,9 +241,14 @@ def bm25_topk_highlight(
     NON-OVERLAPPING fragments, each anchored at the earliest occurrence
     of a distinct query term — the upgrade over
     :func:`bm25_topk_snippets`' single anchor. Greedy suppression:
-    anchors sort ascending and an anchor is kept only if it starts at
-    least ``frag_len`` past the previous KEPT anchor (the standard
-    highlighter passage rule); fragments renumber densely by position.
+    anchors sort ascending and an anchor is kept only if its RENDERED
+    fragment start (``greatest(1, p - FRAG_LEFT)``) is at least
+    ``frag_len`` past the previous KEPT anchor's rendered start (the
+    standard highlighter passage rule). Comparing rendered starts, not
+    raw anchors, keeps the non-overlap guarantee even when the first
+    anchor sits within ``FRAG_LEFT`` chars of text start and its
+    fragment clamps to position 1 (ADVICE r3); fragments renumber
+    densely by position.
 
     Scale shape: content is read only for the k hits (point lookups
     after TakeOrderedAndProject); the anchor algebra is per-row array
@@ -266,9 +271,13 @@ def bm25_topk_highlight(
         "doc_id", "score", "text", arr.alias("ps")
     )
     p1, p2, p3 = (F.get("ps", i) for i in range(3))  # NULL out-of-bounds
+
+    def _rend(p):  # rendered fragment start for anchor p
+        return F.greatest(F.lit(1), p - F.lit(FRAG_LEFT))
+
     k1 = p1
-    k2 = F.when(p2 >= p1 + frag_len, p2)
-    k3 = F.when(p3 >= F.coalesce(k2, p1) + frag_len, p3)
+    k2 = F.when(_rend(p2) >= _rend(p1) + frag_len, p2)
+    k3 = F.when(_rend(p3) >= _rend(F.coalesce(k2, p1)) + frag_len, p3)
     kept = F.filter(F.array(k1, k2, k3), lambda x: x.isNotNull())
     frags = j.select(
         "doc_id", "score", "text", F.explode(kept).alias("frag_start")
@@ -1753,41 +1762,43 @@ def percolate_not(
     NONE of its excluded terms — saved-search alerting with negative
     filters ("spark AND join but NOT hash").
 
-    Plan shape: the positive leg is :func:`percolate`'s broadcast-
-    registry count; exclusions are a second tiny broadcast join
-    producing the (doc, qid) pairs to suppress, removed by a
-    co-partitioned anti-join — the corpus is still touched exactly
-    once (the shared postings aggregate)."""
+    Plan shape: ONE broadcast registry carrying both clause polarities
+    (``is_neg``) joined against the shared postings aggregate, then a
+    single per-(doc, qid) count — positive hits counted, any negative
+    hit vetoing the pair in the same aggregation. The corpus really is
+    touched exactly once (ADVICE r3: the previous anti-join formulation
+    re-derived ``postings(docs)`` for the exclusion leg)."""
     queries = PERC_NOT_QUERIES if queries is None else queries
-    pos_rows = [
-        (qid, t, len(sorted(set(terms))), bool(require_all))
-        for qid, terms, require_all, _ in queries
-        for t in sorted(set(terms))
-    ]
-    neg_rows = [
-        (qid, t)
-        for qid, _, _, exclude in queries
-        for t in sorted(set(exclude))
+    rows = [
+        (qid, t, len(sorted(set(terms))), bool(require_all), is_neg)
+        for qid, terms, require_all, exclude in queries
+        for t, is_neg in (
+            [(t, False) for t in sorted(set(terms))]
+            + [(t, True) for t in sorted(set(exclude))]
+        )
     ]
     qt = inline_table(
-        spark, sorted(pos_rows),
-        "qid string, term string, n_terms int, require_all boolean",
+        spark, sorted(rows),
+        "qid string, term string, n_terms int, require_all boolean,"
+        " is_neg boolean",
     )
-    post = postings(docs)
-    matched = (
-        post.join(F.broadcast(qt), "term")
+    return (
+        postings(docs)
+        .join(F.broadcast(qt), "term")
         .groupBy("doc_id", "qid", "n_terms", "require_all")
-        .agg(F.count("*").cast("int").alias("n_hit"))
-        .where((~F.col("require_all")) | (F.col("n_hit") == F.col("n_terms")))
+        .agg(
+            F.sum(F.when(~F.col("is_neg"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_hit"),
+            F.max(F.col("is_neg").cast("int")).alias("n_neg"),
+        )
+        .where(
+            (F.col("n_neg") == 0)
+            & (F.col("n_hit") > 0)
+            & ((~F.col("require_all")) | (F.col("n_hit") == F.col("n_terms")))
+        )
         .select("doc_id", "qid", "n_hit")
     )
-    if not neg_rows:
-        return matched
-    nt = inline_table(spark, sorted(neg_rows), "qid string, term string")
-    suppressed = (
-        post.join(F.broadcast(nt), "term").select("doc_id", "qid").distinct()
-    )
-    return matched.join(suppressed, ["doc_id", "qid"], "left_anti")
 
 
 HIST_WIDTH = 50
@@ -2383,6 +2394,13 @@ def _percolate_not_sql(
     neg = sorted(
         (qid, t) for qid, _, _, exclude in queries for t in sorted(set(exclude))
     )
+    if not neg:
+        # no stored query has exclusions: 'VALUES ' with zero rows is a
+        # SQL syntax error, and the Spark twin (percolate_not) already
+        # degrades to plain percolation — mirror it exactly
+        return _percolate_sql(
+            [(qid, terms, ra) for qid, terms, ra, _ in queries]
+        )
     nvals = ", ".join(f"('{qid}', '{t}')" for qid, t in neg)
     return f"""
 WITH {_POST},
@@ -2603,9 +2621,15 @@ pp AS (
 ),
 keeps AS (
   SELECT doc_id, score, text, p1 AS k1,
-         CASE WHEN p2 >= p1 + {FRAG_LEN} THEN p2 END AS k2,
-         CASE WHEN p3 >= coalesce(CASE WHEN p2 >= p1 + {FRAG_LEN} THEN p2 END,
-                                  p1) + {FRAG_LEN}
+         CASE WHEN greatest(1, p2 - {FRAG_LEFT})
+                   >= greatest(1, p1 - {FRAG_LEFT}) + {FRAG_LEN}
+              THEN p2 END AS k2,
+         CASE WHEN greatest(1, p3 - {FRAG_LEFT})
+                   >= greatest(1, coalesce(
+                        CASE WHEN greatest(1, p2 - {FRAG_LEFT})
+                                  >= greatest(1, p1 - {FRAG_LEFT}) + {FRAG_LEN}
+                             THEN p2 END,
+                        p1) - {FRAG_LEFT}) + {FRAG_LEN}
               THEN p3 END AS k3
   FROM pp
 ),

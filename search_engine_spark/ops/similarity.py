@@ -489,7 +489,15 @@ def semantic_dedup_survivors(emb: DataFrame, tau_4dp: str = SEM_TAU_4DP) -> Data
     a literal threshold — both engines round the same double, then
     compare equal integers-in-decimal."""
     asg = ivf_assignments(emb)
-    base = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    # base feeds three legs (pair sides a/b and the final anti-join);
+    # without materialization each leg re-runs the iterative k-means
+    # assignment chain (ADVICE r3). localCheckpoint stores the
+    # assignment once; blocks are GC'd when the result is dropped.
+    base = (
+        emb.select("vec_id", "embedding")
+        .join(asg, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a = base.select(
         "cid", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
     )

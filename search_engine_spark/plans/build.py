@@ -787,11 +787,34 @@ def _pin_analyzer(
     genuine resume (completed postings partitions exist) — a fresh or
     restarted-from-zero build honors the caller's explicit flag and
     re-pins the marker (no completed wave ⇒ every partition rewrites
-    anyway, so no mixing is possible)."""
+    anyway, so no mixing is possible).
+
+    On resume the lookup mirrors ``_inherit_analyzer``: analyzer.json
+    first, then stats.json (a legacy pre-marker index that completed a
+    prior generation recorded its analyzer there). Without the
+    fallback, resuming such an index with a different ``--stem`` flag
+    would pin the caller's analyzer, skip the completed (unstemmed)
+    partitions, and let _index_stage rewrite stats.json claiming
+    'stem' — queries would then stem terms against an unstemmed index
+    and silently return wrong/empty results."""
     path = f"{index_dir}/analyzer.json"
-    if resuming and fs_exists(spark, path):
-        want = _read_json(spark, path).get("analyzer", "plain") == "stem"
-        return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+    if resuming:
+        for landed_path in (path, f"{index_dir}/stats.json"):
+            if not fs_exists(spark, landed_path):
+                continue
+            want = (
+                _read_json(spark, landed_path).get("analyzer", "plain")
+                == "stem"
+            )
+            if cfg.stem != want:
+                cfg = _cfg_replace(cfg, stem=want)
+            if landed_path != path:
+                # promote the legacy stats.json analyzer into the marker
+                _write_json(
+                    spark, path,
+                    {"analyzer": "stem" if cfg.stem else "plain"},
+                )
+            return cfg
     _write_json(spark, path, {"analyzer": "stem" if cfg.stem else "plain"})
     return cfg
 

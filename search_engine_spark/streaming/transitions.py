@@ -10,7 +10,9 @@ between them would carry ts < watermark and be dropped by Spark
 itself. So each batch emits the pairs among the sorted prefix with
 ts < watermark and keeps only the LAST such event (it pairs with the
 next arrival) plus the suffix. State per user is bounded by the
-watermark delay — the same guarantee windowed aggregations get.
+watermark delay — the same guarantee windowed aggregations get — and
+AGGREGATE state is bounded by active users: a lone tail older than
+``IDLE_TTL_MS`` of event time is evicted by timer (see below).
 
 Downstream, transition counts/probabilities are an ordinary streaming
 aggregation over the emitted pair rows (or the batch op's groupBy on
@@ -29,8 +31,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUT_SCHEMA = "user_id long, event_type string, next_type string"
 STATE_SCHEMA = "buf_ts array<long>, buf_eid array<long>, buf_type array<string>"
 
+# Lone-tail idle TTL: a user whose LAST event has landed keeps a
+# 1-event buffer waiting for a successor that may never come. Without
+# eviction, aggregate state grows with the number of ever-seen users
+# (ADVICE r3) even though each user's buffer is bounded. Once the
+# watermark passes tail_ts + TTL we accept the tail can no longer pair
+# (a post-TTL arrival for that user starts a fresh chain) and remove
+# the state. 30 days of event time by default — far beyond any real
+# session gap, so the ≡-batch guarantee holds for any corpus whose
+# per-user gaps stay under the TTL.
+IDLE_TTL_MS = 30 * 24 * 3600 * 1000
 
-def _transitions_fn():
+
+def _transitions_fn(idle_ttl_ms: int = IDLE_TTL_MS):
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.exists:
@@ -66,8 +79,21 @@ def _transitions_fn():
             flush_at_ms = buf_ts[1] // 1000 + 1
             state.setTimeoutTimestamp(max(flush_at_ms, wm_us // 1000 + 1))
         elif buf_ts:
-            state.update((buf_ts, buf_eid, buf_type))
-            # a lone tail event can never finalize alone: no timeout
+            if wm_us >= buf_ts[0] + idle_ttl_ms * 1000:
+                # idle TTL expired: drop the lone tail (it can no
+                # longer pair under this policy) so total state stays
+                # bounded by ACTIVE users, not ever-seen users
+                state.remove()
+            else:
+                state.update((buf_ts, buf_eid, buf_type))
+                # a lone tail can't finalize alone — arm the eviction
+                # timer instead (strictly beyond the current watermark)
+                state.setTimeoutTimestamp(
+                    max(
+                        buf_ts[0] // 1000 + idle_ttl_ms,
+                        wm_us // 1000 + 1,
+                    )
+                )
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=["user_id", "event_type", "next_type"]
@@ -76,14 +102,17 @@ def _transitions_fn():
     return fn
 
 
-def transitions_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def transitions_stream(
+    events: DataFrame, watermark: str = "2 hours",
+    idle_ttl_ms: int = IDLE_TTL_MS,
+) -> DataFrame:
     """events stream → finalized (user_id, event_type, next_type) pair
     rows (append-mode, exactly-once under checkpointed reruns)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _transitions_fn(),
+            _transitions_fn(idle_ttl_ms),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -26,6 +26,10 @@ from tools.check_parity import TABLES, _canon  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# `pytest -m parity` runs just this mirror (twin-drift check at commit
+# time, VERDICT r3 item 7); it still runs in the default full suite.
+pytestmark = pytest.mark.parity
+
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 

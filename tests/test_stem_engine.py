@@ -209,6 +209,38 @@ def test_resumed_build_inherits_pinned_analyzer(spark, tmp_path):
     assert read_stats(spark, ix)["analyzer"] == "stem"
 
 
+def test_legacy_premarker_resume_falls_back_to_stats(spark, tmp_path):
+    """A legacy (pre-marker) index has no analyzer.json but a completed
+    stats.json. Resuming it with a DIFFERENT --stem flag must pin the
+    landed analyzer from stats.json (the _inherit_analyzer fallback) —
+    not the caller's flag — or the completed (plain) partitions would
+    be skipped while stats.json gets rewritten claiming 'stem', and
+    queries would stem terms against an unstemmed index."""
+    import os
+
+    ix = str(tmp_path / "ix")
+    build_index_df(
+        spark, _corpus(spark, DOCS), ix,
+        EngineConfig(stem=False, build_waves=1, build_partitions=4),
+    )
+    os.remove(f"{ix}/analyzer.json")  # simulate pre-marker index
+    # resume with stem=True: all postings partitions are complete, so
+    # nothing re-tokenizes — the analyzer MUST stay 'plain'
+    build_index_df(
+        spark, _corpus(spark, DOCS), ix,
+        EngineConfig(stem=True, build_waves=1, build_partitions=4),
+    )
+    from search_engine_spark.plans.build import read_stats
+
+    assert read_stats(spark, ix)["analyzer"] == "plain"
+    vocab = {r["term"] for r in spark.read.parquet(f"{ix}/terms").collect()}
+    assert "trees" in vocab  # plural survived: no mixed analysis
+    # and the marker got promoted so later extends see it directly
+    eng = QueryEngine(spark, ix, cache_docs=False)
+    hits = {r["path"] for r in eng.bm25("trees", k=5).collect()}
+    assert "a/trees.py" in hits
+
+
 def test_extend_inherits_analyzer(spark, stem_index):
     # cfg says stem=False, but the landed index is stemmed — the delta
     # must tokenize with the index's analyzer, not the caller's cfg
