@@ -152,11 +152,14 @@ def train_bpe(
     return merges, words
 
 
+MAX_VOCAB_DEFAULT = 1_000_000  # driver-pull bound (VERDICT r3 item 5)
+
+
 def train_bpe_local(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int = N_MERGES,
-    max_vocab: int | None = None,
+    max_vocab: int | None = MAX_VOCAB_DEFAULT,
 ) -> tuple[list[tuple[int, str, str, str, int]], dict[str, list[str]]]:
     """Exact sequential BPE with ONE driver sync: collect the bounded
     word-count dict, then run the incremental-pair-count algorithm
@@ -166,7 +169,9 @@ def train_bpe_local(
     Bit-identical to ``train_bpe`` / the DuckDB chain-CTE twin for the
     same vocabulary: same greedy scan, same (count desc, l asc, r asc)
     tie-break. ``max_vocab`` (top-V words by count, ties by term) bounds
-    the driver pull at open-vocabulary scale."""
+    the driver pull at open-vocabulary scale — ON by default at 10⁶ so
+    an unbounded pull requires the explicit ``max_vocab=None`` opt-out
+    (a pathological vocabulary must not OOM the driver by accident)."""
     wc = word_counts(docs)
     if max_vocab is not None:
         wc = wc.orderBy(F.desc("c"), F.asc("term")).limit(max_vocab)
@@ -221,7 +226,7 @@ def bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int = N_MERGES,
-    max_vocab: int | None = None,
+    max_vocab: int | None = MAX_VOCAB_DEFAULT,
 ) -> DataFrame:
     """Gate surface: the learned merge table (local exact trainer —
     one driver sync)."""
@@ -233,7 +238,7 @@ def bpe_encode(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int = N_MERGES,
-    max_vocab: int | None = None,
+    max_vocab: int | None = MAX_VOCAB_DEFAULT,
 ) -> DataFrame:
     """Per-doc subword stats after ``n_merges`` merges: (doc_id,
     n_tokens, n_subwords). The trained ``term → syms`` map is

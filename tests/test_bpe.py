@@ -158,3 +158,24 @@ def test_oracle_survives_merge_exhaustion(spark):
         d: (t, s) for d, t, s in con.execute(sqls["bpe_encode"]).fetchall()
     }
     assert spark_enc == duck_enc == {1: (3, 3), 2: (3, 3)}
+
+
+def test_max_vocab_bounds_driver_pull_by_default(spark):
+    """VERDICT r3 item 5: the driver pull is capped by default — an
+    unbounded collect requires the explicit ``max_vocab=None`` opt-out.
+    With a tiny cap, only the top-V words (count desc, term asc) shape
+    the merges."""
+    import inspect
+
+    from search_engine_spark.ops import bpe as bpe_mod
+
+    for fn in (bpe_mod.train_bpe_local, bpe_mod.bpe_merges, bpe_mod.bpe_encode):
+        default = inspect.signature(fn).parameters["max_vocab"].default
+        assert default == bpe_mod.MAX_VOCAB_DEFAULT and default is not None
+
+    rows = [(i, "aa bb " * 5 + f"rare{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=2 keeps only {aa, bb}: merges can only ever involve a/b chars
+    merges, vocab = bpe_mod.train_bpe_local(spark, docs, n_merges=4, max_vocab=2)
+    assert set(vocab) == {"aa", "bb"}
+    assert all(set(m[1] + m[2]) <= set("ab") for m in merges)
