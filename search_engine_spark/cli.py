@@ -63,6 +63,10 @@ Query flags (reference-parity surface):
     --prf           pseudo-relevance-feedback expansion (needs build
                     --termvecs): top-5 hits' term vectors vote 3
                     expansion terms, re-query with them at weight 0.5
+    --score=decay   ES function_score blends that KEEP block-max WAND
+    --score=feature pruning (operators/scoremod.py): exponential
+                    recency decay multiplier / rank-feature saturation
+                    on the stored doc length
 """
 
 from __future__ import annotations
@@ -128,12 +132,26 @@ def _query(index_dir: str, query: str, k: int, spell: bool = False,
            min_match: int = 1, exclude: list[str] | None = None,
            syn: str = "", explain: bool = False,
            rescore: bool = False, collapse: str = "",
-           prf: bool = False) -> None:
+           prf: bool = False, score: str = "") -> None:
     from search_engine_spark.plans.query import QueryEngine
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-query")
     eng = QueryEngine(spark, index_dir)
+    if score:
+        from search_engine_spark.operators.scoremod import (
+            DlSaturation,
+            RecencyDecay,
+        )
+
+        mod = {"decay": RecencyDecay, "feature": DlSaturation}[score]()
+        rows = eng.bm25(query, k=k, page=page, modifier=mod).collect()
+        if not rows:
+            print("(no hits)")
+        for r in rows:
+            print(f"{r['path']}: {r['score']:.6f}  ({score}-bm25, matched "
+                  f"{r['matched']}, doc {r['doc_id']})")
+        return
     if qs:
         from search_engine_spark.functions.querylang import parse_query
 
@@ -373,7 +391,9 @@ def main(argv: list[str]) -> int:
                rescore="--rescore" in flags,
                collapse=next((f.split("=", 1)[1] for f in flags
                               if f.startswith("--collapse=")), ""),
-               prf="--prf" in flags)
+               prf="--prf" in flags,
+               score=next((f.split("=", 1)[1] for f in flags
+                           if f.startswith("--score=")), ""))
     else:
         print(__doc__)
         return 2

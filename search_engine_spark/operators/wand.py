@@ -62,7 +62,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
                     min_match: int = 1,
                     excluded: frozenset[str] | set[str] | None = None,
                     salt_bits: int | None = None,
-                    required: frozenset[str] | set[str] | None = None) -> pd.DataFrame:
+                    required: frozenset[str] | set[str] | None = None,
+                    modifier=None) -> pd.DataFrame:
     """Exact top-k (score ties kept) for one salt's blocks of the query
     terms; with ``min_match=m`` > 1, the top-k over docs matching ≥ m
     terms (minimumNumberShouldMatch), still with block-max pruning:
@@ -104,7 +105,18 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     wherever replicated), so a foreign partial row either truly
     qualifies (underestimated score, dominated in the max-score merge —
     the standard replication argument) or is dropped here while the
-    doc's home group decides correctly."""
+    doc's home group decides correctly.
+
+    ``modifier`` (r4, operators/scoremod.py) blends a function_score
+    transform INTO the kernel: segment bounds become
+    ``modifier.seg_caps(bounds, seg_ub)`` (multiplicative caps use the
+    segment's contiguous doc range; additive caps add the bounded
+    feature weight), θ tracks exact FINAL scores, and per-doc finals
+    come from ``modifier.apply_np`` on the same decode (dl is carried
+    per doc when the modifier needs it). Pruning stays exact because
+    the cap dominates every final score in the segment — see the
+    scoremod module docstring; property-tested WAND ≡ exhaustive with
+    both modifier kinds."""
     excluded = frozenset(excluded or ())
     required = frozenset(required or ())
     n_req = len(required)
@@ -147,7 +159,12 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
     np.add.at(delta, np.searchsorted(bounds, firsts), ubs)
     np.add.at(delta, np.searchsorted(bounds, lasts + 1), -ubs)
     seg_ub = np.cumsum(delta)[:nseg]
+    if modifier is not None:
+        # effective bounds under the score transform (per-segment caps;
+        # one more safety factor for the extra float op)
+        seg_ub = modifier.seg_caps(bounds, seg_ub) * _UB_SAFETY
     order = np.argsort(-seg_ub, kind="stable")
+    needs_dl = modifier is not None and modifier.needs_dl
 
     # distinct-term coverage per segment (blocks of one term have
     # disjoint doc ranges, so covering blocks == covering terms)
@@ -206,9 +223,9 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             )
         return got
 
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray | None]] = {}
 
-    def _decode(bi: int) -> tuple[np.ndarray, np.ndarray]:
+    def _decode(bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
         got = decoded.get(bi)
         if got is None:
             r = rows.iloc[bi]
@@ -220,7 +237,7 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             part = idfs[bi] * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
-            decoded[bi] = got = (docs, part)
+            decoded[bi] = got = (docs, part, dl if needs_dl else None)
         return got
 
     kept_d: list[np.ndarray] = []
@@ -237,14 +254,16 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
         if n_req and req_coverage[si] < n_req:
             continue  # a required term has no block here → no MUST doc
         lo, hi1 = int(bounds[si]), int(bounds[si + 1])
-        das, sas, fas = [], [], []
+        das, sas, fas, dls = [], [], [], []
         for bi in seg_blocks[si]:
-            docs, part = _decode(bi)
+            docs, part, dl = _decode(bi)
             i0 = int(np.searchsorted(docs, lo, side="left"))
             i1 = int(np.searchsorted(docs, hi1, side="left"))
             if i1 > i0:
                 das.append(docs[i0:i1])
                 sas.append(part[i0:i1])
+                if needs_dl:
+                    dls.append(dl[i0:i1])
                 if n_req:
                     fas.append(
                         np.full(i1 - i0, int(req_flags[bi]), dtype=np.int64)
@@ -258,6 +277,11 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
         np.add.at(ss, inv, s)
         mm = np.zeros(ud.size, dtype=np.int64)
         np.add.at(mm, inv, 1)
+        dd = None
+        if needs_dl:
+            # per-doc dl (identical across a doc's postings; max-merge)
+            dd = np.zeros(ud.size, dtype=np.float64)
+            np.maximum.at(dd, inv, np.concatenate(dls))
         rm = None
         if n_req:
             f = np.concatenate(fas)
@@ -270,6 +294,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             ud, ss, mm = ud[q], ss[q], mm[q]
             if rm is not None:
                 rm = rm[q]
+            if dd is not None:
+                dd = dd[q]
         if exc_seg_blocks[si]:
             exd = []
             for bi in exc_seg_blocks[si]:
@@ -285,6 +311,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
                 ud, ss, mm = ud[q], ss[q], mm[q]
                 if rm is not None:
                     rm = rm[q]
+                if dd is not None:
+                    dd = dd[q]
         if rm is not None:
             # MUST: θ and the output may only see docs matching every
             # required term (rm is complete in-segment, same argument
@@ -293,6 +321,8 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             if not q.any():
                 continue
             ud, ss, mm = ud[q], ss[q], mm[q]
+            if dd is not None:
+                dd = dd[q]
         if min_match > 1:
             # θ and the output may only see qualifying docs — a doc's
             # full (score, matched) come from ONE segment, so mm is
@@ -301,6 +331,12 @@ def wand_topk_group(pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float,
             if not q.any():
                 continue
             ud, ss, mm = ud[q], ss[q], mm[q]
+            if dd is not None:
+                dd = dd[q]
+        if modifier is not None:
+            # θ and the output track exact FINAL scores (the segment
+            # caps above dominate them, so the break stays sound)
+            ss = modifier.apply_np(ud, dd, ss)
         kept_d.append(ud)
         kept_s.append(ss)
         kept_m.append(mm)
@@ -329,7 +365,8 @@ def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
               min_match: int = 1,
               excluded: frozenset[str] | set[str] | None = None,
               salt_bits: int | None = None,
-              required: frozenset[str] | set[str] | None = None) -> DataFrame:
+              required: frozenset[str] | set[str] | None = None,
+              modifier=None) -> DataFrame:
     """Distributed block-max WAND: per-salt exact top-k → caller merges.
 
     ``blocks`` must already be filtered to the query's terms (bucket +
@@ -343,11 +380,16 @@ def wand_topk(blocks: DataFrame, idf_map: dict[str, float], avgdl: float,
     must then also carry the excluded terms' rows, and each group emits
     only its home-salt docs (see wand_topk_group docstring).
     ``required`` enables in-kernel MUST — required-coverage segment
-    skip + per-doc required-count filter (see wand_topk_group)."""
+    skip + per-doc required-count filter (see wand_topk_group).
+    ``modifier`` blends a function_score transform with capped segment
+    bounds (see wand_topk_group / operators/scoremod.py); the per-salt
+    max-merge stays sound because a foreign partial row's final score
+    is still dominated by the home row's (multiplicative: same
+    multiplier scales both; additive: same dl feature adds to both)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return wand_topk_group(pdf, idf_map, avgdl, k, k1, b, min_match,
                                excluded=excluded, salt_bits=salt_bits,
-                               required=required)
+                               required=required, modifier=modifier)
 
     return blocks.groupBy("salt").applyInPandas(fn, schema=WAND_OUT_SCHEMA)

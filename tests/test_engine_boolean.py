@@ -503,3 +503,36 @@ def test_must_wand_rank_identity(booly):
     # OOV MUST empties under WAND too
     assert eng.bm25("binary", k=K, require=["zzznopezzz"],
                     wand=True).collect() == []
+
+
+def test_modifier_wand_equals_exhaustive_engine(booly):
+    """r4 function_score (VERDICT r3 item 3): engine-level WAND ≡
+    exhaustive for both modifier kinds over the persisted index, and
+    the router is ALLOWED to pick WAND for modifier queries (modifier
+    does not force the exhaustive path)."""
+    from search_engine_spark.operators.scoremod import (
+        DlSaturation,
+        RecencyDecay,
+    )
+
+    eng, _ = booly
+    for mod in (RecencyDecay(), DlSaturation()):
+        w = eng.bm25(QUERY, k=K, wand=True, modifier=mod).collect()
+        e = eng.bm25(QUERY, k=K, wand=False, modifier=mod).collect()
+        assert [r["doc_id"] for r in w] == [r["doc_id"] for r in e]
+        for rw, re_ in zip(w, e):
+            assert rw["score"] == pytest.approx(re_["score"], rel=1e-9)
+        assert len(w) == K
+
+    # routing: a modifier must not flip the cost-based choice — with the
+    # threshold forced low, the default path is WAND with and without a
+    # modifier (observable: identical results to the forced-WAND path,
+    # and no ValueError from a forced-exhaustive-only feature)
+    old = eng.cfg.wand_min_postings
+    try:
+        eng.cfg = eng.cfg.__class__(**{**eng.cfg.__dict__, "wand_min_postings": 0})
+        routed = eng.bm25(QUERY, k=K, modifier=RecencyDecay()).collect()
+        forced = eng.bm25(QUERY, k=K, wand=True, modifier=RecencyDecay()).collect()
+        assert [r["doc_id"] for r in routed] == [r["doc_id"] for r in forced]
+    finally:
+        eng.cfg = eng.cfg.__class__(**{**eng.cfg.__dict__, "wand_min_postings": old})

@@ -290,3 +290,84 @@ def test_wand_required_equals_exhaustive(seed):
         blocks, idf_map, AVGDL, k, required=frozenset({terms[0], "zzz"})
     )
     assert len(got) == 0
+
+
+def _final_scores(all_scores, mod, postings=None):
+    """Exhaustive final scores under a scoremod modifier."""
+    import numpy as np
+
+    dl_of = {}
+    if postings is not None:
+        for plist in postings.values():
+            for d, _tf, dl in plist:
+                dl_of[d] = dl
+    out = {}
+    for d, s in all_scores.items():
+        dls = np.array([dl_of.get(d, 0)], dtype=np.float64)
+        out[d] = float(
+            mod.apply_np(np.array([d], dtype=np.int64), dls,
+                         np.array([s], dtype=np.float64))[0]
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_modifier_equals_exhaustive(seed):
+    """r4 (VERDICT r3 item 3): function_score modifiers keep block-max
+    pruning and stay exact — the kernel's top-k over FINAL scores
+    (bm25·decay or bm25+saturation) equals the exhaustive transform +
+    top-k, for both modifier kinds, alone and composed with
+    min_match."""
+    from search_engine_spark.operators.scoremod import (
+        DlSaturation,
+        RecencyDecay,
+    )
+
+    rng = random.Random(7000 + seed)
+    n_docs = rng.randint(5, 400)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c", "d"][: rng.randint(1, 4)]
+    postings = {}
+    for t in terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        const = rng.random() < 0.33
+        postings[t] = [
+            (d, 3 if const else rng.randint(1, 9), 50 if const else rng.randint(10, 90))
+            for d in docs
+        ]
+    # per-doc dl must be consistent across terms (it is a DOC property)
+    dl_fix = {d: rng.randint(10, 90) for d in doc_ids}
+    postings = {
+        t: [(d, tf, dl_fix[d]) for d, tf, _ in plist]
+        for t, plist in postings.items()
+    }
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([1, 3, 10])
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16, 128]))
+    _, all_scores, all_matched = _exhaustive(postings, idf_map, k)
+
+    mods = [
+        RecencyDecay(),
+        RecencyDecay(offset_d=0, scale_d=10, rate=0.2, age_mod=97),
+        DlSaturation(),
+        DlSaturation(weight=5.0, pivot=40.0),
+    ]
+    for mod in mods:
+        finals = _final_scores(all_scores, mod, postings)
+        for m in (1, 2):
+            got = wand_topk_group(
+                blocks, idf_map, AVGDL, k, min_match=m, modifier=mod
+            )
+            qual = {d: s for d, s in finals.items() if all_matched[d] >= m}
+            got_map = {
+                int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()
+            }
+            for d, s in got_map.items():
+                assert d in qual
+                assert s == pytest.approx(qual[d], rel=1e-9)
+            if not qual:
+                assert not got_map
+                continue
+            ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            kth = ranked[-1][1]
+            assert {d for d, s in qual.items() if s > kth * (1 + 1e-12)} <= set(got_map)
