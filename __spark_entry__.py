@@ -701,6 +701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_highlight": lambda s, d: search_sql.bm25_topk_highlight(
             s, _t(s, d, "documents")
         ),
+        # --- new in round 4 ---
+        "search_hybrid_rrf_ann": lambda s, d: hybrid.hybrid_rrf_ann_topk(
+            s, _t(s, d, "documents"), _t(s, d, "embeddings")
+        ),
+        "search_hybrid_rrf_drift": lambda s, d: hybrid.hybrid_rrf_drift(
+            s, _t(s, d, "documents"), _t(s, d, "embeddings")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

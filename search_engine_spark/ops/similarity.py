@@ -966,10 +966,13 @@ FROM ranked WHERE rank <= {TOPK}
     )
 
 
-def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
+def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS,
+                    n_queries: int = N_QUERIES, topk: int = TOPK) -> str:
     """IVF-PQ twin: coarse k-means assignment (afin, from
     :func:`_duck_ivf_ctes`) restricts candidates to the query's cluster;
-    ADC distance tables rank them through their codes."""
+    ADC distance tables rank them through their codes. ``n_queries`` /
+    ``topk`` parameterize the query set and cut (the hybrid-RRF ANN leg
+    uses a single query at pool depth)."""
     parts = (
         [_duck_ivf_ctes(), _duck_pq_ctes(m=m, iters=iters, skip_qe=True)]
         + _duck_dt_ctes(m, iters)
@@ -987,7 +990,7 @@ def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS) -> str:
         + ",\n".join(p for p in parts if p)
         + f""",
 qclus AS (SELECT vec_id AS query_id, cid AS qcid FROM afin
-          WHERE vec_id < {N_QUERIES}),
+          WHERE vec_id < {n_queries}),
 adc AS (
   SELECT q.query_id, p0.vec_id, CAST({dsum} AS BIGINT) AS adc_dist
   FROM {vjoins}
@@ -1002,7 +1005,7 @@ ranked AS (
   FROM adc
 )
 SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= {TOPK}
+FROM ranked WHERE rank <= {topk}
 """
     )
 
