@@ -97,6 +97,16 @@ def _pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_e12(_graph_edges(_t(spark, sf_dir, "lineitem")))
 
 
+def _ppr_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank (×10^12 integer
+    fixed-point, r4): teleport/dangling mass redistribute by a
+    deterministic modular seed vector over the lineitem-derived graph
+    — bit-exact vs the chained-CTE DuckDB twin (oracle_sql_ppr_e12)."""
+    from search_engine_spark.operators.pagerank import ppr_fixed_e12
+
+    return ppr_fixed_e12(_graph_edges(_t(spark, sf_dir, "lineitem")))
+
+
 def _hits_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS in ×10^6 integer fixed-point over the same
     deterministic lineitem-derived graph — bit-exact vs the chained-CTE
@@ -708,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf_drift": lambda s, d: hybrid.hybrid_rrf_drift(
             s, _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
+        "graph_ppr_5iter": _ppr_5iter,
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current
@@ -807,6 +818,9 @@ WHERE lang IN ('en', 'es')
     from search_engine_spark.operators.pagerank import oracle_sql_fixed_e12
 
     out["graph_pagerank_5iter"] = oracle_sql_fixed_e12(_GRAPH_EDGES_SQL)
+    from search_engine_spark.operators.pagerank import oracle_sql_ppr_e12
+
+    out["graph_ppr_5iter"] = oracle_sql_ppr_e12(_GRAPH_EDGES_SQL)
     from search_engine_spark.operators.hits import oracle_sql_hits_e6
 
     out["graph_hits_5iter"] = oracle_sql_hits_e6(_GRAPH_EDGES_SQL)

@@ -312,3 +312,145 @@ def oracle_sql_fixed_e12(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS doc_id, rank AS rank_e12 FROM r{iters}"
     )
+
+
+# Personalized-PageRank gate flavor (r4, VERDICT r3 item 6): integer
+# fixed-point like pagerank_fixed_e12, with a DETERMINISTIC modular
+# personalization vector both engines derive identically from the node
+# ids (which the gate fixture derives from lineitem keys, so ids are
+# non-negative and % agrees across engines): nodes with id % 10 < 3
+# teleport with weight id % 5 + 1; everyone else only receives via
+# links. Dangling mass redistributes BY the personalization vector —
+# the defining PPR behavior (Page et al. §2.6 personalized vectors).
+PPR_SEED_MOD = 10
+PPR_SEED_LT = 3
+PPR_W_MOD = 5
+
+
+def _ppr_weights(nodes: DataFrame) -> DataFrame:
+    return nodes.where((F.col("id") % PPR_SEED_MOD) < PPR_SEED_LT).select(
+        "id", (F.col("id") % PPR_W_MOD + 1).cast("long").alias("w")
+    )
+
+
+def ppr_fixed_e12(
+    edges: DataFrame, iters: int = FIXED_ITERS, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank in ×10^12 integer
+    fixed-point — engine-exact vs :func:`oracle_sql_ppr_e12`.
+
+    new rank_i = (d·inflow_i) div 100
+               + (d·dmass·w_i) div (100·W)
+               + ((100−d)·E12·w_i) div (100·W)
+    with w the modular seed weights (0 off-seed), W = Σw, init rank =
+    (E12·w_i) div W. Overflow-safe in BIGINT: dmass ≤ E12, w ≤ 5."""
+    spark = edges.sparkSession
+    base = _node_universe(edges, None)
+    nodes = (
+        base.join(_ppr_weights(base.select("id")), "id", "left")
+        .select(
+            "id", "is_dangling",
+            F.coalesce("w", F.lit(0)).cast("long").alias("w"),
+        )
+        .persist()
+    )
+    n = nodes.count()  # materializes the persist
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, rank_e12 long")
+    wtot = nodes.agg(F.sum("w")).collect()[0][0]
+    assert wtot and wtot > 0, "empty personalization seed set"
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    adj = edges.join(out_deg, "src").persist()
+    d, t = damping_pct, 100 - damping_pct
+
+    ranks = nodes.select(
+        "id", "is_dangling", "w",
+        F.expr(f"({E12} * w) div {wtot}").cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        dmass = (
+            ranks.where("is_dangling")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            adj.join(ranks, adj.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                "is_dangling",
+                "w",
+                (
+                    F.expr(f"({d} * coalesce(inflow, 0L)) div 100")
+                    + F.expr(f"({d} * {int(dmass)}L * w) div (100 * {wtot})")
+                    + F.expr(f"({t} * {E12}L * w) div (100 * {wtot})")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    nodes.unpersist()
+    adj.unpersist()
+    return ranks.select(F.col("id").alias("doc_id"), F.col("rank").alias("rank_e12"))
+
+
+def oracle_sql_ppr_e12(
+    edges_sql: str, iters: int = FIXED_ITERS, damping_pct: int = 85
+) -> str:
+    """DuckDB twin of :func:`ppr_fixed_e12` (chained CTEs, one per
+    iteration; same modular personalization rule)."""
+    d, t = damping_pct, 100 - damping_pct
+    ctes = [
+        f"edges AS ({edges_sql})",
+        """nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+)""",
+        f"""pers AS (
+  SELECT id, CAST(id % {PPR_W_MOD} + 1 AS BIGINT) AS w
+  FROM nodes WHERE id % {PPR_SEED_MOD} < {PPR_SEED_LT}
+)""",
+        "params AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM pers)",
+        """nw AS (
+  SELECT nd.id, CAST(coalesce(p.w, 0) AS BIGINT) AS w
+  FROM nodes nd LEFT JOIN pers p ON nd.id = p.id
+)""",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)",
+        f"""r0 AS (
+  SELECT id, CAST(({E12} * w) // (SELECT wt FROM params) AS BIGINT) AS rank FROM nw
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass
+  FROM r{i} WHERE id NOT IN (SELECT src FROM edges)
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inflow
+  FROM edges e JOIN r{i} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT nw.id,
+         CAST(({d} * coalesce(c.inflow, 0)) // 100
+            + ({d} * (SELECT dmass FROM d{i}) * nw.w)
+                // (100 * (SELECT wt FROM params))
+            + ({t} * {E12} * nw.w) // (100 * (SELECT wt FROM params))
+              AS BIGINT) AS rank
+  FROM nw LEFT JOIN c{i} c ON nw.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, rank AS rank_e12 FROM r{iters}"
+    )
