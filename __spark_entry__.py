@@ -719,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
         "graph_ppr_5iter": _ppr_5iter,
+        "search_bm25_porter": lambda s, d: search_sql.bm25_topk_porter(
+            s, _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

@@ -5,7 +5,7 @@ via `justfile:47-48`): build an index from a corpus table, then run a
 query and print ``path: score`` per hit.
 
 Usage:
-    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs] [--stem]
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs] [--stem | --porter]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id...> | --query="q" [--min-match=N]
@@ -266,7 +266,8 @@ def main(argv: list[str]) -> int:
         _build(args[2], args[3], positions="--positions" in flags,
                trigrams="--trigrams" in flags,
                termvecs="--termvecs" in flags,
-               stem="--stem" in flags)
+               stem="porter" if "--porter" in flags
+               else "--stem" in flags)
     elif cmd == "extend":
         _extend(args[2], args[3])
     elif cmd == "compact":

@@ -75,7 +75,9 @@ class EngineConfig:
     # stats.json as ``analyzer``; extend/compact inherit the index's
     # analyzer (an index property, not a per-run choice). Default off:
     # the frozen-spec tokenizer (§8.1) is the reference contract.
-    stem: bool = False
+    # Values: False (plain), True/"stem" (s-stemmer), "porter" (the
+    # full Porter 1980 algorithm, functions/porter.py — r4).
+    stem: bool | str = False
     # posting-run codec: "vbyte", "packed" (word-aligned fixed-width,
     # k=64//w values per uint64 word), or "auto" (per-run analytic pick
     # of whichever is smaller — framed with a 1-byte header so mixed

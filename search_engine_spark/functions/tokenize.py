@@ -70,6 +70,32 @@ def tokenize_tf(text: str) -> dict[str, int]:
     return dict(Counter(tokenize(text)))
 
 
+def analyzer_of(stem) -> str:
+    """Normalize the ``EngineConfig.stem`` value (bool | str) to the
+    analyzer marker name: False→'plain', True/'stem'→'stem' (the
+    minimal s-stemmer), 'porter'→'porter' (functions/porter.py)."""
+    if stem is True:
+        return "stem"
+    if not stem:
+        return "plain"
+    if stem in ("stem", "s"):
+        return "stem"
+    if stem == "porter":
+        return "porter"
+    raise ValueError(f"unknown analyzer {stem!r}")
+
+
+def analyze_token(tok: str, analyzer: str) -> str:
+    """Scalar analysis stage (query side + oracles) for any analyzer."""
+    if analyzer == "stem":
+        return stem_token(tok)
+    if analyzer == "porter":
+        from search_engine_spark.functions.porter import porter_stem
+
+        return porter_stem(tok)
+    return tok
+
+
 def stem_token(tok: str) -> str:
     """Minimal English s-stemmer (Lucene EnglishMinimalStemFilter /
     Harman's s-stemmer): strip one trailing 's' from tokens of length
@@ -149,11 +175,16 @@ def _postings_from_batch(
     flat = flat[flat["term"].str.isalpha().to_numpy()]
     if len(flat) == 0:
         return _empty_postings()
-    if stem:
+    analyzer = analyzer_of(stem)
+    if analyzer == "stem":
         # analyzer stage: stem BEFORE the tf groupby so plural/singular
         # variants merge into one posting row inside the kernel — the
         # index-side merge costs zero extra passes or shuffles
         flat = flat.assign(term=_stem_series(flat["term"]))
+    elif analyzer == "porter":
+        from search_engine_spark.functions.porter import porter_series
+
+        flat = flat.assign(term=porter_series(flat["term"]))
     tf = flat.groupby(["row", "term"], sort=False).size().rename("tf").reset_index()
     dl = tf.groupby("row", sort=False)["tf"].sum().rename("dl")
     tf = tf.join(dl, on="row")
@@ -234,19 +265,45 @@ def extract_positions_jvm(df, text_col: str = "content", stem: bool = False):
     """
     from pyspark.sql import functions as F
 
+    analyzer = analyzer_of(stem)
     toks = jvm_tokens_col(text_col)
-    if stem:
+    if analyzer == "stem":
         # stem before posexplode: merged variants' positions union into
         # one sorted list via the same collect_list/sort_array
         toks = F.transform(toks, stem_term_col)
+    exploded = df.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.size("toks").cast("int").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    if analyzer == "porter":
+        exploded = _porter_map(exploded)
     return (
-        df.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.size("toks").cast("int").alias("dl"),
-                F.posexplode("toks").alias("pos", "term"))
+        exploded
         .groupBy("doc_id", "dl", "term")
         .agg(F.sort_array(F.collect_list(F.col("pos").cast("int")))
              .alias("positions"))
         .select("doc_id", "term", "positions", "dl")
+    )
+
+
+def _porter_map(exploded):
+    """Porter analysis on the JVM path: stem the DISTINCT vocabulary
+    through the generated SQL stages (functions/porter.py) and map the
+    exploded tokens through a broadcast (vocab-sized, the BPE bound
+    argument: ≤ ~10^6 rows at the 25-char term cap) — the heavy
+    expression chain evaluates once per TYPE, not once per token."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.porter import porter_spark_stem
+
+    vocab = exploded.select("term").distinct().withColumn("w", F.col("term"))
+    mapping = porter_spark_stem(vocab, "w").select(
+        "term", F.col("w").alias("_pstem")
+    )
+    return (
+        exploded.join(F.broadcast(mapping), "term")
+        .drop("term")
+        .withColumnRenamed("_pstem", "term")
     )
 
 
@@ -267,13 +324,18 @@ def extract_postings_jvm(df, text_col: str = "content", stem: bool = False):
     """
     from pyspark.sql import functions as F
 
+    analyzer = analyzer_of(stem)
     toks = jvm_tokens_col(text_col)
-    if stem:
+    if analyzer == "stem":
         toks = F.transform(toks, stem_term_col)
+    exploded = df.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.size("toks").cast("int").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    if analyzer == "porter":
+        exploded = _porter_map(exploded)
     return (
-        df.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.size("toks").cast("int").alias("dl"),
-                F.explode("toks").alias("term"))
+        exploded
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("int").alias("tf"))
         .select("doc_id", "term", "tf", "dl")

@@ -2037,6 +2037,71 @@ def bm25_topk_stem(
     )
 
 
+QUERY_PORTER = ["joining", "windows", "sorted"]  # derivational forms the
+# s-stemmer cannot reach ('joining'/'sorted'); Porter maps them onto the
+# corpus vocabulary ('join'/'window'/'sort')
+
+
+def bm25_topk_porter(
+    spark: SparkSession, docs: DataFrame, terms: list[str] | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k under the FULL Porter analyzer (functions/porter.py —
+    the 1980 algorithm, r4): Porter runs on both the indexed tokens and
+    the query terms, so inflectional AND derivational variants share
+    one posting list ('joining' matches 'join' — beyond the s-stemmer's
+    plural rule).
+
+    Scale shape: the heavy stemming expression evaluates once per
+    DISTINCT token (vocab-sized map joined back broadcast —
+    functions/tokenize._porter_map), then the usual explode→groupBy.
+    The DuckDB twin re-derives the stems through the same generated
+    SQL stages (porter_duck_ctes), so a generator bug cannot hide."""
+    from search_engine_spark.functions.porter import porter_stem
+    from search_engine_spark.functions.tokenize import _porter_map
+
+    terms = QUERY_PORTER if terms is None else terms
+    toks = tokens_col("text")
+    exploded = docs.select("doc_id", F.explode(toks).alias("term"))
+    post = (
+        _porter_map(exploded)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        # materialize: post feeds three joins (df/dl/scores) and the
+        # stem-mapped plan re-optimizes pathologically when inlined
+        # three times (deep CASE chains × constraint propagation);
+        # vocab-sized, blocks GC'd with the result
+        .localCheckpoint(eager=True)
+    )
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = inline_table(
+        spark, [(t,) for t in sorted({porter_stem(t) for t in terms})],
+        "term string",
+    )
+    stats = _corpus_stats(docs)  # n + avgdl are analyzer-invariant
+    m = (
+        post.join(F.broadcast(q), "term")
+        .join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def index_block_layout(docs: DataFrame) -> DataFrame:
     """The compressed index's block numbering as a window query:
     postings bucketed by term hash, row-numbered by doc_id within term,
@@ -2201,6 +2266,51 @@ WITH post AS (
   FROM (SELECT doc_id, {_duck_stem('t')} AS term
         FROM (SELECT doc_id, unnest({_T}) AS t FROM documents))
   GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM post) / (SELECT count(*) FROM documents) AS avgdl
+),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (p.tf * ({BM25_K1} + 1)) /
+                 (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score,
+         CAST(count(*) AS INTEGER) AS matched
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfq ON dfq.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score, matched FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _porter_scores_sql(terms: list[str], k: int = TOPK) -> str:
+    """DuckDB twin of :func:`bm25_topk_porter`: the generated Porter
+    CTE chain (functions/porter.porter_duck_ctes) stems the unnested
+    tokens; query terms are Porter-stemmed literals."""
+    from search_engine_spark.functions.porter import (
+        porter_duck_ctes,
+        porter_stem,
+    )
+
+    stemmed = sorted({porter_stem(t) for t in terms})
+    vals = ", ".join(f"('{t}')" for t in stemmed)
+    ctes = porter_duck_ctes(
+        f"SELECT doc_id, unnest({_T}) AS w FROM documents"
+    )
+    return f"""
+WITH {ctes},
+post AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS INTEGER) AS tf
+  FROM pstem GROUP BY doc_id, w
 ),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
@@ -2533,6 +2643,7 @@ SELECT s.doc_id,
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}""",
     "search_bm25_stem": _stem_scores_sql(QUERY_STEM),
+    "search_bm25_porter": _porter_scores_sql(QUERY_PORTER),
     "search_composite_agg": _scores_cte(QUERY_MAIN)
     + f"""
 SELECT d.lang, d.source,

@@ -57,6 +57,7 @@ from search_engine_spark.operators.linkgraph import extract_refs, resolve_edges
 from search_engine_spark.operators.pagerank import pagerank
 from search_engine_spark.operators.postings import build_terms_with_stats
 from search_engine_spark.functions.tokenize import (
+    analyzer_of,
     extract_positions_jvm,
     extract_postings,
     extract_postings_jvm,
@@ -383,7 +384,7 @@ def _index_stage(
         ),
         "k1": cfg.k1,
         "b": cfg.b,
-        "analyzer": "stem" if cfg.stem else "plain",
+        "analyzer": analyzer_of(cfg.stem),
         "build_id": build_id,
         # lineage granularity: lets tooling map checkpoint partition_id
         # (= gen·P + part_id) back to (gen, part_id) without the cfg
@@ -769,9 +770,10 @@ def _inherit_analyzer(
     for path in (f"{index_dir}/analyzer.json", f"{index_dir}/stats.json"):
         if not fs_exists(spark, path):
             continue
-        landed = _read_json(spark, path)
-        want = landed.get("analyzer", "plain") == "stem"
-        return cfg if cfg.stem == want else _cfg_replace(cfg, stem=want)
+        landed = _read_json(spark, path).get("analyzer", "plain")
+        if analyzer_of(cfg.stem) == landed:
+            return cfg
+        return _cfg_replace(cfg, stem=False if landed == "plain" else landed)
     return cfg
 
 
@@ -802,20 +804,16 @@ def _pin_analyzer(
         for landed_path in (path, f"{index_dir}/stats.json"):
             if not fs_exists(spark, landed_path):
                 continue
-            want = (
-                _read_json(spark, landed_path).get("analyzer", "plain")
-                == "stem"
-            )
-            if cfg.stem != want:
-                cfg = _cfg_replace(cfg, stem=want)
+            landed = _read_json(spark, landed_path).get("analyzer", "plain")
+            if analyzer_of(cfg.stem) != landed:
+                cfg = _cfg_replace(
+                    cfg, stem=False if landed == "plain" else landed
+                )
             if landed_path != path:
                 # promote the legacy stats.json analyzer into the marker
-                _write_json(
-                    spark, path,
-                    {"analyzer": "stem" if cfg.stem else "plain"},
-                )
+                _write_json(spark, path, {"analyzer": landed})
             return cfg
-    _write_json(spark, path, {"analyzer": "stem" if cfg.stem else "plain"})
+    _write_json(spark, path, {"analyzer": analyzer_of(cfg.stem)})
     return cfg
 
 

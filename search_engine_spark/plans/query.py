@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.functions.inline import inline_table
-from search_engine_spark.functions.tokenize import query_terms, stem_token
+from search_engine_spark.functions.tokenize import (
+    analyze_token,
+    query_terms,
+)
 from search_engine_spark.functions.xxhash import spark_xxhash64_str
 from search_engine_spark.operators.compress import decode_blocks
 from search_engine_spark.operators.scoring import partial_scores, rank_order
@@ -87,24 +90,33 @@ class QueryEngine:
             return scored
         return scored.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
 
+    @property
+    def _analyzer(self) -> str:
+        return self.stats.get("analyzer", "plain")
+
+    def _analyze(self, t: str) -> str:
+        """The index's scalar analysis stage (s-stem / porter / none)."""
+        return analyze_token(t, self._analyzer)
+
     def _qterms(self, query: str) -> list[str]:
         """Query-side analysis chain: frozen tokenizer, then — iff the
         index was built with ``EngineConfig.stem`` (stats.json
-        ``analyzer``) — the same s-stemmer the build kernels applied,
-        so query terms land in the index's term space (Lucene analyzer
-        symmetry). Wildcard/prefix/suggest probes bypass the stemmer,
-        exactly like Lucene's un-analyzed multi-term queries — they
-        match the stemmed vocabulary literally."""
+        ``analyzer``: the s-stemmer or full Porter) — the same stemmer
+        the build kernels applied, so query terms land in the index's
+        term space (Lucene analyzer symmetry). Wildcard/prefix/suggest
+        probes bypass the stemmer, exactly like Lucene's un-analyzed
+        multi-term queries — they match the stemmed vocabulary
+        literally."""
         terms = query_terms(query)
-        if self.stats.get("analyzer", "plain") == "stem":
-            terms = sorted({stem_token(t) for t in terms})
+        if self._analyzer != "plain":
+            terms = sorted({self._analyze(t) for t in terms})
         return terms
 
     def _alist(self, terms: list[str]) -> list[str]:
         """Analyze an explicit term list (require/exclude/syn): dedupe,
         sort, and — on a stemmed index — stem each term."""
-        if self.stats.get("analyzer", "plain") == "stem":
-            return sorted({stem_token(t) for t in terms})
+        if self._analyzer != "plain":
+            return sorted({self._analyze(t) for t in terms})
         return sorted(set(terms))
 
     def _qtokens(self, query: str) -> list[str]:
@@ -113,8 +125,8 @@ class QueryEngine:
         from search_engine_spark.functions.tokenize import tokenize
 
         toks = tokenize(query)
-        if self.stats.get("analyzer", "plain") == "stem":
-            toks = [stem_token(t) for t in toks]
+        if self._analyzer != "plain":
+            toks = [self._analyze(t) for t in toks]
         return toks
 
     # ---- helpers ----
@@ -560,10 +572,10 @@ class QueryEngine:
         # stemmed index `+trees` must hit the 'tree' posting list
         exclude = self._alist(exclude or [])
         require = self._alist(require or [])
-        if boost and self.stats.get("analyzer", "plain") == "stem":
+        if boost and self._analyzer != "plain":
             merged: dict[str, float] = {}
             for t, w in boost.items():
-                s = stem_token(t)
+                s = self._analyze(t)
                 # variants folding onto one stem keep the strongest
                 # boost (deterministic; Lucene would sum clause scores,
                 # but our boost is a per-term weight, not a clause)
@@ -1102,10 +1114,10 @@ class QueryEngine:
         from search_engine_spark.ops.phrase import pair_counts_from_positions
 
         a, b = a.lower(), b.lower()
-        if self.stats.get("analyzer", "plain") == "stem":
+        if self._analyzer != "plain":
             # analyzer symmetry: the positions sidecar stores stemmed
             # terms, so NEAR legs must stem like every other surface
-            a, b = stem_token(a), stem_token(b)
+            a, b = self._analyze(a), self._analyze(b)
         out_schema = ("doc_id long, pf int, score double, path string"
                       + "".join(f", {c} {self._meta_type(c)}" for c in self._meta_cols))
         if a == b or not a or not b:
