@@ -786,7 +786,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert all(k in order[50:] for k in promote)
     front = [k for k in order[:50] if k not in demote] + promote
     back = [k for k in order if k not in front]
-    return {k: q[k] for k in [*front, *back]}
+    order3 = [*front, *back]
+
+    # r4 window (VERDICT r3 item 1): every query that has NEVER had an
+    # official driver-graded row — the 31 listed in VERDICT "What's
+    # missing" #1 (all judge-green in r2/r3) — plus the 4 ops NEW this
+    # round, fills 35 of the 50 slots. With CORRECTNESS_r04 green, every
+    # registered query will have had an official green row at least once
+    # across rounds. The other 15 slots keep one strong r3-green
+    # representative per family so the window still spans the engine.
+    promote4 = [
+        # never driver-graded (r1∪r2∪r3 CORRECTNESS keys checked)
+        "sketch_quantiles_bottomk", "bpe_merges", "bpe_encode",
+        "text_distinct_hll", "pack_sequences", "pack_occupancy",
+        "samp_bernoulli", "samp_mixture", "dedup_survivors_quality",
+        "dedup_embedding_pairs", "dedup_span_coverage",
+        "sim_ivf_assignments", "sim_pq_codes", "sim_pq_adc_topk",
+        "sim_ann_ivf_topk", "sim_ivfpq_recall", "rel_asof_join",
+        "rel_events_rollup", "rel_value_quantiles", "mm_wav_features",
+        "mm_video_frames", "mm_jpeg_dims", "mm_image_resize",
+        "graph_pagerank_5iter", "graph_hits_5iter", "samp_temperature",
+        "dedup_semantic_survivors", "mm_wav_spectrum",
+        "graph_jaccard_pairs", "search_percolate_not",
+        "search_bm25_highlight",
+        # new in round 4 (never verified by driver or judge)
+        "search_hybrid_rrf_ann", "search_hybrid_rrf_drift",
+        "graph_ppr_5iter", "search_bm25_porter",
+    ]
+    keep4 = [
+        "search_lifecycle_postings",  # the build→extend→delete→compact chain
+        "search_bm25_must", "search_did_you_mean", "search_hybrid_rrf",
+        "search_collapse_topk",
+        "dedup_lsh_pairs", "dedup_clusters", "dedup_span_pairs",
+        "sim_ivfpq_topk", "sim_ann_recall",
+        "rel_funnel", "rel_events_pivot",
+        "mm_png_features", "graph_triangles", "text_bigram_ll",
+    ]
+    front4 = promote4 + keep4
+    assert len(front4) == 50 and len(set(front4)) == 50
+    assert all(k in q for k in front4), [k for k in front4 if k not in q]
+    back4 = [k for k in order3 if k not in front4]
+    return {k: q[k] for k in [*front4, *back4]}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -86,6 +86,14 @@ def main() -> int:
         timings["index_build"] = time.perf_counter() - t0
         docs_per_sec = n_docs / timings["index_build"]
 
+        # ---- host-ceiling calibration (VERDICT r3 item 2) ----
+        # the same spin/stream probes tools/bench_scaling.py records,
+        # taken in THIS interval right before the latency loop, so a
+        # regressed-looking p50 can be attributed: noise (degraded
+        # ceiling) vs engine (clean ceiling). Compact scalars only —
+        # the JSON line must stay under the driver's tail capture.
+        calib = _host_calibration(cores)
+
         # ---- headline 2: BM25 top-10 latency over the query set ----
         # primary = cost-routed default (wand=None), plus both forced
         # paths so rounds can diff the WAND and exhaustive kernels
@@ -121,6 +129,20 @@ def main() -> int:
         dt = time.perf_counter() - t0
         timings["bm25_batch_10q"] = round(dt, 4)
         timings["bm25_batch_qps"] = round(len(batch) / dt, 2)
+
+        # ---- function_score latency (r4): decay modifier riding WAND
+        # vs the exhaustive transform — the multiplier-capped pruning
+        # path must stay in the same band as plain retrieval ----
+        from search_engine_spark.operators.scoremod import RecencyDecay
+
+        t0 = time.perf_counter()
+        eng.bm25(BENCH_QUERIES[0], k=10, wand=True,
+                 modifier=RecencyDecay()).collect()
+        timings["bm25_decay_wand"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        eng.bm25(BENCH_QUERIES[0], k=10, wand=False,
+                 modifier=RecencyDecay()).collect()
+        timings["bm25_decay_exhaustive"] = round(time.perf_counter() - t0, 4)
 
         # ---- pipeline ops at sf scale ----
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -208,6 +230,7 @@ def main() -> int:
             "docs_per_sec": round(docs_per_sec, 2),
             "bm25_p50_sec": round(timings["bm25_p50"], 4),
             "cores": cores,
+            "calib": calib,
         }
         if scaling_summary is not None:
             out["scaling"] = scaling_summary
@@ -221,6 +244,28 @@ def main() -> int:
         return 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _host_calibration(cores: int) -> dict:
+    """Same-interval host ceiling next to the latency numbers: spin
+    (pure CPU) and STREAM (memory bandwidth) efficiency from 4 to
+    ``cores`` processes, via the probes in tools/bench_scaling.py.
+    On a quiet interval spin_eff ≈ 1.0 and stream_gbps is high; a
+    degraded pair says "host noise", exonerating (or indicting) a
+    latency delta vs a previous round."""
+    try:
+        from tools.bench_scaling import _cpu_ceiling, _mem_ceiling
+
+        hi = max(4, min(cores, 32))
+        cpu = _cpu_ceiling(4, hi)
+        mem = _mem_ceiling(4, hi)
+        return {
+            "spin_eff": cpu.get("ceiling_efficiency"),
+            "stream_eff": mem.get("stream_ceiling_efficiency"),
+            "stream_gbps": mem.get(f"stream_gbps_{hi}p"),
+        }
+    except Exception as e:  # noqa: BLE001 - calibration must never kill bench
+        return {"error": str(e)[:60]}
 
 
 def _scaling_summary(full: dict) -> dict:
