@@ -18,6 +18,7 @@ Usage:
     python -m search_engine_spark.cli demo   <corpus.parquet> "<query>" [k]
     python -m search_engine_spark.cli ingest <corpus_dir> <index_dir> [--follow] [--prior-every=N] [--auto-compact]
     python -m search_engine_spark.cli verify <index_dir>
+    python -m search_engine_spark.cli segments <index_dir>
 
 ``verify`` audits a persisted index against its per-partition lineage
 (plans/audit.py checks C1-C7: coverage, counts, sha-XOR digests, orphan
@@ -356,6 +357,21 @@ def main(argv: list[str]) -> int:
         for r in rows:
             print(f"{r['path']}: {r['score']:.6f}  (mlt, matched "
                   f"{r['matched']}, doc {r['doc_id']})")
+    elif cmd == "segments":
+        from search_engine_spark.plans.audit import index_segments
+        from search_engine_spark.session import get_spark
+
+        for row in index_segments(get_spark("se-segments"), args[2]):
+            if row["gen"] >= 0:
+                print(f"gen {row['gen']}: {row['n_docs']} docs, "
+                      f"{row['n_postings']} postings over {row['n_terms']} "
+                      f"terms, {row['n_blocks']} blocks "
+                      f"({row['n_encoded_postings']} encoded)")
+            else:
+                print(f"index: {row['n_segments']} segment(s), "
+                      f"{row['n_docs']} live docs, "
+                      f"{row['n_tombstones']} tombstones, "
+                      f"analyzer={row['analyzer']}, avgdl={row['avgdl']}")
     elif cmd == "regex":
         from search_engine_spark.plans.query import QueryEngine
         from search_engine_spark.session import get_spark

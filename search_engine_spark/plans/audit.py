@@ -155,3 +155,66 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
                    for c in ["C1", "C2", "C3", "C4", "C5", "C6", "C7", "C8"]},
         "mismatches": mismatches,
     }
+
+
+def index_segments(spark: SparkSession, index_dir: str) -> list[dict]:
+    """ES ``_segments`` / ``_stats`` analogue: one row per landed
+    generation (the Lucene-segment unit of ``extend_index``) with the
+    numbers a compaction policy or an operator reads before acting —
+    docs, postings rows, encoded blocks, distinct terms in the segment,
+    plus index-wide rows for tombstones and the analyzer.
+
+    Content-free and aggregate-only (three partition-pruned aggregates
+    over docs/postings/blocks — cost independent of corpus bytes, like
+    ``verify_index``). The reference has no equivalent; Lucene exposes
+    exactly this via IndexWriter.getSegmentInfos / ES GET _segments,
+    and ``maybe_compact`` already *decides* on these numbers — this
+    surface makes them inspectable.
+    """
+    from search_engine_spark.plans.build import read_tombstones
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    post = spark.read.parquet(f"{index_dir}/postings")
+    blocks = spark.read.parquet(f"{index_dir}/blocks")
+
+    d = {
+        r["gen"]: r["n"]
+        for r in docs.groupBy("gen").agg(F.count("*").alias("n")).collect()
+    }
+    p = {
+        r["gen"]: (r["n"], r["nt"])
+        for r in post.groupBy("gen")
+        .agg(F.count("*").alias("n"), F.countDistinct("term").alias("nt"))
+        .collect()
+    }
+    b = {
+        r["gen"]: (r["n"], r["np"])
+        for r in blocks.groupBy("gen")
+        .agg(F.count("*").alias("n"), F.sum("n").alias("np"))
+        .collect()
+    }
+    stats = read_stats(spark, index_dir)
+    out = []
+    for gen in sorted(set(d) | set(p) | set(b)):
+        n_blocks, n_encoded = b.get(gen, (0, 0))
+        out.append(
+            {
+                "gen": int(gen),
+                "n_docs": int(d.get(gen, 0)),
+                "n_postings": int(p.get(gen, (0, 0))[0]),
+                "n_terms": int(p.get(gen, (0, 0))[1]),
+                "n_blocks": int(n_blocks),
+                "n_encoded_postings": int(n_encoded or 0),
+            }
+        )
+    out.append(
+        {
+            "gen": -1,  # index-wide summary row
+            "n_docs": int(stats.get("n_docs", 0)),
+            "n_tombstones": read_tombstones(spark, index_dir).count(),
+            "n_segments": len(set(d) | set(p) | set(b)),
+            "analyzer": stats.get("analyzer", "plain"),
+            "avgdl": stats.get("avgdl"),
+        }
+    )
+    return out

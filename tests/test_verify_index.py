@@ -126,3 +126,57 @@ def test_extended_index_verifies_clean(spark, fixture_dir, tmp_path):
     report = verify_index(spark, index_dir)
     assert report["ok"], report["mismatches"]
     assert report["n_docs"] == 200
+
+
+def test_index_segments_surface(spark, tmp_path):
+    """ES _segments analogue: per-generation stats rows + the
+    index-wide summary, consistent across build → extend → delete."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.audit import index_segments
+    from search_engine_spark.plans.build import (
+        build_index_df,
+        delete_docs,
+        extend_index_df,
+    )
+
+    rows = [
+        ("r0", f"a/f{i}.py", "c0", "py", f"alpha beta doc number {i} words")
+        for i in range(8)
+    ]
+    delta = [
+        ("r1", "b/new.py", "c1", "py", "gamma delta fresh content here"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    ix = str(tmp_path / "ix")
+    build_index_df(spark, corpus, ix,
+                   EngineConfig(build_waves=1, build_partitions=4))
+    segs = index_segments(spark, ix)
+    gens = [s for s in segs if s["gen"] >= 0]
+    summary = segs[-1]
+    assert len(gens) == 1 and gens[0]["n_docs"] == 8
+    assert gens[0]["n_postings"] == gens[0]["n_encoded_postings"] > 0
+    assert summary["n_tombstones"] == 0 and summary["n_segments"] == 1
+
+    extend_index_df(
+        spark,
+        spark.createDataFrame(
+            delta,
+            "repo string, path string, commit string, lang string, content string",
+        ),
+        ix,
+        EngineConfig(build_waves=1, build_partitions=4),
+    )
+    gen0_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{ix}/docs")
+        .where("gen = 0").select("doc_id").collect()
+    ]
+    delete_docs(spark, ix, gen0_ids)
+    segs = index_segments(spark, ix)
+    gens = {s["gen"]: s for s in segs if s["gen"] >= 0}
+    assert set(gens) == {0, 1}
+    assert gens[1]["n_docs"] == 1
+    assert segs[-1]["n_segments"] == 2
+    assert segs[-1]["n_tombstones"] == 8  # every alpha doc tombstoned
