@@ -218,3 +218,26 @@ def test_jvm_kernel_matches_pandas_kernel(spark):
         for r in extract_postings_jvm(corpus, "content", stem="porter").collect()
     }
     assert a == b and a
+
+
+def test_phrase_and_near_on_porter_positions(spark, tmp_path):
+    """The positional sidecar stems with the porter analyzer too (the
+    exploded-positions path maps through the same vocab broadcast), and
+    phrase/NEAR query legs analyze symmetrically — 'joining tables'
+    matches the 'join table' adjacency."""
+    docs = [
+        ("r0", "a/j.py", "c0", "py", "joining tables needs care"),
+        ("r0", "a/j2.py", "c0", "py", "the join table path works"),
+        ("r0", "b/x.py", "c0", "py", "tables without the verb nearby"),
+    ]
+    ix = str(tmp_path / "ixp")
+    build_index_df(
+        spark, _corpus(spark, docs), ix,
+        EngineConfig(stem="porter", store_positions=True,
+                     build_waves=1, build_partitions=4),
+    )
+    eng = QueryEngine(spark, ix, cache_docs=False)
+    hits = {r["path"] for r in eng.phrase("joining tables", k=5).collect()}
+    assert hits == {"a/j.py", "a/j2.py"}
+    near = {r["path"] for r in eng.near("joins", "tabled", window=3).collect()}
+    assert {"a/j.py", "a/j2.py"} <= near
