@@ -367,3 +367,146 @@ LIMIT {k}
 
 
 ORACLE_SQL["search_phrase_rescore"] = _phrase_rescore_sql(PHRASE_MAIN)
+
+
+# -------------------------------------------------------------------------
+# Multi-word synonyms (r4): Lucene SynonymGraphFilter's query-time shape
+# ("ml" ≡ "machine learning") reduced to the virtual-term protocol this
+# module already speaks — each synonym GROUP scores as one pseudo-term
+# whose per-doc tf is the sum of its variants' occurrence counts
+# (single-word variant → term frequency; multi-word variant → exact
+# phrase frequency via the shared leg-offset core) and whose df is the
+# number of docs with any variant. Variants are counted independently —
+# overlapping variants both count (documented simplification of the
+# graph-token positions Lucene tracks; deterministic and
+# SQL-twinnable).
+# -------------------------------------------------------------------------
+
+SYN_PHRASE_GROUPS: list[list[list[str]]] = [
+    [["merge"], ["sort", "merge"]],   # word ≡ word + phrase variant
+    [["hash", "scan"], ["window"]],   # phrase variant first
+]
+
+
+def synonym_phrase_topk(
+    spark: SparkSession, docs: DataFrame,
+    groups: list[list[list[str]]] | None = None, k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k where each synonym group (mix of single- and
+    multi-word variants) is ONE scored pseudo-term. Output:
+    (doc_id, score, matched) — matched = #groups present in the doc.
+
+    Scale shape: ONE positional-postings pass filtered to the union of
+    all variant terms (isin pushdown); each multi-word variant adds a
+    (doc_id, start)-keyed groupBy over its legs only (the phrase
+    machinery above); per-group stats are single broadcast rows. No
+    per-doc token arrays ever materialize on the Spark side — the
+    closed-form DuckDB twin is the independent algorithm."""
+    groups = SYN_PHRASE_GROUPS if groups is None else groups
+    all_terms = sorted({t for g in groups for v in g for t in v})
+    pp = positional_postings(docs).where(F.col("term").isin(all_terms))
+    pp = pp.localCheckpoint(eager=True)  # feeds one job per variant
+
+    counts = None
+    for gid, variants in enumerate(groups):
+        for v in variants:
+            if len(v) == 1:
+                c = (
+                    pp.where(F.col("term") == v[0])
+                    .groupBy("doc_id")
+                    .agg(F.count("*").cast("long").alias("c"))
+                )
+            else:
+                c = (
+                    occurrences_from_positions(pp, v)
+                    .groupBy("doc_id")
+                    .agg(F.count("*").cast("long").alias("c"))
+                )
+            c = c.select("doc_id", F.lit(gid).alias("gid"), "c")
+            counts = c if counts is None else counts.unionByName(c)
+    gtf = counts.groupBy("doc_id", "gid").agg(
+        F.sum("c").cast("long").alias("gtf")
+    )
+
+    toks = tokens_col("text")
+    dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size(toks)).alias("avgdl")
+    )
+    dfg = gtf.groupBy("gid").agg(F.count("*").cast("long").alias("dfg"))
+    m = (
+        gtf.join(dl, "doc_id")
+        .join(F.broadcast(dfg), "gid")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("dfg") + 0.5) / (F.col("dfg") + 0.5) + 1.0)
+    tfn = (F.col("gtf") * (BM25_K1 + 1)) / (
+        F.col("gtf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        m.withColumn("partial", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), 4).alias("score"),
+            F.count("*").cast("int").alias("matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _variant_count_expr(v: list[str]) -> str:
+    if len(v) == 1:
+        return f"len(list_filter(toks, t -> t = '{v[0]}'))"
+    return _pf_expr(v)
+
+
+def _syn_phrase_sql(groups: list[list[list[str]]], k: int = TOPK) -> str:
+    """Closed-form DuckDB twin of :func:`synonym_phrase_topk`: per-doc
+    per-group counts from the token array, group dfs as scalar
+    subqueries, BM25 summed over present groups."""
+    gcols = ", ".join(
+        "CAST("
+        + " + ".join(_variant_count_expr(v) for v in g)
+        + f" AS BIGINT) AS g{i}"
+        for i, g in enumerate(groups)
+    )
+    dfs = ", ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM pf WHERE g{i} > 0) AS df{i}"
+        for i in range(len(groups))
+    )
+
+    def part(i: int) -> str:
+        tfn = (
+            f"(g{i} * ({BM25_K1} + 1)) / "
+            f"(g{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / stats.avgdl))"
+        )
+        return (
+            f"CASE WHEN g{i} > 0 THEN "
+            f"ln((stats.n - stats.df{i} + 0.5) / (stats.df{i} + 0.5) + 1.0)"
+            f" * {tfn} ELSE 0 END"
+        )
+
+    score = " + ".join(part(i) for i in range(len(groups)))
+    matched = " + ".join(
+        f"CASE WHEN g{i} > 0 THEN 1 ELSE 0 END" for i in range(len(groups))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pf AS (SELECT doc_id, len(toks) AS dl, {gcols} FROM d),
+stats AS (
+  SELECT (SELECT count(*) FROM d) AS n,
+         (SELECT avg(len(toks)) FROM d) AS avgdl,
+         {dfs}
+)
+SELECT doc_id, round({score}, 4) AS score,
+       CAST({matched} AS INTEGER) AS matched
+FROM pf CROSS JOIN stats
+WHERE {" OR ".join(f"g{i} > 0" for i in range(len(groups)))}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_SQL["search_syn_phrase"] = _syn_phrase_sql(SYN_PHRASE_GROUPS)
