@@ -725,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_syn_phrase": lambda s, d: phrase.synonym_phrase_topk(
             s, _t(s, d, "documents")
         ),
+        "search_phrase_prefix": lambda s, d: phrase.phrase_prefix_topk(
+            s, _t(s, d, "documents")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current
@@ -815,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (never verified by driver or judge)
         "search_hybrid_rrf_ann", "search_hybrid_rrf_drift",
         "graph_ppr_5iter", "search_bm25_porter", "search_syn_phrase",
+        "search_phrase_prefix",
     ]
     keep4 = [
         "search_lifecycle_postings",  # the build→extend→delete→compact chain
@@ -822,7 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse_topk",
         "dedup_lsh_pairs", "dedup_clusters", "dedup_span_pairs",
         "sim_ivfpq_topk", "sim_ann_recall",
-        "rel_funnel", "rel_events_pivot",
+        "rel_funnel",
         "mm_png_features", "graph_triangles",
     ]
     front4 = promote4 + keep4

@@ -510,3 +510,84 @@ LIMIT {k}
 
 
 ORACLE_SQL["search_syn_phrase"] = _syn_phrase_sql(SYN_PHRASE_GROUPS)
+
+
+# -------------------------------------------------------------------------
+# match_phrase_prefix (r4): Lucene MatchPhrasePrefixQuery / ES
+# match_phrase_prefix — the "search-as-you-type" phrase: all terms but
+# the last match exactly IN ORDER, the last term matches as a PREFIX.
+# pf = number of window starts whose first L-1 tokens equal the exact
+# terms and whose L-th token starts with the prefix; scored as one
+# virtual term like every phrase here.
+# -------------------------------------------------------------------------
+
+PHRASE_PREFIX = (["sort"], "mer")  # "sort mer*" — matches "sort merge"
+
+
+def phrase_prefix_topk(
+    spark: SparkSession, docs: DataFrame,
+    exact: list[str] | None = None, prefix: str | None = None,
+    k: int = TOPK,
+) -> DataFrame:
+    """BM25 top-k for an exact-terms + trailing-prefix phrase.
+
+    Scale shape: the exact legs ride the shared leg-offset core
+    (scan-pushdown isin on the exact terms); the prefix leg filters
+    positional postings by ``startswith`` — on the persisted index
+    that's the same contiguous dictionary range a trailing-* term
+    query uses (Lucene's rewrite), here a scan predicate. One
+    (doc_id, start)-keyed groupBy, like plain phrases."""
+    if exact is None or prefix is None:
+        exact, prefix = PHRASE_PREFIX
+    L = len(exact) + 1
+    pp = positional_postings(docs)
+    legs = None
+    for i, t in enumerate(exact):
+        leg = pp.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    pleg = pp.where(F.col("term").startswith(prefix)).select(
+        "doc_id", (F.col("pos") - (L - 1)).alias("start")
+    )
+    legs = pleg if legs is None else legs.unionByName(pleg)
+    occ = (
+        legs.groupBy("doc_id", "start")
+        .agg(F.count("*").alias("n_legs"))
+        .where((F.col("n_legs") == L) & (F.col("start") >= 0))
+    )
+    pf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("pf"))
+    return _virtual_term_topk(docs, pf, k)
+
+
+def _phrase_prefix_sql(exact: list[str], prefix: str, k: int = TOPK) -> str:
+    """Closed-form DuckDB twin: scan window starts, check L-1 exact
+    tokens + prefix on the last."""
+    L = len(exact) + 1
+    conds = " AND ".join(
+        [f"toks[p + {i}] = '{t}'" for i, t in enumerate(exact)]
+        + [f"starts_with(toks[p + {L - 1}], '{prefix}')"]
+    )
+    pf = f"len(list_filter(range(1, len(toks) - {L} + 2), p -> {conds}))"
+    return f"""
+WITH d AS (SELECT doc_id, {_T} AS toks FROM documents),
+pf AS (
+  SELECT doc_id, len(toks) AS dl, CAST({pf} AS INTEGER) AS pf FROM d
+),
+m AS (SELECT * FROM pf WHERE pf > 0),
+stats AS (
+  SELECT (SELECT count(*) FROM d) AS n,
+         (SELECT avg(len(toks)) FROM d) AS avgdl,
+         (SELECT CAST(count(*) AS BIGINT) FROM m) AS dfp
+)
+SELECT doc_id, pf,
+       round(ln((stats.n - stats.dfp + 0.5) / (stats.dfp + 0.5) + 1.0)
+             * (pf * ({BM25_K1} + 1)) /
+               (pf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / stats.avgdl)), 4) AS score
+FROM m CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_SQL["search_phrase_prefix"] = _phrase_prefix_sql(*PHRASE_PREFIX)
