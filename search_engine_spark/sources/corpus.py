@@ -38,7 +38,44 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     """
     if path.startswith("table:"):
         return spark.read.table(path[len("table:"):])
-    return spark.read.parquet(path)
+    fmt = _infer_format(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "json":
+        # jsonlines with the declared schema — no inference pass over
+        # the data (an inference scan at 100 TB doubles the read)
+        return spark.read.schema(_CORPUS_DDL).json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(_CORPUS_DDL)
+            .option("header", "true")
+            .option("multiLine", "true")  # content may contain newlines
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unsupported corpus format {fmt!r} for {path}")
+
+
+_CORPUS_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _infer_format(path: str) -> str:
+    """File format from the path suffix (``.jsonl``/``.json``,
+    ``.csv``, ``.orc``; anything else reads as parquet — the default
+    layout every driver table uses)."""
+    p = path.rstrip("/").lower()
+    for fmt, sufs in (
+        ("json", (".json", ".jsonl", ".ndjson")),
+        ("csv", (".csv",)),
+        ("orc", (".orc",)),
+    ):
+        if p.endswith(sufs):
+            return fmt
+    return "parquet"
 
 
 def with_identity(corpus: DataFrame) -> DataFrame:

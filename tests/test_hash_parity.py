@@ -79,3 +79,40 @@ def test_load_corpus_table_identifier(spark, fixture_dir):
     a = {r["doc_id"]: r["content_sha"] for r in via_path.select("doc_id", "content_sha").collect()}
     b = {r["doc_id"]: r["content_sha"] for r in via_table.select("doc_id", "content_sha").collect()}
     assert a == b and len(a) == 200
+
+
+def test_load_corpus_formats_equivalent(spark, tmp_path):
+    """jsonlines / csv / orc corpora load to the same rows (and hence
+    the same doc_ids/shas) as the parquet layout — a build from any
+    source format produces an identical index input."""
+    from search_engine_spark.sources.corpus import load_corpus, with_identity
+
+    rows = [
+        ("r0", "a/x.py", "c0", "py", 'line one\nand "quoted", two'),
+        ("r1", "b/y.go", "c1", "go", "plain content here"),
+    ]
+    ddl = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(rows, ddl)
+
+    pq = str(tmp_path / "c.parquet")
+    df.write.parquet(pq)
+    want = {
+        (r["doc_id"], r["content_sha"])
+        for r in with_identity(load_corpus(spark, pq)).collect()
+    }
+    assert len(want) == 2
+
+    jl = str(tmp_path / "c.jsonl")
+    df.coalesce(1).write.json(jl)
+    cv = str(tmp_path / "c.csv")
+    df.coalesce(1).write.option("header", "true").option(
+        "escape", '"'
+    ).csv(cv)
+    oc = str(tmp_path / "c.orc")
+    df.coalesce(1).write.orc(oc)
+    for p in (jl, cv, oc):
+        got = {
+            (r["doc_id"], r["content_sha"])
+            for r in with_identity(load_corpus(spark, p)).collect()
+        }
+        assert got == want, p
