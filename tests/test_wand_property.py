@@ -371,3 +371,57 @@ def test_wand_modifier_equals_exhaustive(seed):
             ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             kth = ranked[-1][1]
             assert {d for d, s in qual.items() if s > kth * (1 + 1e-12)} <= set(got_map)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_wand_modifier_composes_with_boolean(seed):
+    """Modifiers × MUST/MUST_NOT: the capped-bound pruning stays exact
+    when composed with required and excluded terms (the filters act on
+    doc sets; the modifier acts on scores — their composition must
+    equal exhaustive transform + filters + top-k)."""
+    from search_engine_spark.operators.scoremod import (
+        DlSaturation,
+        RecencyDecay,
+    )
+
+    rng = random.Random(9000 + seed)
+    n_docs = rng.randint(10, 300)
+    doc_ids = rng.sample(range(-(2**40), 2**40), n_docs)
+    terms = ["a", "b", "c"]
+    exc_terms = ["x"]
+    dl_fix = {d: rng.randint(10, 90) for d in doc_ids}
+    postings = {}
+    for t in terms + exc_terms:
+        docs = rng.sample(doc_ids, rng.randint(1, n_docs))
+        postings[t] = [(d, rng.randint(1, 9), dl_fix[d]) for d in docs]
+    idf_map = {t: rng.uniform(0.1, 3.0) for t in terms}
+    k = rng.choice([3, 10])
+    blocks = _blocks_from_postings(postings, block_size=rng.choice([4, 16]))
+    pos_postings = {t: postings[t] for t in terms}
+    _, all_scores, all_matched = _exhaustive(pos_postings, idf_map, k)
+    banned = {d for d, _, _ in postings["x"]}
+    have_a = {d for d, _, _ in postings["a"]}
+
+    for mod in (RecencyDecay(), DlSaturation(weight=3.0, pivot=50.0)):
+        finals = _final_scores(all_scores, mod, pos_postings)
+        got = wand_topk_group(
+            blocks, idf_map, AVGDL, k,
+            excluded=frozenset(exc_terms), required=frozenset({"a"}),
+            modifier=mod,
+        )
+        qual = {
+            d: s for d, s in finals.items()
+            if d not in banned and d in have_a
+        }
+        got_map = {
+            int(r["doc_id"]): float(r["score"]) for _, r in got.iterrows()
+        }
+        for d, s in got_map.items():
+            assert d in qual
+            assert s == pytest.approx(qual[d], rel=1e-9)
+        if not qual:
+            assert not got_map
+            continue
+        ranked = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        kth = ranked[-1][1]
+        assert {d for d, s in qual.items() if s > kth * (1 + 1e-12)} <= set(got_map)
