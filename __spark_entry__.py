@@ -369,7 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assignments": lambda s, d: similarity.ivf_assignments(
             _t(s, d, "embeddings")
         ),
-        "sim_pq_codes": lambda s, d: similarity.pq_codes(
+        "sim_pq_codes": lambda s, d: similarity.pq_codes_flat(
             _t(s, d, "embeddings")
         ),
         "sim_pq_adc_topk": lambda s, d: similarity.pq_adc_topk(

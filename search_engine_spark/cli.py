@@ -386,6 +386,13 @@ def main(argv: list[str]) -> int:
     elif cmd == "query":
         page = next((int(f.split("=", 1)[1]) for f in flags if f.startswith("--page=")), 0)
         mode = next((f.split("=", 1)[1] for f in flags if f.startswith("--mode=")), "bm25")
+        score_flag = next((f.split("=", 1)[1] for f in flags
+                           if f.startswith("--score=")), "")
+        if score_flag and score_flag not in ("decay", "feature"):
+            print(f"unknown --score value {score_flag!r} "
+                  "(expected: decay, feature)")
+            print(__doc__)
+            return 2
         _query(args[2], args[3], int(args[4]) if len(args) > 4 else 10,
                spell="--spell" in flags or any(f.startswith("--fuzzy=") for f in flags),
                fuzzy=next((int(f.split("=", 1)[1]) for f in flags
@@ -409,8 +416,7 @@ def main(argv: list[str]) -> int:
                collapse=next((f.split("=", 1)[1] for f in flags
                               if f.startswith("--collapse=")), ""),
                prf="--prf" in flags,
-               score=next((f.split("=", 1)[1] for f in flags
-                           if f.startswith("--score=")), ""))
+               score=score_flag)
     else:
         print(__doc__)
         return 2

@@ -579,6 +579,23 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     )
 
 
+def pq_codes_flat(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS) -> DataFrame:
+    """Gate-shaped :func:`pq_codes`: ``codes`` flattened to a
+    '-'-joined string so every output column is a scalar the driver's
+    canonicalizer can hash (its pandas lexsort cannot factorize array
+    cells). Values are byte-for-byte the same codes — only the column
+    type changes; the composition paths (:func:`ivfpq_topk`,
+    :func:`semantic_dedup_survivors`) keep the array form."""
+    return pq_codes(emb, m=m, k=k, iters=iters).select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+        "err",
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
     m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS,
@@ -901,7 +918,7 @@ _PQ_SQL = (
     + _duck_pq_ctes()
     + f"""
 SELECT p0.vec_id,
-       [{", ".join(f"CAST(p{j}.cid AS INTEGER)" for j in range(PQ_M))}] AS codes,
+       concat_ws('-', {", ".join(f"CAST(p{j}.cid AS VARCHAR)" for j in range(PQ_M))}) AS codes,
        CAST({" + ".join(f"p{j}.dist" for j in range(PQ_M))} AS BIGINT) AS err
 FROM {" JOIN ".join(["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in range(1, PQ_M)])}
 """

@@ -47,7 +47,15 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    from tools.check_parity import complex_cols
+
     sdf = _QUERIES[name](spark, SF_DIR)
+    # Driver contract: its canonicalizer pandas-lexsorts the output and
+    # cannot hash array/map/struct cells (sim_pq_codes, r4) — every
+    # registered query must emit scalar columns only.
+    assert not complex_cols(sdf.schema), (
+        f"{name}: complex-typed output columns {complex_cols(sdf.schema)}"
+    )
     srows = [tuple(r) for r in sdf.collect()]
     if name not in _ORACLES:
         assert srows is not None  # rows-only contract: runs, stable schema

@@ -32,9 +32,28 @@ def _norm(v):
         return f"{v:.10g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, dict, set)):
+        # The driver's canonicalizer pandas-lexsorts columns and cannot
+        # hash array/map cells (`TypeError: unhashable type: 'list'` —
+        # sim_pq_codes, r4). Tuple-izing here would HIDE that contract
+        # violation locally, so refuse instead: gate queries must emit
+        # scalar columns only.
+        raise TypeError(
+            f"complex-typed cell {type(v).__name__} in gate output — "
+            "the driver's value-hash cannot canonicalize it; flatten "
+            "the column (concat_ws or explode) in the gate wrapper"
+        )
     return v
+
+
+def complex_cols(schema) -> list[str]:
+    """Names of output columns whose Spark type the driver cannot hash."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def _canon(rows: list[tuple], cols: list[str]):
@@ -67,6 +86,12 @@ def main() -> int:
         n_run += 1
         try:
             sdf = fn(spark, sf_dir)
+            bad = complex_cols(sdf.schema)
+            if bad:
+                failures.append((name, f"complex-typed columns {bad}"))
+                print(f"FAIL {name}: complex-typed output columns {bad} "
+                      "(driver canonicalizer cannot hash them)")
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
