@@ -728,6 +728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_prefix": lambda s, d: phrase.phrase_prefix_topk(
             s, _t(s, d, "documents")
         ),
+        # --- new in round 5: pre-filtered ANN (VERDICT r4 item 6) ---
+        "sim_filtered_ann_topk": lambda s, d: similarity.filtered_ann_topk(
+            _t(s, d, "embeddings")
+        ),
+        "sim_filtered_ann_recall": lambda s, d: similarity.filtered_ann_recall(
+            _t(s, d, "embeddings")
+        ),
     }
     # r3 window update (late-round): the 13 ops NEW in round 3 have never
     # been verified by the driver or a judge, while these 13 current

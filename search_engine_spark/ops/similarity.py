@@ -657,20 +657,16 @@ def pq_adc_topk(
     )
 
 
-def ivfpq_topk(
-    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
+def _adc_rank(
+    emb: DataFrame, cand: DataFrame, k: int, n_queries: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """IVF-PQ (the production 100 TB ANN layout): coarse IVF probe
-    (nprobe=1 — scan 1/K of the corpus) then PQ asymmetric-distance
-    ranking INSIDE the probed cluster — the scan side reads each
-    candidate's cluster id + m·log2(k)-bit code, never raw vectors.
-    Simplification vs Jégou §IV: codes quantize raw vectors, not
-    coarse residuals (residual encoding is the production refinement;
-    raw-vector codes keep every stage integer-exact and
-    oracle-checkable). Composes :func:`ivf_assignments` and the
-    :func:`pq_adc_topk` machinery — one broadcast distance table, one
-    (query_id, vec_id) groupBy, window top-k."""
-    assign = ivf_assignments(emb)
+    """Rank candidate (query_id, vec_id[, *keep]) pairs by PQ
+    asymmetric distance: per-query distance table built from the
+    per-subspace codebooks (broadcast, constant-sized), candidates'
+    codes joined against it, summed per pair, window top-k. Shared by
+    :func:`ivfpq_topk` and :func:`filtered_ann_topk` — the candidate
+    generator is the only thing that differs between probe flavors."""
     ds = DIM // PQ_M
     qe = _quantized(emb)
     books = [
@@ -697,6 +693,38 @@ def ivfpq_topk(
     dtable = qsubs.join(F.broadcast(allbooks), "sub").select(
         "query_id", "sub", "cid", dist.alias("d")
     )
+    vcodes = pq_codes(emb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "cid")
+    )
+    adc = (
+        cand.join(vcodes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "vec_id", *keep)
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", *keep, "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF-PQ (the production 100 TB ANN layout): coarse IVF probe
+    (nprobe=1 — scan 1/K of the corpus) then PQ asymmetric-distance
+    ranking INSIDE the probed cluster — the scan side reads each
+    candidate's cluster id + m·log2(k)-bit code, never raw vectors.
+    Simplification vs Jégou §IV: codes quantize raw vectors, not
+    coarse residuals (residual encoding is the production refinement;
+    raw-vector codes keep every stage integer-exact and
+    oracle-checkable). Composes :func:`ivf_assignments` and the
+    :func:`_adc_rank` machinery — one broadcast distance table, one
+    (query_id, vec_id) groupBy, window top-k."""
+    assign = ivf_assignments(emb)
     qclus = assign.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
     )
@@ -708,21 +736,63 @@ def ivfpq_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    vcodes = pq_codes(emb).select(
-        "vec_id", F.posexplode("codes").alias("sub", "cid")
+    return _adc_rank(emb, cand, k, n_queries)
+
+
+def filtered_ann_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Metadata-PRE-filtered IVF-PQ ANN — the scale path for
+    :func:`filtered_cosine_topk` (ES kNN ``filter`` / FAISS IDSelector
+    semantics on the production index layout): probe the query's coarse
+    cluster (nprobe=1), restrict candidates to the query's ``label``
+    class BEFORE the ADC top-k cut, then rank survivors through their
+    m·log2(k)-bit codes. Pre-filter ordering is the point: the label
+    predicate lands on the (cid, label) candidate scan — at scale a
+    partition prune on a label-partitioned codes table — so distance
+    rows only materialize for allowed pairs, and the cut always returns
+    k in-class neighbors where post-filtering could starve below k.
+    Exactness stand-in retired; :func:`filtered_ann_recall` is the
+    quality ledger vs the exact path."""
+    assign = ivf_assignments(emb)
+    labels = emb.select("vec_id", "label")
+    qmeta = (
+        assign.join(labels, "vec_id")
+        .where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("cid").alias("qcid"),
+                F.col("label").alias("qlabel"))
     )
-    adc = (
-        cand.join(vcodes, "vec_id")
-        .join(F.broadcast(dtable), ["query_id", "sub", "cid"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    cand = (
+        assign.join(labels, "vec_id")
+        .join(
+            F.broadcast(qmeta),
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "label")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist",
-                F.col("rank").cast("int").alias("rank"))
+    return _adc_rank(emb, cand, k, n_queries, keep=("label",))
+
+
+def filtered_ann_recall(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Recall@k of the pre-filtered IVF-PQ path vs the exact filtered
+    kNN baseline, per query — the ledger quantifying what swapping the
+    exactness stand-in for the ANN leg costs (losses = nprobe=1 coarse
+    miss within the label class + PQ quantization error)."""
+    exact = filtered_cosine_topk(emb, k, n_queries).select("query_id", "vec_id")
+    ann = filtered_ann_topk(emb, k, n_queries).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.col("n_exact").cast("long").alias("k_exact"),
     )
 
 
@@ -984,12 +1054,16 @@ FROM ranked WHERE rank <= {TOPK}
 
 
 def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS,
-                    n_queries: int = N_QUERIES, topk: int = TOPK) -> str:
+                    n_queries: int = N_QUERIES, topk: int = TOPK,
+                    filtered: bool = False) -> str:
     """IVF-PQ twin: coarse k-means assignment (afin, from
     :func:`_duck_ivf_ctes`) restricts candidates to the query's cluster;
     ADC distance tables rank them through their codes. ``n_queries`` /
     ``topk`` parameterize the query set and cut (the hybrid-RRF ANN leg
-    uses a single query at pool depth)."""
+    uses a single query at pool depth). ``filtered`` adds the label
+    pre-filter (twin of :func:`filtered_ann_topk`): candidates must
+    share the query's label BEFORE the cut, and ``label`` rides the
+    output."""
     parts = (
         [_duck_ivf_ctes(), _duck_pq_ctes(m=m, iters=iters, skip_qe=True)]
         + _duck_dt_ctes(m, iters)
@@ -1002,26 +1076,42 @@ def _duck_ivfpq_sql(m: int = PQ_M, iters: int = PQ_ITERS,
     vjoins = " JOIN ".join(
         ["p0_fin p0"] + [f"p{j}_fin p{j} USING (vec_id)" for j in range(1, m)]
     )
+    if filtered:
+        qmeta = f"""qclus AS (
+  SELECT a.vec_id AS query_id, a.cid AS qcid, e.label AS qlabel
+  FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE a.vec_id < {n_queries})"""
+        label_join = "JOIN embeddings el ON el.vec_id = p0.vec_id"
+        label_pred = " AND el.label = q.qlabel"
+        label_col = "el.label, "
+        label_out = "label, "
+    else:
+        qmeta = (f"qclus AS (SELECT vec_id AS query_id, cid AS qcid FROM afin\n"
+                 f"          WHERE vec_id < {n_queries})")
+        label_join = ""
+        label_pred = ""
+        label_col = ""
+        label_out = ""
     return (
         "WITH "
         + ",\n".join(p for p in parts if p)
         + f""",
-qclus AS (SELECT vec_id AS query_id, cid AS qcid FROM afin
-          WHERE vec_id < {n_queries}),
+{qmeta},
 adc AS (
-  SELECT q.query_id, p0.vec_id, CAST({dsum} AS BIGINT) AS adc_dist
+  SELECT q.query_id, p0.vec_id, {label_col}CAST({dsum} AS BIGINT) AS adc_dist
   FROM {vjoins}
   JOIN afin a USING (vec_id)
-  JOIN qclus q ON a.cid = q.qcid AND p0.vec_id <> q.query_id
+  {label_join}
+  JOIN qclus q ON a.cid = q.qcid AND p0.vec_id <> q.query_id{label_pred}
   {joins}
 ),
 ranked AS (
-  SELECT query_id, vec_id, adc_dist,
+  SELECT query_id, vec_id, {label_out}adc_dist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM adc
 )
-SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+SELECT query_id, vec_id, {label_out}adc_dist, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {topk}
 """
     )
@@ -1156,6 +1246,23 @@ ORACLE_SQL["sim_mmr_topk"] = oracle_sql_mmr()
 ORACLE_SQL["sim_ivfpq_recall"] = f"""
 WITH exact AS ({ORACLE_SQL['sim_cosine_topk']}),
 ann AS ({ORACLE_SQL['sim_ivfpq_topk']}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT p.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_exact AS BIGINT) AS k_exact
+FROM per_q p LEFT JOIN hits h USING (query_id)
+"""
+
+ORACLE_SQL["sim_filtered_ann_topk"] = _duck_ivfpq_sql(filtered=True)
+
+ORACLE_SQL["sim_filtered_ann_recall"] = f"""
+WITH exact AS ({ORACLE_SQL['sim_filtered_topk']}),
+ann AS ({ORACLE_SQL['sim_filtered_ann_topk']}),
 hits AS (
   SELECT e.query_id, count(*) AS n_hits
   FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id

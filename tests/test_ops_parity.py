@@ -110,6 +110,39 @@ def test_ann_subset_of_bruteforce_universe(spark):
         assert brute[key] == pytest.approx(r["cosine"], abs=1e-9)
 
 
+def test_filtered_ann_prefilter_semantics(spark):
+    """Pre-filter contract of the filtered IVF-PQ path: every hit shares
+    the query's label AND lives in the query's probed coarse cluster;
+    its ADC distance equals the unfiltered IVF-PQ distance for that pair
+    (the filter prunes candidates, never rescores); the recall ledger's
+    hit counts are consistent with the two top-k sets."""
+    from search_engine_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    clus = {r["vec_id"]: r["cid"] for r in
+            similarity.ivf_assignments(emb).collect()}
+    unfiltered = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in similarity.ivfpq_topk(emb, k=10**6).collect()
+    }
+    ann = similarity.filtered_ann_topk(emb).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert r["label"] == labels[r["query_id"]]
+        assert clus[r["vec_id"]] == clus[r["query_id"]]
+        assert unfiltered[(r["query_id"], r["vec_id"])] == r["adc_dist"]
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.filtered_cosine_topk(emb).collect()}
+    annset = {(r["query_id"], r["vec_id"]) for r in ann}
+    got = {r["query_id"]: r["hits_at_k"]
+           for r in similarity.filtered_ann_recall(emb).collect()}
+    for qid, n in got.items():
+        assert n == len({p for p in exact & annset if p[0] == qid})
+
+
 def test_retrieval_mode_invariants(spark):
     """Boolean-mode algebra over the same scored set (Lucene BooleanQuery
     semantics): conj ⊆ msm ⊆ disjunctive; MUST_NOT output is disjoint
