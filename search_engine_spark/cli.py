@@ -5,7 +5,7 @@ via `justfile:47-48`): build an index from a corpus table, then run a
 query and print ``path: score`` per hit.
 
 Usage:
-    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs] [--stem | --porter]
+    python -m search_engine_spark.cli build  <corpus.parquet> <index_dir> [--positions] [--trigrams] [--termvecs] [--suffixes] [--stem | --porter]
     python -m search_engine_spark.cli extend <corpus.parquet> <index_dir>
     python -m search_engine_spark.cli compact <index_dir>
     python -m search_engine_spark.cli delete  <index_dir> <doc_id...> | --query="q" [--min-match=N]
@@ -105,14 +105,15 @@ def _demo(corpus_path: str, query: str, k: int) -> None:
 
 def _build(corpus_path: str, index_dir: str, positions: bool = False,
            trigrams: bool = False, termvecs: bool = False,
-           stem: bool = False) -> None:
+           stem: bool = False, suffixes: bool = False) -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.build import build_index
     from search_engine_spark.session import get_spark
 
     spark = get_spark("se-build")
     cfg = EngineConfig(store_positions=positions, store_trigrams=trigrams,
-                       store_termvecs=termvecs, stem=stem)
+                       store_termvecs=termvecs, stem=stem,
+                       store_suffixes=suffixes)
     summary = build_index(spark, corpus_path, index_dir, cfg=cfg)
     print(summary)
 
@@ -268,7 +269,8 @@ def main(argv: list[str]) -> int:
                trigrams="--trigrams" in flags,
                termvecs="--termvecs" in flags,
                stem="porter" if "--porter" in flags
-               else "--stem" in flags)
+               else "--stem" in flags,
+               suffixes="--suffixes" in flags)
     elif cmd == "extend":
         _extend(args[2], args[3])
     elif cmd == "compact":

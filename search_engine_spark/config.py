@@ -137,6 +137,14 @@ class EngineConfig:
     # more_like_this() and bm25_prf() on the persisted index.
     store_termvecs: bool = False
     termvec_top_m: int = 20
+    # opt-in reversed-dictionary sidecar (Lucene ReverseStringFilter
+    # field): terms re-sorted by reverse(term) so a suffix wildcard
+    # (*er) becomes a contiguous RANGE scan on the reversed key instead
+    # of a full dictionary scan. Vocabulary-sized (Heaps-sublinear), so
+    # the write is cheap; refreshed alongside the terms table on every
+    # build/extend/compact once present. QueryEngine.expand_prefix_terms
+    # prefers it automatically when the sidecar exists.
+    store_suffixes: bool = False
     # link-prior refresh policy for extends: "always" reruns the full
     # edge-resolve + PageRank after every delta (exact, but the graph
     # pass is O(corpus) — per-micro-batch it dominates streaming ingest

@@ -397,6 +397,22 @@ def _index_stage(
         "term"
     ).write.mode("overwrite").parquet(f"{index_dir}/terms")
     terms.unpersist()
+
+    # opt-in reversed-dictionary sidecar (Lucene ReverseStringFilter):
+    # the same dictionary keyed by reverse(term), range-partitioned and
+    # file-sorted on the reversed key, so suffix wildcards (*er) become
+    # a pushed StartsWith range scan instead of a dictionary scan.
+    # Refresh-if-present: extends/compacts that omit the flag must not
+    # leave a stale sidecar behind the fresh terms table.
+    if cfg.store_suffixes or fs_exists(spark, f"{index_dir}/terms_rev"):
+        (
+            spark.read.parquet(f"{index_dir}/terms")
+            .select(F.reverse("term").alias("rterm"), "term", "df")
+            .repartitionByRange(8, "rterm")
+            .sortWithinPartitions("rterm")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/terms_rev")
+        )
     t_terms = time.time()
 
     if encode_gen is None:

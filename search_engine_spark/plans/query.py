@@ -379,11 +379,14 @@ class QueryEngine:
         ``max_exp`` strongest terms with that SUFFIX (Lucene's
         ReverseStringFilter semantics: a suffix is a prefix of the
         reversed term). The prefix condition is a contiguous range of
-        the sorted terms table; the suffix condition is a dictionary
-        scan here (vocabulary is Heaps-law sublinear in corpus size —
-        at 10^12 docs a persisted reversed-sorted dictionary would make
-        it a range scan too, as Lucene's reversed field does). The
-        collect is bounded by ``max_exp × n_wildcards``."""
+        the sorted terms table; the suffix condition prefers the
+        ``terms_rev`` sidecar when the index was built with
+        ``store_suffixes`` (build flag ``--suffixes``) — there it is a
+        pushed StartsWith range scan on the reversed-sorted dictionary,
+        exactly Lucene's reversed field — and degrades to a dictionary
+        scan otherwise (vocabulary is Heaps-law sublinear in corpus
+        size, so the scan stays affordable; the sidecar is the 10^12-doc
+        path). The collect is bounded by ``max_exp × n_wildcards``."""
         words = query.split()
         prefixes = sorted({w[:-1].lower() for w in words
                            if w.endswith("*") and len(w) > 1})
@@ -406,18 +409,51 @@ class QueryEngine:
                 .collect()
             ))
         if suffixes:
-            s = inline_table(self.spark, [(x,) for x in suffixes], "sfx string")
             w = Window.partitionBy("sfx").orderBy(F.desc("df"), F.asc("term"))
             out.update(r["term"] for r in (
-                self.terms.join(
-                    F.broadcast(s), F.col("term").endswith(F.col("sfx"))
-                )
+                self._suffix_candidates(suffixes)
                 .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= max_exp)
                 .select("term")
                 .collect()
             ))
         return rest, sorted(out)
+
+    def _suffix_candidates(self, suffixes: list[str]) -> DataFrame:
+        """(term, df, sfx) dictionary candidates for each suffix. With
+        the ``terms_rev`` sidecar: literal StartsWith predicates on the
+        reversed key push into the rterm-sorted parquet scan (row-group
+        range prune — Lucene's reversed field); the broadcast join only
+        tags each survivor with its suffix group for the per-suffix
+        expansion cap. Without it: an endswith dictionary scan."""
+        rt = self._reversed_terms()
+        if rt is not None:
+            pred = F.col("rterm").startswith(suffixes[0][::-1])
+            for x in suffixes[1:]:
+                pred = pred | F.col("rterm").startswith(x[::-1])
+            s = inline_table(
+                self.spark, [(x, x[::-1]) for x in suffixes],
+                "sfx string, rsfx string",
+            )
+            return rt.where(pred).join(
+                F.broadcast(s), F.col("rterm").startswith(F.col("rsfx"))
+            )
+        s = inline_table(self.spark, [(x,) for x in suffixes], "sfx string")
+        return self.terms.join(
+            F.broadcast(s), F.col("term").endswith(F.col("sfx"))
+        )
+
+    def _reversed_terms(self):
+        """Lazy-load the reversed-dictionary sidecar (``terms_rev``,
+        built with ``store_suffixes``); None when absent."""
+        if not hasattr(self, "_rterms"):
+            try:
+                self._rterms = self.spark.read.parquet(
+                    f"{self.index_dir}/terms_rev"
+                )
+            except Exception:  # noqa: BLE001 - sidecar not built
+                self._rterms = None
+        return self._rterms
 
     def suggest(self, prefix: str, k: int = 5) -> DataFrame:
         """Typeahead: top-``k`` dictionary terms with ``prefix`` by

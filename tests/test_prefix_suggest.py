@@ -146,6 +146,69 @@ def test_engine_suffix_no_match_empty(spark, ix):
     assert eng.bm25("*zzqx", k=5).collect() == []
 
 
+@pytest.fixture(scope="module")
+def ix_sfx(spark, fixture_dir, tmp_path_factory):
+    from search_engine_spark.config import EngineConfig
+
+    out = tmp_path_factory.mktemp("sfx") / "ix"
+    build_index(spark, str(fixture_dir / "corpus.parquet"), str(out),
+                cfg=EngineConfig(store_suffixes=True))
+    return str(out)
+
+
+def test_suffix_sidecar_parity_with_scan_path(spark, ix, ix_sfx):
+    """The reversed-dictionary sidecar (build --suffixes) must expand
+    and score suffix wildcards identically to the dictionary-scan path
+    over the same corpus — it is a layout change, not a semantics
+    change."""
+    scan = QueryEngine(spark, ix)
+    side = QueryEngine(spark, ix_sfx)
+    assert scan._reversed_terms() is None
+    assert side._reversed_terms() is not None
+    for q in ("*ge", "*er sort", "me* *ge", "*zzqx"):
+        assert side.expand_prefix_terms(q) == scan.expand_prefix_terms(q), q
+    got = [(r["doc_id"], r["score"]) for r in side.bm25("sort *ge", k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in scan.bm25("sort *ge", k=10).collect()]
+    assert got == want and got
+
+
+def test_suffix_sidecar_plan_is_range_scan(spark, ix_sfx):
+    """The sidecar candidate plan carries the reversed-key StartsWith
+    down to the parquet scan (PushedFilters on rterm) — the range-scan
+    shape Lucene's reversed field gives, vs the endswith full-dictionary
+    scan of the fallback path."""
+    eng = QueryEngine(spark, ix_sfx)
+    plan = (
+        eng._suffix_candidates(["ge", "er"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "StringStartsWith(rterm" in pushed, pushed
+
+
+def test_suffix_sidecar_refreshes_on_extend(spark, fixture_dir, ix_sfx):
+    """Extends that omit the flag must refresh (not stale-drop) the
+    sidecar: after extending with a second corpus batch, new vocabulary
+    is reachable through the reversed dictionary."""
+    from search_engine_spark.plans.build import extend_index_df
+
+    eng0 = QueryEngine(spark, ix_sfx)
+    base_terms = {r["term"] for r in eng0._reversed_terms().collect()}
+    delta = spark.createDataFrame(
+        [("r2", "x/new.py", "c9", "python",
+          "zzqsuffixable zzqsuffixable zzqreversible")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    extend_index_df(spark, delta, ix_sfx)
+    eng = QueryEngine(spark, ix_sfx)
+    rt = {r["term"]: r["rterm"] for r in eng._reversed_terms().collect()}
+    assert "zzqsuffixable" in rt and rt["zzqsuffixable"] == "elbaxiffusqzz"
+    assert base_terms <= set(rt)
+    _, exp = eng.expand_prefix_terms("*able")
+    assert "zzqsuffixable" in exp
+
+
 def test_suggest_next_counts_bigrams(spark):
     from search_engine_spark.ops.search_sql import suggest_next_terms
 
