@@ -842,7 +842,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert len(front4) == 50 and len(set(front4)) == 50
     assert all(k in q for k in front4), [k for k in front4 if k not in q]
     back4 = [k for k in order3 if k not in front4]
-    return {k: q[k] for k in [*front4, *back4]}
+    order4 = [*front4, *back4]
+
+    # r5 window (VERDICT r4 items 1, 6, 7): (a) re-grade sim_pq_codes —
+    # its only official row is the r4 canonicalizer err, now fixed by
+    # the scalar-codes gate shape; (b) grade the two round-5-new
+    # filtered-ANN ops; (c) spend every remaining slot on the STALEST
+    # official rows — the full r1-graded cohort (13) plus 34 of the 50
+    # whose latest official green is r2 — so no family's newest official
+    # row is older than two rounds. The 16 r2-cohort keys left out each
+    # have an in-window sibling on the same code path or independent
+    # r3/r4 judge verification (oov/batch/page_2/typo ride the
+    # search_bm25_topk plan; regex_scan/phrase_topk_tri/near_ordered/
+    # suggest/snippets/explain/conj have their stronger sibling
+    # promoted; heavy_hitters_cms + decontaminate + unigram_ll +
+    # code_subtoken_search were judge-re-verified in r4's 101-query run;
+    # block_layout is pytest-pinned by test_compressed_index).
+    promote5 = [
+        "sim_pq_codes",
+        "sim_filtered_ann_topk", "sim_filtered_ann_recall",
+        # latest official green in ROUND 1 (13)
+        "dedup_exact", "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "mm_blob_metadata", "mm_extract_features",
+        "rel_events_hourly", "rel_pricing_summary", "rel_sessionize",
+        "rel_top_parts_per_brand", "sim_ann_lsh_topk", "sim_cosine_topk",
+        "sim_lsh_signatures",
+        # latest official green in ROUND 2 (34 of 50)
+        "corpus_filtered", "code_subtokens", "pipeline_clean_corpus",
+        "search_postings", "search_term_stats", "search_bm25_scores",
+        "search_bm25_topk", "search_bm25_lang", "search_bm25_msm",
+        "search_bm25_not", "search_bm25_syn", "search_bm25f_topk",
+        "search_bm25_prefix", "search_candidate_page", "search_facets",
+        "search_mlt", "search_near_topk", "search_phrase_positions",
+        "search_phrase_rescore", "search_phrase_topk", "search_rank_eval",
+        "search_refcompat_topk", "search_regex", "search_substring",
+        "search_total_hits", "text_cooccur_pmi", "text_fingerprint",
+        "text_keywords", "text_lang_id", "text_pii_scrub",
+        "text_quality_score", "text_repetition", "text_token_stats",
+        "search_bm25_after",
+    ]
+    assert len(promote5) == 50 and len(set(promote5)) == 50
+    assert all(k in q for k in promote5), [k for k in promote5 if k not in q]
+    back5 = [k for k in order4 if k not in promote5]
+    return {k: q[k] for k in [*promote5, *back5]}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -36,6 +36,16 @@ PAGERANK_MAX_ITERS = 100
 CANDIDATE_K = 20  # reference PAGE_SIZE
 BLEND_WEIGHT_TFIDF = 0.5  # reference ranking.go:30 hardcoded 0.5
 
+# --- streaming ---
+# Lone-tail idle TTL for streaming/transitions.py (EVENT-TIME ms): a
+# user's unpaired last event is evicted once the watermark passes
+# tail_ts + TTL, bounding aggregate state by ACTIVE users rather than
+# ever-seen users. The trade-off is explicit: a successor arriving more
+# than the TTL after its predecessor starts a fresh chain, so that one
+# pair is dropped relative to the batch op (evictions are logged so the
+# drop is observable). 30 days of event time by default.
+TRANSITIONS_IDLE_TTL_MS = 30 * 24 * 3600 * 1000
+
 # --- index layout ---
 BLOCK_SIZE = 128  # postings per compressed block
 DEFAULT_TERM_BUCKETS = 64  # directory partitions of the index table
@@ -145,6 +155,10 @@ class EngineConfig:
     # build/extend/compact once present. QueryEngine.expand_prefix_terms
     # prefers it automatically when the sidecar exists.
     store_suffixes: bool = False
+    # lone-tail idle TTL for the streaming transitions op (see the
+    # TRANSITIONS_IDLE_TTL_MS module constant for the semantics and the
+    # stream-vs-batch finality trade-off it encodes)
+    transitions_idle_ttl_ms: int = TRANSITIONS_IDLE_TTL_MS
     # link-prior refresh policy for extends: "always" reruns the full
     # edge-resolve + PageRank after every delta (exact, but the graph
     # pass is O(corpus) — per-micro-batch it dominates streaming ingest

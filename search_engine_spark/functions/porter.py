@@ -212,7 +212,12 @@ def porter_series(t):
 # in Spark and needs the 'g' flag in DuckDB — the only dialect split.
 # ---------------------------------------------------------------------------
 
-_Y_PASSES = 12  # ⌈(MAX_TERM_LEN-1)/2⌉: settles any y-run under 25 chars
+# ⌈(MAX_TERM_LEN-1)/2⌉ alternating passes settle any y-run the term cap
+# admits; derived (not hardcoded) so raising the cap can never silently
+# leave unresolved 'y' chars corrupting the CV string in the SQL twins.
+from search_engine_spark.config import MAX_TERM_LEN
+
+_Y_PASSES = -(-(MAX_TERM_LEN - 1) // 2)  # ⌈(25-1)/2⌉ = 12
 
 
 def _rr(dialect: str, x: str, pat: str, rep: str) -> str:

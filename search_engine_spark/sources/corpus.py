@@ -45,9 +45,19 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.orc(path)
     if fmt == "json":
         # jsonlines with the declared schema — no inference pass over
-        # the data (an inference scan at 100 TB doubles the read)
+        # the data (an inference scan at 100 TB doubles the read). JSON
+        # fields match BY NAME, so key order is free; fields outside
+        # CORPUS_COLUMNS are dropped by the declared schema (by design:
+        # passthrough would need the inference scan this avoids — use
+        # parquet/orc when extra columns must survive).
         return spark.read.schema(_CORPUS_DDL).json(path)
     if fmt == "csv":
+        # CSV with an explicit schema maps columns POSITIONALLY
+        # (header=true only skips the header row) — a reordered file
+        # would silently mismap fields (e.g. lang read as commit), so
+        # fail fast unless the header is exactly CORPUS_COLUMNS in
+        # order.
+        _validate_csv_header(spark, path)
         return (
             spark.read.schema(_CORPUS_DDL)
             .option("header", "true")
@@ -56,6 +66,27 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
             .csv(path)
         )
     raise ValueError(f"unsupported corpus format {fmt!r} for {path}")
+
+
+def _validate_csv_header(spark: SparkSession, path: str) -> None:
+    """Reject CSV inputs whose header names/order differ from
+    ``CORPUS_COLUMNS`` (explicit-schema CSV reads are positional; see
+    :func:`load_corpus`). Reads ONE line via the text source — no data
+    scan. On a multi-file directory this samples one file's header;
+    every file must share the layout (standard CSV-directory contract).
+    """
+    import csv as _csv
+
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return  # empty input: the csv read returns an empty frame
+    hdr = [h.strip().lower() for h in next(_csv.reader([first[0]["value"]]))]
+    if hdr != CORPUS_COLUMNS:
+        raise ValueError(
+            f"CSV header {hdr} must be exactly {CORPUS_COLUMNS} (in "
+            "order): explicit-schema CSV reads map columns positionally, "
+            "so a reordered header would silently mismap fields"
+        )
 
 
 _CORPUS_DDL = (

@@ -22,6 +22,8 @@ which is the part a plain windowed agg cannot express.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
@@ -39,8 +41,13 @@ STATE_SCHEMA = "buf_ts array<long>, buf_eid array<long>, buf_type array<string>"
 # (a post-TTL arrival for that user starts a fresh chain) and remove
 # the state. 30 days of event time by default — far beyond any real
 # session gap, so the ≡-batch guarantee holds for any corpus whose
-# per-user gaps stay under the TTL.
-IDLE_TTL_MS = 30 * 24 * 3600 * 1000
+# per-user gaps stay under the TTL. Config surface:
+# config.TRANSITIONS_IDLE_TTL_MS / EngineConfig.transitions_idle_ttl_ms
+# (ADVICE r4: not only a function default); each eviction logs at WARN
+# on the executor so dropped pairs are observable in the logs.
+from search_engine_spark.config import TRANSITIONS_IDLE_TTL_MS as IDLE_TTL_MS
+
+_log = logging.getLogger(__name__)
 
 
 def _transitions_fn(idle_ttl_ms: int = IDLE_TTL_MS):
@@ -82,7 +89,15 @@ def _transitions_fn(idle_ttl_ms: int = IDLE_TTL_MS):
             if wm_us >= buf_ts[0] + idle_ttl_ms * 1000:
                 # idle TTL expired: drop the lone tail (it can no
                 # longer pair under this policy) so total state stays
-                # bounded by ACTIVE users, not ever-seen users
+                # bounded by ACTIVE users, not ever-seen users. Logged
+                # so the stream-vs-batch drop is observable: a
+                # successor arriving after this point starts a fresh
+                # chain and the (evicted, successor) pair never emits.
+                _log.warning(
+                    "transitions: evicting idle lone tail user_id=%s "
+                    "tail_ts_us=%d (watermark passed tail+TTL %dms)",
+                    user_id, buf_ts[0], idle_ttl_ms,
+                )
                 state.remove()
             else:
                 state.update((buf_ts, buf_eid, buf_type))

@@ -116,3 +116,31 @@ def test_load_corpus_formats_equivalent(spark, tmp_path):
             for r in with_identity(load_corpus(spark, p)).collect()
         }
         assert got == want, p
+
+
+def test_load_corpus_csv_rejects_reordered_header(spark, tmp_path):
+    """Explicit-schema CSV reads map columns POSITIONALLY, so a
+    reordered header would silently mismap fields (lang read as commit);
+    load_corpus must fail fast instead. JSONL is immune (fields match
+    by name, any key order)."""
+    import pytest as _pytest
+
+    from search_engine_spark.sources.corpus import load_corpus
+
+    # column ORDER swapped relative to CORPUS_COLUMNS (lang before
+    # commit), values correct for their named column
+    bad = spark.createDataFrame(
+        [("r0", "a/x.py", "py", "c0", "content body")],
+        "repo string, path string, lang string, commit string, "
+        "content string",
+    )
+    cv = str(tmp_path / "bad.csv")
+    bad.coalesce(1).write.option("header", "true").csv(cv)
+    with _pytest.raises(ValueError, match="positionally"):
+        load_corpus(spark, cv)
+
+    # same swapped layout as jsonlines loads correctly (by-name match)
+    jl = str(tmp_path / "swapped.jsonl")
+    bad.coalesce(1).write.json(jl)
+    got = load_corpus(spark, jl).collect()
+    assert [(r["commit"], r["lang"]) for r in got] == [("c0", "py")]

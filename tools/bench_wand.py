@@ -74,6 +74,40 @@ def main() -> int:
             }
         wand_p50 = statistics.median(walls["wand"])
         exh_p50 = statistics.median(walls["exhaustive"])
+
+        # function_score modifiers through the same crossover (VERDICT
+        # r4 item 4): the claim that matters at scale is that the
+        # modifier-capped WAND kernel keeps its lead over the exhaustive
+        # decode ABOVE the crossover, like plain BM25 — not just that it
+        # costs ~zero at sf0.1.
+        from search_engine_spark.operators.scoremod import (
+            DlSaturation,
+            RecencyDecay,
+        )
+
+        modifiers = {}
+        for mname, mk in (("decay", RecencyDecay), ("feature", DlSaturation)):
+            mwalls = {"wand": [], "exhaustive": []}
+            m_ident = True
+            for q in BENCH_QUERIES:
+                ids = {}
+                for mode, flag in (("wand", True), ("exhaustive", False)):
+                    t0 = time.perf_counter()
+                    rows = eng.bm25(q, k=10, wand=flag, modifier=mk()).collect()
+                    mwalls[mode].append(time.perf_counter() - t0)
+                    ids[mode] = [r["doc_id"] for r in rows]
+                if ids["wand"] != ids["exhaustive"]:
+                    m_ident = False
+            mw, me = (statistics.median(mwalls[m]) for m in
+                      ("wand", "exhaustive"))
+            modifiers[mname] = {
+                "wand_p50": round(mw, 4),
+                "exhaustive_p50": round(me, 4),
+                "speedup_p50": round(me / mw, 3) if mw else None,
+                "rank_identical": m_ident,
+            }
+            identical = identical and m_ident
+
         print(json.dumps({
             "n_docs": n_docs,
             "replicas": replicas,
@@ -82,6 +116,7 @@ def main() -> int:
             "exhaustive_p50": round(exh_p50, 4),
             "speedup_p50": round(exh_p50 / wand_p50, 3) if wand_p50 else None,
             "rank_identical": identical,
+            "modifiers": modifiers,
             "per_query": per_query,
         }))
         return 0 if identical else 1
