@@ -154,6 +154,9 @@ def main() -> int:
             ("dedup_simhash", lambda: dedup.simhash(docs)),
             ("text_fingerprint", lambda: textstats.fingerprint(docs)),
             ("sim_cosine_topk", lambda: similarity.cosine_topk(emb)),
+            # r5: the pre-filtered IVF-PQ path (label filter BEFORE the
+            # ADC cut) — the production stand-in retirement's bench row
+            ("sim_filtered_ann_topk", lambda: similarity.filtered_ann_topk(emb)),
             ("rel_pricing_summary", lambda: relational.pricing_summary(li)),
             ("search_substring", lambda: trigram.substring_search(
                 spark, docs, trigram.NEEDLE_MAIN)),
@@ -335,7 +338,10 @@ def _scaling_evidence() -> dict:
                 "efficiency 0.982 >= 0.8 on a near-quiet interval (spin "
                 "ceiling 0.969). Round-2 degraded-interval run for "
                 "comparison: 864.8/261.5 s, raw 0.827 under a 0.733 "
-                "ceiling — also a raw pass.",
+                "ceiling — also a raw pass. Round-5 live attempts (build "
+                "path unchanged): best full run raw 0.795 / postings "
+                "0.939 under an all-day saturated bus (SCALING_LAST.json "
+                "round5_leg_ledger, 13 legs with per-leg spin probes).",
         "local4_secs": 727.7, "local16_secs": 185.3,
         "whole_build_efficiency": 0.982,
         # postings-stage 1.074 and vs-ceiling 1.013 exceed 1.0 —
